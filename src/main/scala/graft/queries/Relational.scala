@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.WeightedMean
+
+/** The relational operator surface (SURVEY.md §2.2-§2.6) expressed as
+  * named queries over the driver's TPC-H-ish tables, each paired with
+  * ANSI SQL for the DuckDB oracle.
+  *
+  * Every query is a declarative DataFrame plan: filters and column
+  * pruning reach the parquet scan, small dimension sides are
+  * broadcast explicitly, and aggregates use the [[Num]] decimal
+  * recipe so results hash-match the oracle bit-for-bit.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables(spark, sfDir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // AGG-1/2 + FLT: TPC-H Q1-flavor pricing summary.
+    "q1_pricing_summary" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Num.exactSum2(col("l_quantity")).as("sum_qty"),
+          Num.exactSum2(col("l_extendedprice")).as("sum_base_price"),
+          sum(Num.dec4(Num.dec2(col("l_extendedprice")) * (lit(1) - Num.dec2(col("l_discount")))))
+            .cast(DoubleType).as("sum_disc_price"),
+          Num.exactAvg2(col("l_quantity")).as("avg_qty"),
+          Num.exactAvg2(col("l_extendedprice")).as("avg_price"),
+          Num.exactAvg2(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // AGG-1: group-by max (reference frequencyAnalysis.py:31-35).
+    "q2_groupby_max" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max(Num.dec2(col("o_totalprice"))).cast(DoubleType).as("max_price"),
+          min(Num.dec2(col("o_totalprice"))).cast(DoubleType).as("min_price"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // AGG-2: group-by avg per composite key (frequencyAnalysis.py:38-51).
+    "q3_groupby_avg" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(Num.exactAvg2(col("l_extendedprice")).as("avg_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // AGG-3: the custom weighted-mean UDAF (frequencyAnalysis.py:55-75),
+    // weight = l_quantity, value = l_extendedprice.
+    "q4_weighted_mean" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(WeightedMean(col("l_extendedprice"), col("l_quantity")), 6).as("wmean"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // JN-1: inner equi-join with an explicitly broadcast dimension
+    // (frequencyAnalysis.py:54,66 joins per-variant rows to a tiny
+    // per-dataset table).
+    "q5_join_broadcast" -> { (s, d) =>
+      val li   = t(s, d, "lineitem")
+      val part = t(s, d, "part")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          Num.exactSum2(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("p_brand"))
+    },
+
+    // JN-2: left-outer equi-join, optional side aggregated
+    // (frequencyAnalysis.py:78 — MAF drives, EAF optional).
+    "q6_join_left_outer" -> { (s, d) =>
+      val cust   = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+      cust
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(Num.exactSum2(col("o_totalprice")), lit(0.0)).as("total_spent")
+        )
+        .orderBy(col("c_custkey"))
+    },
+
+    // JN-3: anti-join with an equi + theta residual — the shape of the
+    // reference's versioned incremental diff (Stage.scala:249-266):
+    // keep "inputs" (orders) with NO recorded "run" (lineitem) whose
+    // timestamp is >= the input's version.
+    "q7_anti_join_theta" -> { (s, d) =>
+      val orders = t(s, d, "orders")
+      val li     = t(s, d, "lineitem")
+      orders
+        .join(
+          li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate"),
+          "left_anti"
+        )
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Num.exactSum2(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // FLT-2: null/NaN predicate filter (frequencyAnalysis.py:20-21).
+    "q8_filter_nan" -> { (s, d) =>
+      t(s, d, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          Num.exactSum2(col("value")).as("sum_value")
+        )
+        .orderBy(col("event_type"))
+    },
+
+    // PRJ-1/PRJ-2: rename/alias projection + literal column
+    // (frequencyAnalysis.py:25-28, :85).
+    "q9_project_literal" -> { (s, d) =>
+      t(s, d, "nation")
+        .select(
+          col("n_nationkey").as("nation_id"),
+          col("n_name").as("nation"),
+          lit("tpch").as("source_tag")
+        )
+        .orderBy(col("nation_id"))
+    },
+
+    // SRT + limit: deterministic top-k with unique tie-break.
+    "q10_top_k" -> { (s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), Num.dec2(col("o_totalprice")).cast(DoubleType).as("price"))
+    },
+
+    // SET-1/SET-2: union + distinct (getmerge/header-dedup analogue).
+    "q11_union_distinct" -> { (s, d) =>
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.union(sn).distinct().orderBy(col("nationkey"))
+    },
+
+    // Window functions: rank-per-group + running sum (beyond-parity
+    // surface; Catalyst native).
+    "q12_window" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, d, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      o.withColumn("order_seq", row_number().over(w))
+        .withColumn(
+          "running_spend",
+          sum(Num.dec2(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType)
+        )
+        .filter(col("order_seq") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("order_seq"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("order_seq"))
+    },
+
+    // S-1/S-2: basename/dirname as columnar expressions over a
+    // synthesized path column (Implicits.scala:23-26 semantics).
+    "q13_string_paths" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("path", concat_ws("/", col("source"), col("lang"), col("doc_id")))
+        .select(
+          col("doc_id"),
+          element_at(split(col("path"), "/"), -1).as("basename"),
+          regexp_extract(col("path"), "^(.*/)", 1).as("dirname")
+        )
+        .orderBy(col("doc_id"))
+    },
+
+    // S-8: JSON extraction from a string column (Config/commitRun
+    // parsing, columnar form).
+    "q14_json_extract" -> { (s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // S-5/S-6/S-7: timestamp bucketing + comparison.
+    "q15_date_trunc" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"), Num.exactSum2(col("o_totalprice")).as("total"))
+        .orderBy(col("month"))
+    },
+
+    // FLT-4/S-4: glob predicate + capture pushed down as codegen'd
+    // regex (Glob.scala semantics, columnar form): match keys shaped
+    // `src*/<lang>/...`, capture the source suffix, count per capture.
+    "q16_glob_capture" -> { (s, d) =>
+      val g = graft.core.Glob("src*/" ).regex // prefix form
+      t(s, d, "documents")
+        .withColumn("key", concat_ws("/", col("source"), col("lang"), col("doc_id")))
+        .filter(col("key").rlike(g))
+        .withColumn("capture", regexp_extract(col("key"), g, 1))
+        .groupBy(col("capture"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("capture"))
+    },
+
+    // Multi-way join over the full snowflake with broadcast dims
+    // (TPC-H Q5 flavor): revenue per nation.
+    "q17_snowflake_join" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val o  = t(s, d, "orders")
+      val c  = t(s, d, "customer")
+      val su = t(s, d, "supplier")
+      val n  = t(s, d, "nation")
+      val r  = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(Num.dec4(Num.dec2(col("l_extendedprice")) * (lit(1) - Num.dec2(col("l_discount")))))
+            .cast(DoubleType).as("revenue")
+        )
+        .orderBy(col("n_name"))
+    },
+
+    // Rollup (grouping sets surface; Catalyst native).
+    "q18_rollup" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(Num.exactSum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_groupby_max" ->
+      """SELECT o_orderpriority,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q3_groupby_avg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q4_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wmean
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q5_join_broadcast" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q6_join_left_outer" ->
+      """SELECT c_custkey, c_name,
+        |  count(o_orderkey) AS n_orders,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q7_anti_join_theta" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate >= o.o_orderdate)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q8_filter_nan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q9_project_literal" ->
+      """SELECT n_nationkey AS nation_id, n_name AS nation, 'tpch' AS source_tag
+        |FROM nation ORDER BY nation_id""".stripMargin,
+    "q10_top_k" ->
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q11_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+    "q12_window" ->
+      """SELECT o_custkey, o_orderkey, order_seq, running_spend FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS order_seq,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC))
+        |WHERE order_seq <= 3 ORDER BY o_custkey, order_seq""".stripMargin,
+    "q13_string_paths" ->
+      """SELECT doc_id,
+        |  regexp_extract(path, '([^/]*)$', 1) AS basename,
+        |  regexp_extract(path, '^(.*/)', 1) AS dirname
+        |FROM (SELECT doc_id, source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q14_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q15_date_trunc" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q16_glob_capture" ->
+      """SELECT regexp_extract(key, '^src([^/]*)/', 1) AS capture, count(*) AS n
+        |FROM (SELECT source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS key FROM documents)
+        |WHERE regexp_matches(key, '^src([^/]*)/')
+        |GROUP BY 1 ORDER BY capture""".stripMargin,
+    "q17_snowflake_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q18_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+  )
+}
