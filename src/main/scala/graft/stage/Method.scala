@@ -1,0 +1,67 @@
+package graft.stage
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Provenance
+
+/** An ordered pipeline of stages with a name and provenance
+  * (reference: Method.scala:14-26). `main` follows the reference
+  * lifecycle (§3.1): parse opts → build context → register stages →
+  * migrate stores → dry-run gate → run stages in order.
+  */
+abstract class Method {
+
+  private val stageBuf = ListBuffer[Stage]()
+
+  def getName: String = getClass.getSimpleName.stripSuffix("$")
+
+  def provenance: Provenance = Provenance.fromResource("version.properties")
+
+  /** User code registers stages here (reference: Method.scala:26). */
+  def initStages(implicit context: Context): Unit
+
+  protected def addStage(stage: Stage): Unit = stageBuf += stage
+
+  def stages: List[Stage] = stageBuf.toList
+
+  /** Keep a single stage when `--stage` is given (Method.scala:45-54). */
+  def filterStages(opts: Opts): List[Stage] = opts.stage() match {
+    case Some(name) => stages.filter(_.getName == name)
+    case None       => stages
+  }
+
+  /** Run the (filtered) stages sequentially (Method.scala:68-73). */
+  def run(opts: Opts): Unit =
+    filterStages(opts).foreach { stage =>
+      if (opts.dryRun()) { stage.showWork(opts); () }
+      else stage.run(opts)
+    }
+
+  /** Build a context rooted at `root` and execute per the opts. */
+  def runWith(spark: SparkSession, root: String, args: Seq[String]): Unit = {
+    val opts = new Opts(args)
+    val context = new Context(
+      project = getName,
+      methodName = getName,
+      spark = spark,
+      inputRoot = root,
+      outputRoot = root,
+      runsRoot = s"$root/.graft",
+      test = opts.test()
+    )
+    stageBuf.clear()
+    initStages(context)
+    context.runs.migrate()
+    context.runStatus.migrate()
+    run(opts)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val root = sys.env.getOrElse("GRAFT_ROOT", ".")
+    val spark = graft.GraftSession.build(s"graft-${getName}")
+    try runWith(spark, root, args.toSeq)
+    finally spark.stop()
+  }
+}
