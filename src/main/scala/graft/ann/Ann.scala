@@ -1,0 +1,112 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two strategies:
+  *   - [[bruteForceTopK]] — exact: broadcast the (small) query set
+  *     against the corpus, one scan, windowed top-k. The correctness
+  *     baseline and the right plan whenever |queries| is small enough
+  *     to broadcast (the common case: a query batch vs a 100 TB
+  *     corpus — embarrassingly parallel, no shuffle of the corpus).
+  *   - [[lshTopK]] — signed-random-hyperplane bucketing: corpus and
+  *     queries are bucketed by sketch; only same/near buckets are
+  *     compared (a bucket equi-join instead of a cross product),
+  *     trading recall for a corpus-sized shuffle-free probe. Multi-
+  *     probe (flipping each sketch bit) recovers most recall.
+  */
+object Ann {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (id, vec) rows
+    * @param queries (id, vec) rows — must be broadcast-sized
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(
+      col("id").as("nbr_id"), col("vec").as("cvec"),
+      VectorOps.fnorm(col("vec")).as("cnorm"))
+    val q = queries.select(
+      col("id").as("query_id"), col("vec").as("qvec"),
+      VectorOps.fnorm(col("vec")).as("qnorm"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("sim",
+        VectorOps.cosinePre(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: the standard L-table structure.
+    * Each of `tables` independent hash tables assigns every vector a
+    * `planes`-bit hyperplane-sign bucket; only (query, corpus) pairs
+    * colliding in at least one table are scored, optionally probing
+    * all 1-bit-flipped buckets too (`multiProbe`). The corpus index
+    * is `tables`× its size; the scoring join is a bucket equi-join —
+    * never a cross product — which is what makes the 100 TB case
+    * tractable.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              dim: Int, planes: Int = 8, tables: Int = 8,
+              multiProbe: Boolean = true, seed: Long = 42L): DataFrame = {
+    def indexed(df: DataFrame, idAs: String, vecAs: String, normAs: String,
+                probe: Boolean): DataFrame = {
+      val withSketches = df.select(
+        col("id").as(idAs), col("vec").as(vecAs),
+        VectorOps.fnorm(col("vec")).as(normAs),
+        array((0 until tables).map(t =>
+          VectorOps.hyperplaneSketch(col("vec"), dim, planes, seed + t)): _*).as("sketches"))
+        .select(col(idAs), col(vecAs), col(normAs),
+          posexplode(col("sketches")).as(Seq("table", "sketch")))
+      if (!probe)
+        withSketches.select(col(idAs), col(vecAs), col(normAs),
+          col("table"), col("sketch").as("bucket"))
+      else {
+        val masks = array((0L +: (0 until planes).map(p => 1L << p).toSeq).map(lit): _*)
+        withSketches
+          .withColumn("mask", explode(masks))
+          .select(col(idAs), col(vecAs), col(normAs), col("table"),
+            col("sketch").bitwiseXOR(col("mask")).as("bucket"))
+      }
+    }
+    val c = indexed(corpus, "nbr_id", "cvec", "cnorm", probe = false)
+    val q = indexed(queries, "query_id", "qvec", "qnorm", probe = multiProbe)
+    val scored = c
+      .join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .dropDuplicates("query_id", "nbr_id")
+      .withColumn("sim",
+        VectorOps.cosinePre(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).
+    * All-pairs form — the oracle baseline; the scale path buckets by
+    * sketch first (see [[lshTopK]]'s blocking) so only likely pairs
+    * are scored.
+    */
+  def cosineNearDupPairs(df: DataFrame, minCos: Double): DataFrame = {
+    val v = df.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
+    val a = v.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+    val b = v.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("sim", VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= minCos)
+      .select("a", "b", "sim")
+  }
+}

@@ -1,0 +1,195 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deduplication operators for corpus-scale pipelines.
+  *
+  * Four tiers, trading exactness for scale:
+  *   - [[Dedup.exact]] — hash group-by; one shuffle, fully exact.
+  *   - [[NgramJaccard]] — exact set-similarity pairs; the oracle
+  *     baseline. All-pairs only when the corpus fits it.
+  *   - [[MinHashLSH]] — signature + banding; candidate generation is
+  *     a bucket join (shuffle on band hashes, never all-pairs), the
+  *     100 TB path for text near-dup.
+  *   - [[SimHash]] — 64-bit fingerprints + pigeonhole blocking for
+  *     hamming-distance pairs; cheapest per-doc state.
+  */
+object Dedup {
+
+  /** Exact dedup: canonicalize → md5 → group. Returns one row per
+    * distinct content hash with the kept (min) id and the duplicate
+    * count. A single hash-partitioned aggregation — at 100 TB this is
+    * the canonical map-side-combine group-by, no other shuffle.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(trim(lower(col(textCol))).cast("binary")).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies")
+      )
+}
+
+/** Exact n-gram (word-shingle) Jaccard similarity pairs.
+  *
+  * Similarity is computed in exact integer arithmetic
+  * (|A∩B|, |A∪B|) — the threshold test cross-multiplies instead of
+  * dividing, so there is no floating-point boundary to disagree on
+  * across engines. The all-pairs form here is the correctness
+  * baseline; use [[MinHashLSH]] to generate candidates at scale and
+  * verify them with this exact measure.
+  */
+object NgramJaccard {
+
+  /** Distinct word n-gram set of a text column (single-pass custom
+    * expression; see [[graft.functions.WordShingles]]).
+    */
+  def shingles(c: Column, n: Int): Column =
+    graft.functions.WordShingles(TextOps.tokens(c), n)
+
+  /** All pairs (a < b) with Jaccard ≥ `minJaccard`, plus exact
+    * intersection/union counts.
+    *
+    * Inverted-index formulation (not an O(n²) cross join): explode
+    * distinct shingles to a posting list, self-join postings on the
+    * shingle, and count per pair — a pair materializes only if it
+    * shares at least one shingle, and |A∩B| falls out of the
+    * group-by. Both joins shuffle on keys (shingle, then pair), so
+    * the plan scales with Σ postings², not documents². The
+    * threshold test stays exact integer arithmetic.
+    */
+  def pairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+            minJaccard: Double): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val l = sh.select(col("sh"), col("id").as("a"))
+    val r = sh.select(col("sh"), col("id").as("b"))
+    l.join(r, Seq("sh"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("i"))
+      .join(broadcast(sizes.select(col("id").as("a"), col("sz").as("sza"))), Seq("a"))
+      .join(broadcast(sizes.select(col("id").as("b"), col("sz").as("szb"))), Seq("b"))
+      .withColumn("u", col("sza") + col("szb") - col("i"))
+      // exact rational comparison: i/u >= t  ⇔  i*denom >= u*numer
+      .filter(col("i") * lit(1000000L) >= col("u") * lit(math.round(minJaccard * 1e6)))
+      .select(col("a"), col("b"), col("i"), col("u"),
+        (col("i").cast("double") / col("u")).as("jaccard"))
+  }
+}
+
+/** MinHash + LSH banding near-duplicate detection.
+  *
+  * Signature: `numHashes` min-hashes per document, hash h_i(token) =
+  * xxhash64(i, token) (deterministic, no stored permutation table).
+  * Banding: `bands` groups of `rowsPerBand` signature slots; each
+  * band hashes to a bucket key, equal keys become candidate pairs —
+  * a shuffle on (band, bucket), never an all-pairs join. Candidates
+  * are then verified with the exact [[NgramJaccard]] measure.
+  */
+object MinHashLSH {
+
+  /** doc → (id, sig array<long>, band bucket array<long>). The
+    * signature is one [[graft.functions.MinHashSignature]] pass (a
+    * single tight loop per row — the `k × array_min(transform(...))`
+    * formulation pays k·n interpreted lambda calls instead).
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int, bands: Int, n: Int = 1): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    // IMPORTANT: sign the same shingle set the verifier measures —
+    // signatures over a different tokenization (e.g. unigrams of a
+    // small vocabulary) collide for unrelated documents and blow the
+    // candidate set up to all-pairs.
+    val sigged = df.select(
+      col(idCol).as("id"),
+      graft.functions.MinHashSignature(
+        NgramJaccard.shingles(col(textCol), n), numHashes).as("sig"))
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+    }
+    sigged.select(col("id"), col("sig"), array(bandHashes: _*).as("bands"))
+  }
+
+  /** Candidate pairs from band-bucket collisions (a < b, distinct). */
+  def candidates(sigs: DataFrame): DataFrame = {
+    val exploded = sigs
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    val l = exploded.select(col("band"), col("bucket"), col("id").as("a"))
+    val r = exploded.select(col("band"), col("bucket"), col("id").as("b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Full pipeline: signatures → banded candidates → exact verify.
+    * The shingle table is computed once and persisted for its two
+    * verify-join sides (otherwise Catalyst re-derives the whole
+    * shingling subtree per side).
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 16, bands: Int = 4, n: Int = 1,
+                     minJaccard: Double = 0.8): DataFrame = {
+    val cands = candidates(signatures(df, idCol, textCol, numHashes, bands, n))
+    val sh = df.select(col(idCol).as("id"), NgramJaccard.shingles(col(textCol), n).as("sh"))
+      .persist()
+    cands
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("u", size(col("sha")) + size(col("shb")) - col("i"))
+      .filter(col("i") * lit(1000000L) >= col("u") * lit(math.round(minJaccard * 1e6)))
+      .select(col("a"), col("b"), (col("i").cast("double") / col("u")).as("jaccard"))
+  }
+}
+
+/** SimHash near-duplicate fingerprints.
+  *
+  * 64-bit fingerprint: bit i is the sign of Σ_tokens ±1 where the
+  * sign comes from bit i of xxhash64(token). Near-dup pairs are
+  * fingerprints within hamming distance `maxDist`, found with
+  * pigeonhole blocking: split the 64 bits into `maxDist+1` chunks —
+  * any pair within distance d shares at least one identical chunk —
+  * and bucket-join per chunk (again: shuffle on chunk value, never
+  * all-pairs).
+  */
+object SimHash {
+
+  /** doc → (id, simhash long). Computed entirely within one
+    * projection (per-bit folds over the token-hash array) — no
+    * explode, no shuffle: fingerprints stream out at scan speed.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    fingerprintsOfTokens(df, idCol, array_distinct(TextOps.tokens(col(textCol))))
+
+  /** Fingerprint an arbitrary token/shingle array column with one
+    * [[graft.functions.SimHash64]] pass per row.
+    */
+  def fingerprintsOfTokens(df: DataFrame, idCol: String, tokens: Column): DataFrame =
+    df.select(col(idCol).as("id"), graft.functions.SimHash64(tokens).as("simhash"))
+
+  /** Pairs (a < b) within hamming distance `maxDist`. */
+  def pairs(fps: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunks    = maxDist + 1
+    val chunkBits = 64 / chunks
+    val exploded = fps.select(
+      col("id"), col("simhash"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("simhash"), c * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1))
+      }: _*)).as(Seq("chunk", "key")))
+    val l = exploded.select(col("chunk"), col("key"), col("id").as("a"), col("simhash").as("fa"))
+    val r = exploded.select(col("chunk"), col("key"), col("id").as("b"), col("simhash").as("fb"))
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("fa").bitwiseXOR(col("fb"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

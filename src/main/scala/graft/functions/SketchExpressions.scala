@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketching expressions for the dedup family.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`) evaluate
+  * their lambdas interpreted, per element — a MinHash signature via
+  * `k × array_min(transform(...))` costs k·n interpreted calls per
+  * row. These expressions do the same math in one tight JVM loop per
+  * row (CodegenFallback: row-level interpretation, compiled inner
+  * loop — the per-element lambda overhead is what dominated).
+  */
+
+/** k min-hashes over a token array: h_i(t) = xxh64(xxh64(t, SEED), i),
+  * minimized per i in a single pass over the tokens.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val Seed = 42L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash expects array<string>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr  = input.asInstanceOf[ArrayData]
+    val n    = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s    = arr.getUTF8String(j)
+        val base = hashUtf8(s, Seed)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashLong(base, i.toLong)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  def apply(tokens: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes))
+}
+
+/** 64-bit SimHash over a token array: bit i of the result is the
+  * sign of Σ_tokens (bit i of xxh64(token) ? +1 : -1). One pass,
+  * 64 counters.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val Seed = 42L
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash expects array<string>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr    = input.asInstanceOf[ArrayData]
+    val n      = arr.numElements()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), Seed)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var fp = 0L
+    var i  = 0
+    while (i < 64) {
+      if (counts(i) > 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def apply(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+}
+
+/** Distinct word n-gram shingles of a token array, in one pass.
+  * Equivalent to `array_distinct(transform(sequence(...), i =>
+  * concat_ws(" ", slice(tokens, i, n))))` but without n·len
+  * interpreted lambda evaluations and intermediate allocations.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingles expects array<string>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (len >= n) {
+      val space = UTF8String.fromString(" ")
+      var i = 0
+      while (i <= len - n) {
+        var s = arr.getUTF8String(i)
+        var j = 1
+        while (j < n) {
+          s = UTF8String.concat(s, space, arr.getUTF8String(i + j))
+          j += 1
+        }
+        out.add(s)
+        i += 1
+      }
+    }
+    val res = new Array[Any](out.size)
+    val it  = out.iterator()
+    var k   = 0
+    while (it.hasNext) { res(k) = it.next(); k += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def apply(tokens: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(tokens), n))
+}

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.ann.Ann
+import graft.dedup.{Dedup, MinHashLSH, NgramJaccard, SimHash}
+import graft.multimodal.Multimodal
+import graft.streaming.EventsPipeline
+import graft.text.TextOps
+
+/** The training-data-pipeline operator surface (dedup, similarity,
+  * text analysis, multimodal, streaming) as named queries over the
+  * driver's `documents`/`embeddings`/`events` tables.
+  *
+  * Queries with DuckDB-expressible semantics carry oracle SQL; the
+  * hash-based ones (minhash signatures, simhash, fingerprints) are
+  * deterministic but engine-specific, so they get rows-only checks
+  * here and planted-duplicate recall specs in ScalaTest.
+  */
+object CorpusOps {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables(spark, sfDir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup ----
+    "d1_dedup_exact" -> { (s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("content_hash"))
+    },
+
+    "d2_ngram_jaccard" -> { (s, d) =>
+      NgramJaccard.pairs(t(s, d, "documents"), "doc_id", "text", n = 3, minJaccard = 0.8)
+        .select(col("a"), col("b"), col("i"), col("u"), col("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // Same verified output as d2, but candidates come from MinHash+LSH
+    // banding instead of all pairs — at this τ the banding recall is
+    // ~1, so the result matches the exact oracle.
+    "d3_minhash_lsh" -> { (s, d) =>
+      MinHashLSH.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          numHashes = 24, bands = 8, n = 3, minJaccard = 0.8)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // SimHash fingerprints + hamming-blocked pairs: deterministic but
+    // hash-defined → rows-only check + planted-dup spec.
+    "d4_simhash" -> { (s, d) =>
+      val fps = SimHash.fingerprintsOfTokens(
+        t(s, d, "documents"), "doc_id", NgramJaccard.shingles(col("text"), 3))
+      SimHash.pairs(fps, maxDist = 12).orderBy(col("a"), col("b"))
+    },
+
+    "d5_embed_neardup" -> { (s, d) =>
+      Ann.cosineNearDupPairs(
+          t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+          minCos = 0.45)
+        .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ---- similarity search ----
+    "a1_ann_topk" -> { (s, d) =>
+      val all = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.bruteForceTopK(all, all.filter(col("id") < 20), k = 5)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- text analysis ----
+    "t1_text_stats" -> { (s, d) =>
+      val doc = t(s, d, "documents")
+      doc.select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        TextOps.nTokens(col("text")).cast(LongType).as("n_tokens"),
+        TextOps.nDistinctTokens(col("text")).cast(LongType).as("n_distinct"),
+        TextOps.nBpeTokens(col("text")).cast(LongType).as("n_bpe"),
+        TextOps.meanTokenLen(col("text")).as("mean_tok_len")
+      ).orderBy(col("doc_id"))
+    },
+
+    "t2_quality_score" -> { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.stopwordRatio(col("text")).as("stop_ratio"),
+        TextOps.qualityScore(col("text")).as("quality")
+      ).orderBy(col("doc_id"))
+    },
+
+    // language ID: heuristic, engine-specific scoring → rows-only.
+    "t3_lang_id" -> { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        col("lang").as("lang_label"),
+        TextOps.langId(col("text")).getField("lang").as("lang_pred"),
+        TextOps.langId(col("text")).getField("score").as("score")
+      ).orderBy(col("doc_id"))
+    },
+
+    // fingerprints: xxhash64-defined → rows-only.
+    "t4_fingerprint" -> { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.contentFingerprint(col("text")).as("fp")
+      ).orderBy(col("doc_id"))
+    },
+
+    // ---- multimodal ----
+    "m1_media_features" -> { (s, d) =>
+      val media = Multimodal.synthesize(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.decodeFeatures(s, media).toDF()
+        .select(col("media_id"), col("media_type"), col("byte_len"),
+          col("width"), col("height"))
+        .orderBy(col("media_id"))
+    },
+
+    // ---- events: batch sessionization (lag + cumulative sum) ----
+    "e1_sessionize" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val w  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+      ev.withColumn("is_new", when(gap.isNull || gap > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // ---- events: incremental versioned anti-join (JN-3 at scale) ----
+    "e2_incremental_antijoin" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      // synthetic prior-runs table: every 3rd event recorded; runs for
+      // every 6th carry a stale timestamp (older than the version)
+      val runs = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+        .select(
+          col("event_id").as("run_key"),
+          when(pmod(col("event_id"), lit(6)) === 0,
+            col("ts") - expr("INTERVAL 1 HOUR"))
+            .otherwise(col("ts") + expr("INTERVAL 1 HOUR")).as("run_ts"))
+      ev.join(runs,
+          col("event_id") === col("run_key") && col("run_ts") > col("ts"),
+          "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_stale"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- streaming: availableNow tumbling aggregation ----
+    "s1_stream_tumbling" -> { (s, d) =>
+      EventsPipeline.runToCompletion(
+          s, d, EventsPipeline.tumblingCounts,
+          queryName = s"s1_tumbling_${System.nanoTime()}",
+          glob = "events.parquet")
+        .orderBy(col("bucket_ts"), col("event_type"))
+    }
+  )
+
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks)-2,0)+1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM toks)""".stripMargin
+
+  private val jaccardPairsSql =
+    s"""$shingleCte
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+       |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS u,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.sh, b.sh)) * 1000000 >=
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 800000
+       |ORDER BY a, b""".stripMargin
+
+  private val cosineExpr =
+    """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+      |  (a.nrm * b.nrm)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(trim(lower(text))) AS content_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "d2_ngram_jaccard" -> jaccardPairsSql,
+
+    "d3_minhash_lsh" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) * 1000000 >=
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 800000
+         |ORDER BY a, b""".stripMargin,
+
+    "d5_embed_neardup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS a, b.vec_id AS b, round($cosineExpr, 6) AS sim
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE $cosineExpr >= 0.45
+         |ORDER BY a, b""".stripMargin,
+
+    "a1_ann_topk" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosineExpr AS sim
+         |  FROM v a JOIN v b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT query_id, nbr_id, round(sim, 6) AS sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, nbr_id, sim, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "t1_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |    greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality_score" -> {
+      val allStop = TextOps.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks,
+         |    len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS ndist,
+         |    len(string_split_regex(trim(text), '\\s+')) AS ntok
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, text, ntok,
+         |    CAST(len(list_intersect(toks, $allStop)) AS DOUBLE) / greatest(ndist, 1) AS stop_ratio,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct
+         |  FROM d)
+         |SELECT doc_id, stop_ratio,
+         |  (least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+         |   + least(stop_ratio * 4.0, 1.0)
+         |   + (1.0 - least(npunct / greatest(ntok, 1), 1.0))) / 3.0 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "m1_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "e1_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        |sid AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "e2_incremental_antijoin" ->
+      """WITH runs AS (
+        |  SELECT event_id AS run_key,
+        |    CASE WHEN event_id % 6 = 0 THEN ts - INTERVAL 1 HOUR
+        |         ELSE ts + INTERVAL 1 HOUR END AS run_ts
+        |  FROM events WHERE event_id % 3 = 0)
+        |SELECT event_type, count(*) AS n_stale
+        |FROM events e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM runs r WHERE r.run_key = e.event_id AND r.run_ts > e.ts)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s1_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ts, event_type""".stripMargin
+  )
+}

@@ -20,8 +20,11 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // integer `div`, NOT `/`: double division loses unit precision at
+    // ~1.7e15 and rounds the microsecond up, diverging from DuckDB's
+    // truncating ns→us conversion.
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 }

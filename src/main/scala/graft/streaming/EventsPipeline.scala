@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming code; this is the greenfield
+  * north-star surface (SURVEY.md §2.7): file/Kafka source →
+  * watermark → windowed/sessionized aggregation → sink, with
+  * `Trigger.AvailableNow` giving the batch-incremental semantics the
+  * Stage/Runs planner provides for files (checkpoint dir = runs
+  * table). In production the source line becomes
+  * `readStream.format("kafka")...`; everything downstream is
+  * unchanged.
+  */
+object EventsPipeline {
+
+  /** Parquet schema of the events table with `ts` as raw nanos
+    * (Spark cannot map parquet TIMESTAMP(NANOS); see
+    * graft.queries.Tables).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Streaming source over event parquet files under `dir` matching
+    * `glob`; ts nanos → micros (truncating, matching batch/oracle).
+    * The file-stream source requires a directory, so callers pass the
+    * containing dir plus a glob filter for the file(s).
+    */
+  def readStream(spark: SparkSession, dir: String,
+                 glob: String = "*.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windows per event type: count + exact value sum.
+    * Output column shapes match the batch/oracle form (window start
+    * as `bucket_ts`).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("bucket_ts"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (1 hour every 15 min) per event type. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_ts"), col("event_type"), col("n"))
+
+  /** Session windows per user (30-minute inactivity gap). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Exactly-once event stream: watermarked dedup on event_id. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run a streaming aggregation to completion over the files that
+    * exist now (`Trigger.AvailableNow` + memory sink, complete mode)
+    * and return the result table — the streaming analogue of the
+    * Stage planner's "process everything new, then stop".
+    */
+  def runToCompletion(spark: SparkSession, dir: String,
+                      agg: DataFrame => DataFrame,
+                      queryName: String,
+                      glob: String = "*.parquet"): DataFrame = {
+    val q = agg(readStream(spark, dir, glob))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Columnar text analysis for large-scale corpus pipelines: token
+  * stats, quality scoring, language ID, fingerprinting. All pure
+  * `functions._` expressions (codegen'd, no UDFs) so they run at scan
+  * speed over billions of documents.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text (empty array for blank text). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def nTokens(c: Column): Column = size(tokens(c))
+
+  /** Distinct-token count (vocabulary size of the document). */
+  def nDistinctTokens(c: Column): Column = size(array_distinct(tokens(c)))
+
+  /** BPE-ish word/punct token count: alpha runs, digit runs, or single
+    * non-space symbols — the standard pre-tokenizer shape.
+    */
+  val bpeTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def nBpeTokens(c: Column): Column = regexp_count(c, lit(bpeTokenRegex))
+
+  /** Punctuation-ish character count. */
+  def nPunct(c: Column): Column = regexp_count(c, lit("[^A-Za-z0-9\\s]"))
+
+  /** Mean token length = non-space chars / tokens (NaN-free). */
+  def meanTokenLen(c: Column): Column = {
+    val nonSpace = length(regexp_replace(c, "\\s+", ""))
+    nonSpace.cast("double") / greatest(nTokens(c), lit(1))
+  }
+
+  // Tiny built-in stopword lists per language — enough signal for a
+  // heuristic n-gram/stopword language scorer (a production system
+  // would plug a model in; the *shape* — argmax over per-language
+  // codegen'd scores — is what scales).
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "with", "was", "on"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans", "du"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "un", "una", "es", "que", "por", "en", "del"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "mit", "von", "für", "auf", "den")
+  )
+
+  /** Stopword hits for one language (distinct tokens ∩ stopwords). */
+  def stopwordHits(c: Column, lang: String): Column =
+    size(array_intersect(
+      array_distinct(tokens(lower(c))),
+      array(stopwords(lang).map(lit): _*)))
+
+  /** Total stopword-token ratio over all known languages (a quality
+    * signal: natural text has a healthy function-word share).
+    */
+  def stopwordRatio(c: Column): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct
+    val hits = size(array_intersect(array_distinct(tokens(lower(c))), array(all.map(lit): _*)))
+    hits.cast("double") / greatest(nDistinctTokens(c), lit(1))
+  }
+
+  /** CJK character ratio (language signal for zh/ja/ko). */
+  def cjkRatio(c: Column): Column =
+    regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")).cast("double") /
+      greatest(length(c), lit(1))
+
+  /** Heuristic language ID: argmax of per-language stopword hits,
+    * with a CJK-ratio override; deterministic tie-break by language
+    * code. Returns a (lang, score) struct.
+    */
+  def langId(c: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map { lang =>
+      struct(stopwordHits(c, lang).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(cjkRatio(c) > 0.2, struct(lit(-1).cast("int").as("score"), lit("zh").as("lang")))
+      .otherwise(best)
+  }
+
+  /** Composite quality score in [0,1]: balanced token length, some
+    * stopwords, not all punctuation, reasonable size. The exact
+    * weights are illustrative; each term is an exact-arithmetic
+    * expression so the score is engine-reproducible.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenTerm  = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val stopTerm = least(stopwordRatio(c) * lit(4.0), lit(1.0))
+    val punctTerm = lit(1.0) -
+      least(nPunct(c).cast("double") / greatest(nTokens(c), lit(1)), lit(1.0))
+    (lenTerm + stopTerm + punctTerm) / lit(3.0)
+  }
+
+  /** 64-bit content fingerprint: xxhash64 of the sorted distinct
+    * token set — order- and duplication-insensitive, so re-shuffled
+    * or re-joined corpora fingerprint identically.
+    */
+  def contentFingerprint(c: Column): Column =
+    xxhash64(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+
+  /** Simhash-style 64-bit near-dup fingerprint built from per-token
+    * hashes; see [[graft.dedup.SimHash]] for the pair search.
+    */
+  def tokenHashes(c: Column): Column =
+    transform(tokens(c), t => xxhash64(t))
+}

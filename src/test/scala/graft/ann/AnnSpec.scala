@@ -1,0 +1,56 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+final class AnnSpec extends SparkTestBase {
+
+  private lazy val vecs = {
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+  }
+
+  test("brute force top-k: k rows per query, ranks ordered by sim") {
+    val res = Ann.bruteForceTopK(vecs, vecs.filter(col("id") < 5), k = 3).collect()
+    assert(res.length == 5 * 3)
+    val byQuery = res.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(r => r.getAs[Long]("nbr_id") != r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("LSH top-k achieves high recall on clustered vectors") {
+    // planted clusters: 40 centroids × 10 members with small noise —
+    // the workload LSH is designed for (uniform random vectors have
+    // near-orthogonal neighbors and defeat any sublinear index)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val rows = (0 until 40).flatMap { c =>
+      val centroid = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 10).map { m =>
+        val v = centroid.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+        (c * 10L + m, v)
+      }
+    }
+    val df = rows.toDF("id", "vec")
+    val queries = df.filter(col("id") % 10 === 0) // one query per cluster
+    val exact = Ann.bruteForceTopK(df, queries, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val approx = Ann.lshTopK(df, queries, k = 3, dim = dim, planes = 8, tables = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall@3 too low: $recall")
+  }
+
+  test("cosine near-dup pairs are symmetric-free and thresholded") {
+    val pairs = Ann.cosineNearDupPairs(vecs, minCos = 0.4).collect()
+    assert(pairs.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
+    assert(pairs.forall(_.getAs[Double]("sim") >= 0.4))
+  }
+}

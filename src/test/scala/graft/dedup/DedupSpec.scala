@@ -1,0 +1,74 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+final class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // corpus with planted exact + near duplicates
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"), // near dup of 1
+    (4L, "completely different content about spark catalyst optimizer rules and physical plans"),
+    (5L, "completely different content about spark catalyst optimizer rules and physical planning"), // near dup of 4
+    (6L, "unrelated text mentioning neither animals nor query engines at all whatsoever")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content") {
+    val res = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(res.length == 5) // 1&2 merge
+    val dupGroup = res.filter(_.getAs[Long]("n_copies") == 2)
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngram jaccard finds planted near-dups and no others") {
+    val pairs = NgramJaccard
+      .pairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+      .toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(pairs.contains((4L, 5L)))
+    assert(pairs.size == 4)
+  }
+
+  test("minhash LSH recovers the exact near-dup pairs (recall check)") {
+    val exact = NgramJaccard
+      .pairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = MinHashLSH
+      .nearDuplicates(docs, "doc_id", "text",
+        numHashes = 24, bands = 8, n = 3, minJaccard = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact) // banding recall 1.0 on these similarities
+  }
+
+  test("minhash LSH on driver data matches exact pairs at tau=0.8") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = NgramJaccard.pairs(docs01, "doc_id", "text", 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = MinHashLSH.nearDuplicates(docs01, "doc_id", "text", 24, 8, 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs collide at distance 0, near-dups are close") {
+    val fps = SimHash.fingerprints(docs, "doc_id", "text")
+    val byId = fps.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(byId(1L) == byId(2L))
+    val d13 = java.lang.Long.bitCount(byId(1L) ^ byId(3L))
+    val d16 = java.lang.Long.bitCount(byId(1L) ^ byId(6L))
+    assert(d13 < d16, s"near-dup dist $d13 should be < unrelated dist $d16")
+
+    val pairs = SimHash.pairs(fps, maxDist = d13)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+final class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("synthesize + batched stub decode produce typed features") {
+    val docs = Seq(
+      (0L, "tiny"),
+      (1L, "a somewhat longer payload body"),
+      (2L, "x" * 1000)
+    ).toDF("doc_id", "text")
+
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+    assert(feats.length == 3)
+    val byId = feats.map(f => f.media_id -> f).toMap
+    assert(byId(0L).media_type == "image" && byId(0L).duration_ms == 0L)
+    assert(byId(1L).media_type == "audio")
+    assert(byId(2L).media_type == "video")
+    assert(byId(2L).byte_len == 1000L)
+    assert(byId(2L).width == (1000 % 640) && byId(2L).height == ((1000 * 7) % 480))
+    // checksum is the byte sum — deterministic across runs
+    assert(byId(0L).checksum == "tiny".getBytes.map(_ & 0xff).sum.toLong)
+  }
+
+  test("decode is stable under repartitioning (per-partition batching)") {
+    val docs = (0L until 200L).map(i => (i, s"payload number $i with body " + ("y" * (i % 50).toInt)))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    val once  = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.media_id).toSeq
+    val again = Multimodal.decodeFeatures(spark, media.repartition(7)).collect().sortBy(_.media_id).toSeq
+    assert(once == again)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.queries.Tables
+
+final class EventsPipelineSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("availableNow tumbling aggregation equals the batch computation") {
+    val streamed = EventsPipeline.runToCompletion(
+      spark, sfDir, EventsPipeline.tumblingCounts,
+      queryName = "spec_tumbling", glob = "events.parquet")
+
+    val batch = EventsPipeline.tumblingCounts(Tables.events(spark, sfDir))
+
+    assert(streamed.count() == batch.count())
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b)
+  }
+
+  test("watermarked dedup drops duplicate event ids") {
+    // duplicate the stream: the same raw file twice under one dir
+    // (the file-stream source lists plain files, not parquet dirs)
+    val tmp = tmpDir("stream-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/b.parquet"))
+    val nDistinct = Tables.events(spark, sfDir).count()
+
+    val q = EventsPipeline.dedupedStream(
+        EventsPipeline.readStream(spark, tmp, glob = "*.parquet"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("spec_dedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("spec_dedup")
+    assert(got.count() == nDistinct) // 2n rows in, n distinct ids out
+    assert(got.select("event_id").distinct().count() == nDistinct)
+  }
+
+  test("session windows merge events within the gap") {
+    val sessions = EventsPipeline.runToCompletion(
+      spark, sfDir, EventsPipeline.sessionCounts,
+      queryName = "spec_sessions", glob = "events.parquet")
+    assert(sessions.count() > 0)
+    // session invariant: end - start >= 0 and every session has events
+    val bad = sessions.filter(col("session_end") < col("session_start") ||
+      col("n_events") <= 0)
+    assert(bad.isEmpty)
+  }
+
+  test("sliding windows produce more buckets than tumbling") {
+    val slide = EventsPipeline.runToCompletion(
+      spark, sfDir, EventsPipeline.slidingCounts,
+      queryName = "spec_sliding", glob = "events.parquet")
+    val tumble = EventsPipeline.runToCompletion(
+      spark, sfDir, EventsPipeline.tumblingCounts,
+      queryName = "spec_tumbling2", glob = "events.parquet")
+    assert(slide.count() > tumble.count())
+  }
+}
