@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection main: prints the formatted physical plan of the
+  * named queries (default: a representative set) against a scale
+  * directory. Used to confirm scan pruning (`PushedFilters`,
+  * `ReadSchema`), broadcast choices, and whole-stage codegen spans.
+  *
+  * Usage: runMain graft.Explain [sfDir] [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_pricing_summary", "q5_join_broadcast", "q7_anti_join_theta",
+        "q17_snowflake_join", "e2_incremental_antijoin", "d2_ngram_jaccard",
+        "a1_ann_topk")
+    val spark = GraftSession.build("graft-explain")
+    try {
+      names.foreach { name =>
+        println(s"\n========== $name ==========")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
+    } finally spark.stop()
+  }
+}

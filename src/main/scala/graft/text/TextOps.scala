@@ -93,12 +93,13 @@ object TextOps {
     (lenTerm + stopTerm + punctTerm) / lit(3.0)
   }
 
-  /** 64-bit content fingerprint: xxhash64 of the sorted distinct
-    * token set — order- and duplication-insensitive, so re-shuffled
-    * or re-joined corpora fingerprint identically.
+  /** 64-bit content fingerprint: XOR-fold over distinct token hashes
+    * — order- and duplication-insensitive, so re-shuffled or
+    * re-joined corpora fingerprint identically; single-pass custom
+    * expression ([[graft.functions.ContentFingerprint64]]).
     */
   def contentFingerprint(c: Column): Column =
-    xxhash64(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+    graft.functions.ContentFingerprint64(tokens(c))
 
   /** Simhash-style 64-bit near-dup fingerprint built from per-token
     * hashes; see [[graft.dedup.SimHash]] for the pair search.
