@@ -249,6 +249,50 @@ object Relational {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(Num.exactSum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Semi join (EXISTS): customers that placed at least one urgent order.
+    "q19_semi_join" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Set ops: nation keys with customers but no suppliers, and both.
+    "q20_set_ops" -> { (s, d) =>
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      val both   = cn.intersect(sn).withColumn("which", lit("both"))
+      val custOnly = cn.except(sn).withColumn("which", lit("customer_only"))
+      both.unionByName(custOnly).orderBy(col("which"), col("nationkey"))
+    },
+
+    // Distinct aggregation: per segment, distinct nations + orders.
+    "q21_distinct_agg" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Conditional aggregation (sum/count over CASE).
+    "q22_conditional_agg" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("l_returnflag") === "R", Num.dec2(col("l_quantity")))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast(DoubleType).as("returned_qty"),
+          count(when(col("l_discount") > 0.05, lit(1))).as("n_discounted"),
+          Num.exactSum2(col("l_quantity")).as("total_qty"))
+        .orderBy(col("l_linestatus"))
     }
   )
 
@@ -360,6 +404,36 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q19_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q20_set_ops" ->
+      """SELECT nationkey, 'both' AS which FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS which FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT SELECT s_nationkey FROM supplier)
+        |ORDER BY which, nationkey""".stripMargin,
+    "q21_distinct_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+        |  count(*) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q22_conditional_agg" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS returned_qty,
+        |  count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
   )
 }

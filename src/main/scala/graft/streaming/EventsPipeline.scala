@@ -84,6 +84,37 @@ object EventsPipeline {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Arbitrary-state processing (`flatMapGroupsWithState`): per-user
+    * running totals emitted on every update — the custom-state
+    * surface that windowed aggregation can't express (e.g. decaying
+    * counters, per-key ML state). State is a typed case class held
+    * by the state store per user.
+    */
+  def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val typed = events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+
+    val updated = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotals]) => {
+          val prev = state.getOption.getOrElse(UserTotals(0L, 0.0))
+          var n    = prev.n
+          var sum  = prev.sum
+          rows.foreach { case (_, v) => n += 1; sum += v }
+          val next = UserTotals(n, sum)
+          state.update(next)
+          Iterator((userId, next.n, next.sum))
+        })
+      .toDF("user_id", "n_events", "total_value")
+    updated
+  }
+
   /** Run a streaming aggregation to completion over the files that
     * exist now (`Trigger.AvailableNow` + memory sink, complete mode)
     * and return the result table — the streaming analogue of the
@@ -104,3 +135,6 @@ object EventsPipeline {
     spark.table(queryName)
   }
 }
+
+/** Per-user custom state for [[EventsPipeline.runningTotals]]. */
+final case class UserTotals(n: Long, sum: Double)

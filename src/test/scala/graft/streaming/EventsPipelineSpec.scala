@@ -61,6 +61,32 @@ final class EventsPipelineSpec extends SparkTestBase {
     assert(bad.isEmpty)
   }
 
+  test("flatMapGroupsWithState running totals accumulate per user") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = EventsPipeline.runningTotals(
+        spark, EventsPipeline.readStream(spark, sfDir, glob = "events.parquet"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("spec_totals")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("spec_totals")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("total_value")).as("total"))
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val g = got.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val b = batch.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(g.keySet == b.keySet)
+    g.foreach { case (u, (n, total)) =>
+      assert(n == b(u)._1, s"user $u count")
+      assert(math.abs(total - b(u)._2) < 1e-6, s"user $u total")
+    }
+  }
+
   test("sliding windows produce more buckets than tumbling") {
     val slide = EventsPipeline.runToCompletion(
       spark, sfDir, EventsPipeline.slidingCounts,
