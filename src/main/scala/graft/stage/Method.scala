@@ -32,12 +32,32 @@ abstract class Method {
     case None       => stages
   }
 
-  /** Run the (filtered) stages sequentially (Method.scala:68-73). */
-  def run(opts: Opts): Unit =
+  /** Reprocess confirmation gate (reference: Method.scala:78-96):
+    * a real `--reprocess --yes` run destroys bookkeeping, so prompt
+    * on an interactive console; non-interactive runs (no console)
+    * proceed — they are assumed scripted and intentional.
+    */
+  protected def confirmReprocess(opts: Opts): Boolean = {
+    if (!(opts.reprocess() && opts.yes())) return true
+    val console = System.console()
+    if (console == null) true
+    else {
+      val resp = console.readLine(
+        s"Reprocess ALL inputs for $getName? [y/N] ")
+      resp != null && resp.trim.equalsIgnoreCase("y")
+    }
+  }
+
+  /** Run the (filtered) stages sequentially (Method.scala:68-73),
+    * timing the whole run (Method.scala:105).
+    */
+  def run(opts: Opts): Unit = graft.core.Util.time(s"Method $getName") {
+    if (!confirmReprocess(opts)) return
     filterStages(opts).foreach { stage =>
       if (opts.dryRun()) { stage.showWork(opts); () }
       else stage.run(opts)
     }
+  }
 
   /** Build a context rooted at `root` and execute per the opts. */
   def runWith(spark: SparkSession, root: String, args: Seq[String]): Unit = {
