@@ -63,6 +63,18 @@ object CorpusOps {
         .orderBy(col("a"), col("b"))
     },
 
+    // Embedding analytics: per-label centroids, element-wise — the
+    // relational form (posexplode → groupBy (label, pos)) shuffles
+    // (label, pos) keyed partials, scaling with labels × dims, not
+    // with corpus size.
+    "v1_label_centroids" -> { (s, d) =>
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x").cast(DoubleType)), 6).as("mean_x"))
+        .orderBy(col("label"), col("pos"))
+    },
+
     // ---- similarity search ----
     "a1_ann_topk" -> { (s, d) =>
       val all = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -218,6 +230,12 @@ object CorpusOps {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE $cosineExpr >= 0.45
          |ORDER BY a, b""".stripMargin,
+
+    "v1_label_centroids" ->
+      """SELECT label, i - 1 AS pos,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_x
+        |FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
 
     "a1_ann_topk" ->
       s"""WITH v AS (

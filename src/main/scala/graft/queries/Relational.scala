@@ -293,6 +293,31 @@ object Relational {
           count(when(col("l_discount") > 0.05, lit(1))).as("n_discounted"),
           Num.exactSum2(col("l_quantity")).as("total_qty"))
         .orderBy(col("l_linestatus"))
+    },
+
+    // Correlated scalar subquery (Catalyst decorrelates to a join):
+    // parts priced above their type's average.
+    "q23_correlated_subquery" -> { (s, d) =>
+      t(s, d, "part").createOrReplaceTempView("part_v")
+      s.sql(
+        """SELECT p_type, count(*) AS n_above
+          |FROM part_v p
+          |WHERE p_retailprice > (SELECT avg(p2.p_retailprice)
+          |                       FROM part_v p2 WHERE p2.p_type = p.p_type)
+          |GROUP BY p_type ORDER BY p_type""".stripMargin)
+    },
+
+    // TPC-H Q13 shape: customer order-count histogram via outer join
+    // then count-of-counts.
+    "q24_histogram" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
     }
   )
 
@@ -434,6 +459,18 @@ object Relational {
         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS returned_qty,
         |  count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q23_correlated_subquery" ->
+      """SELECT p_type, count(*) AS n_above
+        |FROM part p
+        |WHERE p_retailprice > (SELECT avg(p2.p_retailprice)
+        |                       FROM part p2 WHERE p2.p_type = p.p_type)
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q24_histogram" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
   )
 }

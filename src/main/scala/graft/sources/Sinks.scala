@@ -33,4 +33,19 @@ object Sinks {
     df.write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Bucketed catalog table: co-locates rows by hash(bucketCol) at
+    * write time so repeated joins/aggregations on that key need NO
+    * shuffle at read time — the pre-partitioning strategy for 100 TB
+    * fact-fact joins that recur (see SCALE.md §Joins and
+    * `SinksSpec`, which asserts the bucketed join plans with zero
+    * Exchange nodes).
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }
