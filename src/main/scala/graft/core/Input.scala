@@ -33,7 +33,8 @@ object Input {
     * [[Source.inputsDS]], which pushes both globs down as `rlike`
     * predicates on a `Dataset` instead of a driver-side loop.
     */
-  final case class Source(prefix: String, basename: String) {
+  final case class Source(prefix: String, basename: String,
+                          rootOverride: Option[String] = None) {
     require(prefix.endsWith("/"), s"source prefix must end with '/': $prefix")
     require(!basename.endsWith("/"), s"source basename must not end with '/': $basename")
 
@@ -66,7 +67,9 @@ object Input {
       * keys relative to `root` (reference: Input.scala:38-45).
       */
     def inputs(root: String)(implicit spark: SparkSession): Seq[Input] = {
-      val rootPath = new Path(root)
+      // per-source root override (the reference's s3BucketOverride,
+      // Input.scala:29: a source may read from a different bucket)
+      val rootPath = new Path(rootOverride.getOrElse(root))
       val fs: FileSystem =
         rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val listRoot = new Path(rootPath, prefix.commonPrefix)

@@ -122,6 +122,40 @@ object CorpusOps {
       ).orderBy(col("doc_id"))
     },
 
+    // Corpus vocabulary: global term frequencies + document
+    // frequencies — exact integer aggregation, one shuffle on term.
+    "t5_vocabulary" -> { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      toks.groupBy(col("term"))
+        .agg(
+          count(lit(1)).as("tf_total"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("term"))
+    },
+
+    // TF-IDF top terms per document: term frequency × inverse
+    // document frequency, windowed top-3 per doc with deterministic
+    // tie-breaks. DF/TF are exact ints; idf/score rounded to 6.
+    "t6_tfidf_top_terms" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val nDocs = docs.count()
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(df), Seq("term"))
+        .withColumn("score",
+          round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
     // ---- multimodal ----
     "m1_media_features" -> { (s, d) =>
       val media = Multimodal.synthesize(t(s, d, "documents"), "doc_id", "text")
@@ -283,6 +317,33 @@ object CorpusOps {
          |   + (1.0 - least(npunct / greatest(ntok, 1), 1.0))) / 3.0 AS quality
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "t5_vocabulary" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS tf_total,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM toks GROUP BY term ORDER BY term""".stripMargin,
+
+    "t6_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks)
+        |       GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "m1_media_features" ->
       """SELECT doc_id AS media_id,

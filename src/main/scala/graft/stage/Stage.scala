@@ -46,6 +46,30 @@ abstract class Stage(implicit val context: Context) {
 
   def getName: String = getClass.getSimpleName.stripSuffix("$")
 
+  private val resourceCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Copy a classpath resource to `<outputRoot>/resources/<method>/
+    * <name>` once per stage instance and return its path, memoized —
+    * the reference uploads job scripts/jars to S3 the same way
+    * (Stage.scala:96-107).
+    */
+  def resourceUri(resource: String): String =
+    resourceCache.getOrElseUpdate(resource, {
+      val name = resource.substring(resource.lastIndexOf('/') + 1)
+      val dest = new org.apache.hadoop.fs.Path(
+        s"${context.outputRoot}/resources/${context.methodName}/$name")
+      val fs = dest.getFileSystem(context.spark.sparkContext.hadoopConfiguration)
+      val in = Option(getClass.getClassLoader.getResourceAsStream(resource))
+        .getOrElse(throw new IllegalArgumentException(s"no such resource: $resource"))
+      try {
+        val out = fs.create(dest, true)
+        try in.transferTo(out)
+        finally out.close()
+      } finally in.close()
+      dest.toString
+    })
+
   /** Map inputs to the outputs they build (reference:
     * Stage.scala:168-216). Faithful semantics:
     *   - `Named` inputs group by output name;

@@ -84,6 +84,13 @@ object EventsPipeline {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: each micro-batch joins against
+    * the (broadcastable) static dimension — no streaming state at
+    * all, the standard shape for dimension lookup at any scale.
+    */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left_outer")
+
   /** Arbitrary-state processing (`flatMapGroupsWithState`): per-user
     * running totals emitted on every update — the custom-state
     * surface that windowed aggregation can't express (e.g. decaying

@@ -21,6 +21,30 @@ final class IncrementalSpec extends SparkTestBase {
     Files.write(p, s"data for $key".getBytes)
   }
 
+  test("resourceUri copies a classpath resource once, memoized") {
+    val root = tmpDir("res-spec")
+    implicit val context: Context = TestMethod.context(spark, root)
+    val stage = new TestMethod.TestStage()
+    val uri1  = stage.resourceUri("test_upload.txt")
+    val uri2  = stage.resourceUri("test_upload.txt")
+    assert(uri1 == uri2)
+    assert(uri1.endsWith("resources/TestMethod/test_upload.txt"))
+    val content = new String(Files.readAllBytes(
+      Paths.get(new java.net.URI(uri1).getPath)))
+    assert(content.contains("hello graft resource"))
+    assertThrows[IllegalArgumentException](stage.resourceUri("nope.txt"))
+  }
+
+  test("source rootOverride lists from a different root") {
+    val rootA = tmpDir("root-a")
+    val rootB = tmpDir("root-b")
+    implicit val context: Context = TestMethod.context(spark, rootA)
+    writeFile(rootB, "a/foo/part-1")
+    val src = Input.Source("a/*/", "part-*", rootOverride = Some(rootB))
+    val listed = src.inputs(rootA)(spark)
+    assert(listed.map(_.key) == Seq("a/foo/part-1"))
+  }
+
   test("full incremental lifecycle") {
     val root = tmpDir("incr-spec")
     implicit val context: Context = TestMethod.context(spark, root)

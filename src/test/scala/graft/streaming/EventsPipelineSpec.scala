@@ -87,6 +87,27 @@ final class EventsPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("stream-static enrichment join carries dimension values") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dim = (0L until 50L).map(u => (u, if (u % 2 == 0) "even" else "odd"))
+      .toDF("user_id", "tier")
+    val q = EventsPipeline.enriched(
+        EventsPipeline.readStream(spark, sfDir, glob = "events.parquet"), dim)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("spec_enriched").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("spec_enriched").collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sfDir).join(dim, Seq("user_id"), "left_outer")
+      .groupBy(col("tier")).agg(count(lit(1)).as("n")).collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    assert(got == batch)
+    assert(got.keySet.contains("even") && got.keySet.contains("odd"))
+  }
+
   test("sliding windows produce more buckets than tumbling") {
     val slide = EventsPipeline.runToCompletion(
       spark, sfDir, EventsPipeline.slidingCounts,
