@@ -318,6 +318,52 @@ object Relational {
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // AS-OF join (composed union-and-carry-forward operator) checked
+    // against DuckDB's native ASOF JOIN: each event gets the user's
+    // most recent order at-or-before the event time.
+    "q25_asof_join" -> { (s, d) =>
+      import graft.operators.TemporalJoins
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ords = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ots"))
+        .agg(max(struct(col("o_orderkey").as("o_key"),
+          Num.dec2(col("o_totalprice")).as("p"))).as("m"))
+        .select(col("user_id"), col("ots"),
+          col("m.o_key").as("o_key"),
+          col("m.p").cast(DoubleType).as("o_price"))
+      TemporalJoins.asOf(ev, ords, "user_id", "ts", "ots", Seq("o_key", "o_price"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("o_key"), col("o_price"))
+        .orderBy(col("event_id"))
+    },
+
+    // Range join via bucket-and-residual (equi-join shuffle, not a
+    // nested loop): events within 7 days after each order.
+    "q26_range_join" -> { (s, d) =>
+      import graft.operators.TemporalJoins
+      val weekUs = 7L * 24 * 3600 * 1000000L
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("user_id"), col("o_orderdate"))
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"))
+      TemporalJoins.rangeJoin(o, ev, "user_id",
+          unix_micros(col("o_orderdate").cast("timestamp")),
+          unix_micros(col("ts")), weekUs)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Exact interpolated percentiles per group.
+    "q27_percentiles" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("q25_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q75_price"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -471,6 +517,30 @@ object Relational {
         |  SELECT c_custkey, count(o_orderkey) AS c_count
         |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey)
-        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q25_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS ots,
+        |    CAST(max(o_orderkey) AS BIGINT) AS o_key,
+        |    CAST(arg_max(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS DOUBLE) AS o_price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+        |  o.o_key, o.o_price
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.ts >= o.ots
+        |ORDER BY e.event_id""".stripMargin,
+    "q26_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_events
+        |FROM orders o JOIN events e
+        |  ON e.user_id = o.o_custkey
+        |  AND e.ts >= o.o_orderdate
+        |  AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q27_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q75_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
