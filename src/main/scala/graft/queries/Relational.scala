@@ -355,6 +355,18 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // Sketch aggregates (HLL++ approx distinct, approx percentile):
+    // engine-specific sketches → no cross-engine oracle; deterministic
+    // rows-only output plus an error-bound spec (RelationalSketchSpec).
+    "q28_sketches" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+    },
+
     // Exact interpolated percentiles per group.
     "q27_percentiles" -> { (s, d) =>
       t(s, d, "lineitem")
