@@ -93,5 +93,6 @@ final case class Glob(glob: String, pathSep: Char = '/') {
 }
 
 object Glob {
+  import scala.language.implicitConversions
   implicit def stringToGlob(s: String): Glob = Glob(s)
 }

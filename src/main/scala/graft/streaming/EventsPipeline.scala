@@ -84,6 +84,33 @@ object EventsPipeline {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Kafka source with the same downstream schema as the file
+    * source: JSON events on a topic → parsed/typed columns. Requires
+    * the `spark-sql-kafka` connector on the classpath (not present
+    * in this container, so this constructor is compile-checked and
+    * production-documented rather than locally driven; every
+    * transformation downstream of it is exercised via the file
+    * source, which is the point of keeping the schemas identical).
+    */
+  def readKafkaStream(spark: SparkSession, bootstrapServers: String,
+                      topic: String): DataFrame = {
+    val eventSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"), eventSchema).as("e"))
+      .select("e.*")
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against
     * the (broadcastable) static dimension — no streaming state at
     * all, the standard shape for dimension lookup at any scale.
