@@ -95,6 +95,50 @@ object Ann {
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer — a
+    * small broadcastable centroid table, e.g. k-means centroids or
+    * per-label means — partitions the corpus into cells; each query
+    * probes only its `nprobe` nearest cells. The corpus is scanned
+    * once to assign cells (a broadcast join, no shuffle of vectors),
+    * and scoring is a cell equi-join — the index structure behind
+    * FAISS-style IVF-Flat, expressed relationally.
+    *
+    * @param centroids (cell, vec) rows — must be broadcast-sized
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = centroids.select(
+      col("cell"), col("vec").as("centvec"), VectorOps.fnorm(col("vec")).as("centnorm"))
+
+    // nearest `n` cells for a (id, vec, norm) side
+    def assign(df: DataFrame, n: Int, idAs: String, vecAs: String,
+               normAs: String): DataFrame = {
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("csim").desc, col("cell").asc)
+      df.select(col("id").as(idAs), col("vec").as(vecAs),
+          VectorOps.fnorm(col("vec")).as(normAs))
+        .join(broadcast(cents))
+        .withColumn("csim",
+          VectorOps.cosinePre(col(vecAs), col("centvec"), col(normAs), col("centnorm")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("centvec", "centnorm", "csim", "crank")
+    }
+
+    val c = assign(corpus, 1, "nbr_id", "cvec", "cnorm")      // each vector lives in 1 cell
+    val q = assign(queries, nprobe, "query_id", "qvec", "qnorm") // queries probe several
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .dropDuplicates("query_id", "nbr_id")
+      .withColumn("sim",
+        VectorOps.cosinePre(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).
     * All-pairs form — the oracle baseline; the scale path buckets by
     * sketch first (see [[lshTopK]]'s blocking) so only likely pairs

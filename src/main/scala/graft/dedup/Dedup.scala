@@ -175,7 +175,10 @@ object SimHash {
     df.select(col(idCol).as("id"), graft.functions.SimHash64(tokens).as("simhash"))
 
   /** Pairs (a < b) within hamming distance `maxDist`. */
-  def pairs(fps: DataFrame, maxDist: Int = 3): DataFrame = {
+  def pairs(fps0: DataFrame, maxDist: Int = 3): DataFrame = {
+    // both sides of the self-join reuse the fingerprints; persist so
+    // the (expensive) fingerprint expression evaluates once per doc
+    val fps       = fps0.persist()
     val chunks    = maxDist + 1
     val chunkBits = 64 / chunks
     val exploded = fps.select(

@@ -149,6 +149,28 @@ object EventsPipeline {
     updated
   }
 
+  /** The same per-user running totals on the `transformWithState`
+    * API (Spark 4's arbitrary-state v2): explicit `ValueState` held
+    * by a [[StatefulProcessor]], with timers available for TTL — the
+    * modern replacement for `flatMapGroupsWithState`.
+    */
+  def runningTotalsV2(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // transformWithState needs multi-column-family state, which only
+    // the RocksDB provider supports (also the recommended provider
+    // for any large-state production job).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new TotalsProcessor(), TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Run a streaming aggregation to completion over the files that
     * exist now (`Trigger.AvailableNow` + memory sink, complete mode)
     * and return the result table — the streaming analogue of the
@@ -172,3 +194,34 @@ object EventsPipeline {
 
 /** Per-user custom state for [[EventsPipeline.runningTotals]]. */
 final case class UserTotals(n: Long, sum: Double)
+
+/** StatefulProcessor for [[EventsPipeline.runningTotalsV2]]: one
+  * `ValueState[UserTotals]` per user, updated per input batch and
+  * emitted per update.
+  */
+final class TotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ValueState}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var totals: ValueState[UserTotals] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[UserTotals] = Encoders.product[UserTotals]
+    totals = getHandle.getValueState[UserTotals]("totals", enc,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val prev = Option(totals.get()).getOrElse(UserTotals(0L, 0.0))
+    var n    = prev.n
+    var sum  = prev.sum
+    rows.foreach { case (_, v) => n += 1; sum += v }
+    totals.update(UserTotals(n, sum))
+    Iterator((key, n, sum))
+  }
+}

@@ -48,6 +48,28 @@ final class AnnSpec extends SparkTestBase {
     assert(recall >= 0.9, s"LSH recall@3 too low: $recall")
   }
 
+  test("IVF top-k: high recall when the quantizer matches the clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val centroidVecs = (0 until 20).map(c => c -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = centroidVecs.flatMap { case (c, cent) =>
+      (0 until 20).map { m =>
+        (c * 20L + m, cent.map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+      }
+    }
+    val df = rows.toDF("id", "vec")
+    val centroids = centroidVecs.map { case (c, v) => (c, v) }.toDF("cell", "vec")
+    val queries = df.filter(col("id") % 20 === 0)
+
+    val exact = Ann.bruteForceTopK(df, queries, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val ivf = Ann.ivfTopK(df, queries, centroids, k = 3, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall@3 too low: $recall")
+  }
+
   test("cosine near-dup pairs are symmetric-free and thresholded") {
     val pairs = Ann.cosineNearDupPairs(vecs, minCos = 0.4).collect()
     assert(pairs.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))

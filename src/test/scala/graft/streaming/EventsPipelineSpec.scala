@@ -87,6 +87,28 @@ final class EventsPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState running totals match flatMapGroupsWithState") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = EventsPipeline.runningTotalsV2(
+        spark, EventsPipeline.readStream(spark, sfDir, glob = "events.parquet"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("spec_totals_v2").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("spec_totals_v2")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("total_value")).as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (u, (n, total)) =>
+      assert(n == batch(u)._1)
+      assert(math.abs(total - batch(u)._2) < 1e-6)
+    }
+  }
+
   test("stream-static enrichment join carries dimension values") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
