@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.WeightedMean
 
@@ -367,6 +367,87 @@ object Relational {
           countDistinct(col("l_orderkey")).as("exact_orders"))
     },
 
+    // Pivot: per returnflag, quantity sums pivoted by linestatus.
+    "q29_pivot" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(Num.exactSum2(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Unpivot (melt wide → long).
+    "q30_unpivot" -> { (s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          Num.dec2(col("c_acctbal")).cast(DoubleType).as("acctbal"),
+          col("c_nationkey").cast(DoubleType).as("nation"))
+        .unpivot(Array(col("c_custkey")), Array(col("acctbal"), col("nation")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("val").cast("decimal(18,2)")).cast(DoubleType).as("total"))
+        .orderBy(col("measure"))
+    },
+
+    // Null semantics: nullif/coalesce, count(col) vs count(*),
+    // group-by over a nullable key.
+    "q31_null_semantics" -> { (s, d) =>
+      t(s, d, "orders")
+        .withColumn("maybe_status", nullif(col("o_orderstatus"), lit("O")))
+        .groupBy(col("maybe_status"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("maybe_status")).as("n_nonnull"),
+          coalesce(max(col("maybe_status")), lit("none")).as("status_or_default"))
+        .orderBy(col("maybe_status").asc_nulls_first)
+    },
+
+    // String function breadth over a derived column.
+    "q32_string_fns" -> { (s, d) =>
+      t(s, d, "nation")
+        .select(
+          col("n_nationkey").as("k"),
+          upper(col("n_name")).as("uname"),
+          lower(col("n_name")).as("lname"),
+          substring(col("n_name"), 1, 3).as("pre3"),
+          lpad(col("n_name"), 12, ".").as("padded"),
+          regexp_replace(col("n_name"), "[AEIOU]", "_").as("devoweled"),
+          length(col("n_name")).cast(LongType).as("len"),
+          levenshtein(col("n_name"), lit("UNITED STATES")).cast(LongType).as("lev_us"))
+        .orderBy(col("k"))
+    },
+
+    // SQL higher-order array functions (transform/filter/aggregate).
+    "q33_array_hof" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .select(
+          col("doc_id"),
+          size(filter(col("toks"), t => length(t) > 4)).cast(LongType).as("n_long"),
+          size(array_distinct(transform(col("toks"), t => substring(t, 1, 1))))
+            .cast(LongType).as("n_initials"),
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("total_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Timestamp arithmetic: datediff / date_add / extract.
+    "q34_date_arith" -> { (s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+            .cast(LongType).as("days_to_eoy"),
+          date_add(col("o_orderdate").cast("date"), 90).as("due_date"),
+          year(col("o_orderdate")).cast(LongType).as("y"),
+          quarter(col("o_orderdate")).cast(LongType).as("q"),
+          dayofweek(col("o_orderdate")).cast(LongType).as("dow"))
+        .orderBy(col("o_orderkey"))
+        .limit(1000)
+    },
+
     // Exact interpolated percentiles per group.
     "q27_percentiles" -> { (s, d) =>
       t(s, d, "lineitem")
@@ -548,6 +629,52 @@ object Relational {
         |  AND e.ts >= o.o_orderdate
         |  AND e.ts < o.o_orderdate + INTERVAL 7 DAY
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q29_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q30_unpivot" ->
+      """SELECT measure, count(*) AS n,
+        |  CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT c_custkey, 'acctbal' AS measure,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS val FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nation' AS measure,
+        |    CAST(c_nationkey AS DOUBLE) AS val FROM customer)
+        |GROUP BY measure ORDER BY measure""".stripMargin,
+    "q31_null_semantics" ->
+      """SELECT nullif(o_orderstatus, 'O') AS maybe_status,
+        |  count(*) AS n_rows,
+        |  count(nullif(o_orderstatus, 'O')) AS n_nonnull,
+        |  coalesce(max(nullif(o_orderstatus, 'O')), 'none') AS status_or_default
+        |FROM orders GROUP BY 1 ORDER BY maybe_status ASC NULLS FIRST""".stripMargin,
+    "q32_string_fns" ->
+      """SELECT n_nationkey AS k,
+        |  upper(n_name) AS uname,
+        |  lower(n_name) AS lname,
+        |  substring(n_name, 1, 3) AS pre3,
+        |  lpad(n_name, 12, '.') AS padded,
+        |  regexp_replace(n_name, '[AEIOU]', '_', 'g') AS devoweled,
+        |  CAST(length(n_name) AS BIGINT) AS len,
+        |  CAST(levenshtein(n_name, 'UNITED STATES') AS BIGINT) AS lev_us
+        |FROM nation ORDER BY k""".stripMargin,
+    "q33_array_hof" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> strlen(t) > 4)) AS BIGINT) AS n_long,
+        |  CAST(len(list_distinct(list_transform(toks, t -> substr(t, 1, 1)))) AS BIGINT) AS n_initials,
+        |  CAST(list_sum(list_transform(toks, t -> strlen(t))) AS BIGINT) AS total_len
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q34_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_eoy,
+        |  CAST(o_orderdate AS DATE) + 90 AS due_date,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
     "q27_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty,
