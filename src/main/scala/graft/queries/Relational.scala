@@ -448,6 +448,20 @@ object Relational {
         .limit(1000)
     },
 
+    // Map-side bounded top-k per key (TopKAgg aggregator) — same
+    // result as the window formulation but only k rows per key per
+    // partition reach the shuffle.
+    "q35_topk_per_group" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKAgg(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("rank0", "st")))
+        .select(col("o_custkey"), col("st.tag").as("o_orderkey"),
+          (col("rank0") + 1).cast("int").as("rank"),
+          Num.dec2(col("st.score")).cast(DoubleType).as("price"))
+        .orderBy(col("o_custkey"), col("rank"))
+    },
+
     // Exact interpolated percentiles per group.
     "q27_percentiles" -> { (s, d) =>
       t(s, d, "lineitem")
@@ -675,6 +689,15 @@ object Relational {
         |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
         |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
         |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+    "q35_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, CAST(rank AS INT) AS rank,
+        |  CAST(CAST(price AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice AS price,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
     "q27_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty,

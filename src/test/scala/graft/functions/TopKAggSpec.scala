@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+final class TopKAggSpec extends SparkTestBase {
+
+  test("map-side top-k equals the window row_number formulation") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+    // aggregator: top-3 orders per customer by totalprice
+    val viaAgg = orders
+      .groupBy(col("o_custkey"))
+      .agg(TopKAgg(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("rank0", "st")))
+      .select(col("o_custkey"), col("st.tag").as("o_orderkey"),
+        (col("rank0") + 1).as("rank"))
+
+    // window baseline
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = orders
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+
+    assert(viaAgg.count() == viaWindow.count())
+    assert(viaAgg.exceptAll(viaWindow).isEmpty)
+    assert(viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
+  test("partial aggregation bound holds under repartitioning") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .repartition(13)
+    val res = orders.groupBy(col("o_custkey"))
+      .agg(TopKAgg(col("o_totalprice"), col("o_orderkey"), 2).as("top"))
+    assert(res.filter(size(col("top")) > 2).isEmpty)
+    assert(res.filter(size(col("top")) < 1).isEmpty)
+  }
+}
