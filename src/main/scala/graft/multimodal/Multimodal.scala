@@ -61,6 +61,64 @@ object Multimodal {
   }
 }
 
+object MultimodalFrames {
+  import Multimodal.MediaRow
+
+  /** One sampled frame/clip from a media payload. */
+  final case class FrameRow(
+      media_id: Long,
+      frame_idx: Int,
+      offset_bytes: Long,
+      frame: Array[Byte] // stub: raw byte window; real: decoded frame
+  )
+
+  /** Frame sampling: every `stride`-th fixed-size window of the
+    * payload becomes a frame row. The explode shape (one media row →
+    * many frame rows, flatMap inside mapPartitions) is exactly how a
+    * real video decoder fans out; only the byte-window "decode" is
+    * stubbed. Downstream ops (per-frame featurization, dedup,
+    * similarity) consume `FrameRow` unchanged.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameSize: Int = 64, stride: Int = 4): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { m =>
+        val n = math.max(m.payload.length / frameSize, 0)
+        (0 until n by stride).iterator.map { i =>
+          FrameRow(
+            media_id = m.media_id,
+            frame_idx = i,
+            offset_bytes = i.toLong * frameSize,
+            frame = java.util.Arrays.copyOfRange(
+              m.payload, i * frameSize,
+              math.min((i + 1) * frameSize, m.payload.length)))
+        }
+      }
+    }
+  }
+
+  /** Resize plumbing: maps each frame through a (stubbed) resampler
+    * to a fixed target size — the real version swaps the byte-fold
+    * for an image scaler; schema and batching are identical.
+    */
+  def resizeFrames(spark: SparkSession, frames: Dataset[FrameRow],
+                   targetBytes: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      it.map { f =>
+        val out = new Array[Byte](targetBytes)
+        var i = 0
+        while (i < f.frame.length) { // stub "resample": fold bytes
+          out(i % targetBytes) = (out(i % targetBytes) + f.frame(i)).toByte
+          i += 1
+        }
+        f.copy(frame = out)
+      }
+    }
+  }
+}
+
 /** STUB decoder — deterministic fake features derived from payload
   * bytes. Replace `decodeStub` with a real codec (e.g. javacv /
   * TwelveMonkeys) bound per partition; signatures stay identical.

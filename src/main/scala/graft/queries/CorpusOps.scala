@@ -156,6 +156,25 @@ object CorpusOps {
         .orderBy(col("doc_id"), col("rank"))
     },
 
+    // End-to-end corpus cleaning pipeline: language filter → quality
+    // gate → exact-dedup accounting → per-source stats. The
+    // composition a training-data prep DAG actually runs, as one
+    // declarative plan (filters push to the scan; one shuffle per
+    // aggregation).
+    "c1_clean_pipeline" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .filter(col("lang") === "en" && col("quality") > 0.55)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(trim(lower(col("text"))).cast("binary"))).as("n_unique"),
+          sum(col("n_chars")).as("sum_chars"),
+          round(min(col("quality")), 6).as("min_q"),
+          round(max(col("quality")), 6).as("max_q"))
+        .orderBy(col("source"))
+    },
+
     // ---- multimodal ----
     "m1_media_features" -> { (s, d) =>
       val media = Multimodal.synthesize(t(s, d, "documents"), "doc_id", "text")
@@ -344,6 +363,32 @@ object CorpusOps {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "c1_clean_pipeline" -> {
+      val allStop = TextOps.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, lang, source, n_chars,
+         |    list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS ltoks,
+         |    len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS ndist,
+         |    len(string_split_regex(trim(text), '\\s+')) AS ntok
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, text, lang, source, n_chars,
+         |    (least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+         |     + least(CAST(len(list_intersect(ltoks, $allStop)) AS DOUBLE)
+         |         / greatest(ndist, 1) * 4.0, 1.0)
+         |     + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |         / greatest(ntok, 1), 1.0))) / 3.0 AS quality
+         |  FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(DISTINCT md5(trim(lower(text)))) AS BIGINT) AS n_unique,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  round(min(quality), 6) AS min_q,
+         |  round(max(quality), 6) AS max_q
+         |FROM q WHERE lang = 'en' AND quality > 0.55
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "m1_media_features" ->
       """SELECT doc_id AS media_id,

@@ -29,6 +29,23 @@ final class MultimodalSpec extends SparkTestBase {
     assert(byId(0L).checksum == "tiny".getBytes.map(_ & 0xff).sum.toLong)
   }
 
+  test("frame sampling fans out deterministically and resize fixes size") {
+    val docs = Seq((1L, "x" * 1000), (2L, "tiny")).toDF("doc_id", "text")
+    val media  = Multimodal.synthesize(docs, "doc_id", "text")
+    val frames = MultimodalFrames.sampleFrames(spark, media, frameSize = 64, stride = 4)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    // 1000/64 = 15 windows, stride 4 -> idx 0,4,8,12
+    assert(frames.count(_.media_id == 1L) == 4)
+    assert(frames.filter(_.media_id == 1L).map(_.frame_idx).toSeq == Seq(0, 4, 8, 12))
+    assert(frames.forall(_.frame.length <= 64))
+    assert(frames.count(_.media_id == 2L) == 0) // payload shorter than a frame
+
+    val resized = MultimodalFrames.resizeFrames(
+      spark, MultimodalFrames.sampleFrames(spark, media, 64, 4), targetBytes = 16)
+      .collect()
+    assert(resized.nonEmpty && resized.forall(_.frame.length == 16))
+  }
+
   test("decode is stable under repartitioning (per-partition batching)") {
     val docs = (0L until 200L).map(i => (i, s"payload number $i with body " + ("y" * (i % 50).toInt)))
       .toDF("doc_id", "text")
