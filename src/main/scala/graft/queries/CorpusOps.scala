@@ -47,6 +47,15 @@ object CorpusOps {
         .orderBy(col("a"), col("b"))
     },
 
+    // Duplicate clusters: connected components over the exact
+    // near-dup pairs (transitive closure of "is a near-dup of"),
+    // checked against a DuckDB recursive-CTE closure.
+    "d6_dedup_clusters" -> { (s, d) =>
+      val pairs = NgramJaccard.pairs(t(s, d, "documents"), "doc_id", "text", 3, 0.8)
+      graft.dedup.Clusters.connectedComponents(pairs)
+        .orderBy(col("id"))
+    },
+
     // SimHash fingerprints + hamming-blocked pairs: deterministic but
     // hash-defined → rows-only check + planted-dup spec.
     "d4_simhash" -> { (s, d) =>
@@ -272,6 +281,29 @@ object CorpusOps {
          |WHERE len(list_intersect(a.sh, b.sh)) * 1000000 >=
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 800000
          |ORDER BY a, b""".stripMargin,
+
+    "d6_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(len(toks)-2,0)+1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM toks),
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1000000 >=
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 800000),
+         |edges AS (
+         |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+         |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS id, min(dst) AS cluster_rep
+         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
 
     "d5_embed_neardup" ->
       s"""WITH v AS (
