@@ -139,10 +139,37 @@ object Ann {
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
 
+  /** Scale path for embedding near-dup pairs: hyperplane-sketch
+    * blocking (L tables), so candidate pairs come from bucket
+    * self-joins instead of the all-pairs product; each candidate is
+    * then exactly scored and thresholded. Recall depends on how far
+    * τ's angle is from orthogonal — high for true near-dups
+    * (cos ≥ 0.9), as the spec shows on clustered data.
+    */
+  def cosineNearDupPairsLSH(df: DataFrame, minCos: Double, dim: Int,
+                            planes: Int = 10, tables: Int = 8,
+                            seed: Long = 42L): DataFrame = {
+    val indexed = df.select(
+      col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"),
+      posexplode(array((0 until tables).map(t =>
+        VectorOps.hyperplaneSketch(col("vec"), dim, planes, seed + t)): _*))
+        .as(Seq("table", "bucket")))
+      .persist()
+    val l = indexed.select(col("table"), col("bucket"),
+      col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+    val r = indexed.select(col("table"), col("bucket"),
+      col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))
+    l.join(r, Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("sim", VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= minCos)
+      .select("a", "b", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).
-    * All-pairs form — the oracle baseline; the scale path buckets by
-    * sketch first (see [[lshTopK]]'s blocking) so only likely pairs
-    * are scored.
+    * All-pairs form — the oracle baseline; [[cosineNearDupPairsLSH]]
+    * is the blocked scale path.
     */
   def cosineNearDupPairs(df: DataFrame, minCos: Double): DataFrame = {
     val v = df.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))

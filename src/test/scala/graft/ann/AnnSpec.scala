@@ -70,6 +70,26 @@ final class AnnSpec extends SparkTestBase {
     assert(recall >= 0.9, s"IVF recall@3 too low: $recall")
   }
 
+  test("LSH-blocked near-dup pairs recover the true pairs on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 32
+    // 100 base vectors + a planted near-dup for every 5th
+    val base = (0 until 100).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val dups = base.filter(_._1 % 5 == 0).map { case (i, v) =>
+      (1000L + i) -> v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+    }
+    val df = (base ++ dups).toDF("id", "vec")
+    val exact = Ann.cosineNearDupPairs(df, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.cosineNearDupPairsLSH(df, minCos = 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // exact verification: no false positives
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH near-dup recall too low: $recall")
+  }
+
   test("cosine near-dup pairs are symmetric-free and thresholded") {
     val pairs = Ann.cosineNearDupPairs(vecs, minCos = 0.4).collect()
     assert(pairs.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
