@@ -184,6 +184,23 @@ object CorpusOps {
         .orderBy(col("source"))
     },
 
+    // Sliding-window document chunking (training-data / RAG prep):
+    // 50-token chunks with 10-token overlap, one row per chunk.
+    "t7_chunking" -> { (s, d) =>
+      val doc = t(s, d, "documents")
+      doc
+        .select(col("doc_id"),
+          posexplode(TextOps.chunkStarts(col("text"), 50, 10)).as(Seq("chunk_idx", "start")),
+          col("text"))
+        .select(
+          col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start_tok"),
+          TextOps.chunkText(col("text"), col("start"), 50).as("chunk"))
+        .withColumn("n_tokens", TextOps.nTokens(col("chunk")).cast("long"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // ---- multimodal ----
     "m1_media_features" -> { (s, d) =>
       val media = Multimodal.synthesize(t(s, d, "documents"), "doc_id", "text")
@@ -421,6 +438,19 @@ object CorpusOps {
          |FROM q WHERE lang = 'en' AND quality > 0.55
          |GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "t7_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, unnest(range(0, CAST(ceil(len(toks)/40.0) AS BIGINT))) AS n
+        |  FROM toks)
+        |SELECT c.doc_id, CAST(c.n AS BIGINT) AS chunk_idx,
+        |  CAST(c.n * 40 AS BIGINT) AS start_tok,
+        |  array_to_string(list_slice(t.toks, c.n * 40 + 1, c.n * 40 + 50), ' ') AS chunk,
+        |  CAST(len(list_slice(t.toks, c.n * 40 + 1, c.n * 40 + 50)) AS BIGINT) AS n_tokens
+        |FROM chunks c JOIN toks t USING (doc_id)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "m1_media_features" ->
       """SELECT doc_id AS media_id,

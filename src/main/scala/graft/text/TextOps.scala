@@ -106,4 +106,20 @@ object TextOps {
     */
   def tokenHashes(c: Column): Column =
     transform(tokens(c), t => xxhash64(t))
+
+  /** Token-window chunk starts for sliding-window chunking with
+    * overlap: 0, step, 2·step, … while < token count
+    * (step = chunkTokens − overlap).
+    */
+  def chunkStarts(c: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkTokens)
+    val step = chunkTokens - overlap
+    sequence(lit(0), greatest(nTokens(c) - 1, lit(0)), lit(step))
+  }
+
+  /** Chunk text: the tokens in [start, start + chunkTokens) re-joined
+    * with single spaces (whitespace-normalizing by construction).
+    */
+  def chunkText(c: Column, start: Column, chunkTokens: Int): Column =
+    concat_ws(" ", slice(tokens(c), start + 1, lit(chunkTokens)))
 }
