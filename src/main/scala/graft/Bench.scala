@@ -1,20 +1,32 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every `SparkEntry.queries` entry against
-  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
+  * `SPARK_GRAFT_SF_DIR` and emits ONE JSON line
   * `{"metric":…,"value":total,"unit":"sec","queries":{…},"sf":…}`.
+  *
+  * The line goes to stdout AND to a file (`SPARK_GRAFT_BENCH_OUT`,
+  * default `BENCH.out` in the working directory) so the driver can
+  * parse it without scraping sbt's log prefixes.
   *
   * Each query runs twice — once to warm the JVM/code cache and once
   * measured — in sorted name order so timings are stable run-to-run.
   * The action is `count()` (forces the full plan, no driver
   * collection cost).
+  *
+  * A query that throws is NOT silently dropped: its error is recorded
+  * in the JSON (`"errors"`) and the process exits non-zero, so a
+  * broken query fails the bench gate instead of shrinking the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")
     val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,10 +36,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -35,12 +52,32 @@ object Bench {
       name -> timeOnce(fn)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def esc(s: String): String =
+      s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => " "
+        case c             => c.toString
+      }
+
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(_))  => "\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, Left(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.collect { case (_, Right(v)) => v }.sum
     // numeric scale factor parsed from the directory name (sf0.1 -> 0.1)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":$sf}"""
+    println(line)
+    Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
+    val nFailed = results.count(_._2.isLeft)
+    if (nFailed > 0) {
+      System.err.println(s"bench: $nFailed quer${if (nFailed == 1) "y" else "ies"} FAILED")
+      sys.exit(1)
+    }
   }
 }

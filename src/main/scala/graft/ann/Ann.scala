@@ -154,7 +154,9 @@ object Ann {
       posexplode(array((0 until tables).map(t =>
         VectorOps.hyperplaneSketch(col("vec"), dim, planes, seed + t)): _*))
         .as(Seq("table", "bucket")))
-      .persist()
+    // symmetric self-join on (table, bucket): both sides shuffle the
+    // same subplan identically, so Spark reuses one Exchange and the
+    // sketches evaluate once per vector — no cache needed (or leaked)
     val l = indexed.select(col("table"), col("bucket"),
       col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
     val r = indexed.select(col("table"), col("bucket"),

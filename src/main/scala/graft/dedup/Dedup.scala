@@ -129,19 +129,29 @@ object MinHashLSH {
   }
 
   /** Full pipeline: signatures → banded candidates → exact verify.
-    * The shingle table is computed once and persisted for its two
-    * verify-join sides (otherwise Catalyst re-derives the whole
-    * shingling subtree per side).
+    *
+    * The verify step touches the (corpus-sized) shingle table exactly
+    * ONCE: candidate pairs melt to two (pair, id) rows, join shingles
+    * on id, and the pair re-assembles in a group-by. The naive
+    * two-join form (`cands ⋈ sh ON a ⋈ sh ON b`) would re-derive the
+    * whole shingling subtree per side — or force a cached copy of the
+    * corpus to avoid it.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 16, bands: Int = 4, n: Int = 1,
                      minJaccard: Double = 0.8): DataFrame = {
     val cands = candidates(signatures(df, idCol, textCol, numHashes, bands, n))
     val sh = df.select(col(idCol).as("id"), NgramJaccard.shingles(col(textCol), n).as("sh"))
-      .persist()
-    cands
-      .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+    val melted = cands.select(col("a"), col("b"),
+        explode(array(
+          struct(col("a").as("id"), lit(0).as("side")),
+          struct(col("b").as("id"), lit(1).as("side")))).as("m"))
+      .select(col("a"), col("b"), col("m.id").as("id"), col("m.side").as("side"))
+    melted.join(sh, Seq("id"))
+      .groupBy(col("a"), col("b"))
+      .agg(
+        first(when(col("side") === 0, col("sh")), ignoreNulls = true).as("sha"),
+        first(when(col("side") === 1, col("sh")), ignoreNulls = true).as("shb"))
       .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("u", size(col("sha")) + size(col("shb")) - col("i"))
       .filter(col("i") * lit(1000000L) >= col("u") * lit(math.round(minJaccard * 1e6)))
@@ -174,11 +184,14 @@ object SimHash {
   def fingerprintsOfTokens(df: DataFrame, idCol: String, tokens: Column): DataFrame =
     df.select(col(idCol).as("id"), graft.functions.SimHash64(tokens).as("simhash"))
 
-  /** Pairs (a < b) within hamming distance `maxDist`. */
-  def pairs(fps0: DataFrame, maxDist: Int = 3): DataFrame = {
-    // both sides of the self-join reuse the fingerprints; persist so
-    // the (expensive) fingerprint expression evaluates once per doc
-    val fps       = fps0.persist()
+  /** Pairs (a < b) within hamming distance `maxDist`.
+    *
+    * The self-join's two sides shuffle the same exploded chunk table
+    * on the same (chunk, key) — Spark plans one Exchange and a
+    * ReusedExchange for the other side, so fingerprints evaluate once
+    * per doc without any caching (nothing to leak across queries).
+    */
+  def pairs(fps: DataFrame, maxDist: Int = 3): DataFrame = {
     val chunks    = maxDist + 1
     val chunkBits = 64 / chunks
     val exploded = fps.select(

@@ -150,15 +150,18 @@ object CorpusOps {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
       val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      val nDocs = docs.count()
+      // corpus size as a broadcast 1-row scalar, NOT a driver-side
+      // count(): keeps the whole query one job with no mid-plan sync
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = toks.select(col("doc_id"), col("term")).distinct()
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term").asc)
       tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(nDocs))
         .withColumn("score",
-          round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6))
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))

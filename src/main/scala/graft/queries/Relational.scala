@@ -340,19 +340,23 @@ object Relational {
     },
 
     // Range join via bucket-and-residual (equi-join shuffle, not a
-    // nested loop): events within 7 days after each order.
+    // nested loop): follow-up events by the same user within the hour
+    // after each anchor event. A self range join — both sides corpus-
+    // sized, which is exactly the case the bucketing exists for.
     "q26_range_join" -> { (s, d) =>
       import graft.operators.TemporalJoins
-      val weekUs = 7L * 24 * 3600 * 1000000L
-      val o = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey").as("user_id"), col("o_orderdate"))
-      val ev = t(s, d, "events").select(col("user_id"), col("ts"))
-      TemporalJoins.rangeJoin(o, ev, "user_id",
-          unix_micros(col("o_orderdate").cast("timestamp")),
-          unix_micros(col("ts")), weekUs)
-        .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_events"))
-        .orderBy(col("o_orderkey"))
+      val hourUs = 3600L * 1000000L
+      val ev = t(s, d, "events")
+      val anchors = ev.select(
+        col("user_id"), col("event_id").as("anchor_id"), col("ts").as("ats"))
+      val follows = ev.select(
+        col("user_id"), col("event_id").as("follow_id"), col("ts").as("fts"))
+      TemporalJoins.rangeJoin(anchors, follows, "user_id",
+          unix_micros(col("ats")), unix_micros(col("fts")), hourUs)
+        .filter(col("follow_id") =!= col("anchor_id"))
+        .groupBy(col("anchor_id"))
+        .agg(count(lit(1)).as("n_follow"))
+        .orderBy(col("anchor_id"))
     },
 
     // Sketch aggregates (HLL++ approx distinct, approx percentile):
@@ -637,12 +641,13 @@ object Relational {
         |  ON e.user_id = o.user_id AND e.ts >= o.ots
         |ORDER BY e.event_id""".stripMargin,
     "q26_range_join" ->
-      """SELECT o_orderkey, count(*) AS n_events
-        |FROM orders o JOIN events e
-        |  ON e.user_id = o.o_custkey
-        |  AND e.ts >= o.o_orderdate
-        |  AND e.ts < o.o_orderdate + INTERVAL 7 DAY
-        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+      """SELECT a.event_id AS anchor_id, count(*) AS n_follow
+        |FROM events a JOIN events b
+        |  ON b.user_id = a.user_id
+        |  AND b.event_id <> a.event_id
+        |  AND b.ts >= a.ts
+        |  AND b.ts < a.ts + INTERVAL 1 HOUR
+        |GROUP BY anchor_id ORDER BY anchor_id""".stripMargin,
     "q29_pivot" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,

@@ -109,12 +109,15 @@ object TextOps {
 
   /** Token-window chunk starts for sliding-window chunking with
     * overlap: 0, step, 2·step, … while < token count
-    * (step = chunkTokens − overlap).
+    * (step = chunkTokens − overlap). A zero-token document yields an
+    * empty array — no chunks — not a single empty chunk.
     */
   def chunkStarts(c: Column, chunkTokens: Int, overlap: Int): Column = {
     require(overlap >= 0 && overlap < chunkTokens)
     val step = chunkTokens - overlap
-    sequence(lit(0), greatest(nTokens(c) - 1, lit(0)), lit(step))
+    val n    = nTokens(c)
+    when(n === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), n - 1, lit(step)))
   }
 
   /** Chunk text: the tokens in [start, start + chunkTokens) re-joined
