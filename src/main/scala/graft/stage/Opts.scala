@@ -27,6 +27,8 @@ final class Opts(args: Seq[String]) {
   private val valueMap = scala.collection.mutable.Map[String, String]()
 
   private val takesValue = Set("--stage", "--only", "--exclude", "--clusters")
+  private val boolFlags = Set(
+    "--yes", "--test", "--reprocess", "--insert-runs", "--no-insert-runs", "--show-inputs")
 
   locally {
     var i = 0
@@ -36,10 +38,13 @@ final class Opts(args: Seq[String]) {
         if (i + 1 >= args.length) throw new ValidationFailure(s"$a requires a value")
         valueMap(a) = args(i + 1)
         i += 2
-      } else if (a.startsWith("--")) {
+      } else if (boolFlags(a)) {
         flagSet += a
         i += 1
       } else {
+        // unknown flags are rejected, not collected: a mistyped
+        // --reproces must not silently change run semantics (the
+        // reference's scallop parser rejects unknown options too)
         throw new ValidationFailure(s"unexpected argument: $a")
       }
     }
@@ -67,4 +72,11 @@ final class Opts(args: Seq[String]) {
 
   /** Output-name globs from `--exclude`. */
   def excludeGlobs: Option[Seq[Glob]] = globs("--exclude")
+
+  /** Whether the `--only`/`--exclude` globs keep this output name:
+    * `--only` (when given) must match it, `--exclude` must not.
+    */
+  def selects(output: String): Boolean =
+    onlyGlobs.forall(_.exists(_.matches(output))) &&
+      !excludeGlobs.exists(_.exists(_.matches(output)))
 }

@@ -81,33 +81,34 @@ abstract class Stage(implicit val context: Context) {
     *   - `--only` / `--exclude` globs filter output names last.
     */
   def buildOutputMap(inputs: Seq[Input], opts: Opts): Map[String, Set[Input]] = {
-    val inputToOutputs = inputs.map(input => input -> rules.apply(input))
-
-    val outputs = inputToOutputs.flatMap {
-      case (input, Outputs.Named(out @ _*)) => out.toList.map(_ -> input)
-      case _                                => Seq.empty
+    // single pass classifying every input by the rule it matched:
+    // per-output groups, the shared everywhere-set, and the drops
+    var byOutput = Map.empty[String, Set[Input]]
+    var shared   = Set.empty[Input]
+    var dropped  = Set.empty[Input]
+    inputs.foreach { in =>
+      rules.apply(in) match {
+        case Outputs.Named(names @ _*) =>
+          names.foreach(n => byOutput = byOutput.updated(n, byOutput.getOrElse(n, Set.empty) + in))
+        case Outputs.All  => shared = shared + in
+        case Outputs.Null => dropped = dropped + in
+      }
     }
 
-    val ignoredInputs = inputToOutputs.collect { case (input, Outputs.Null) => input }
+    val plan = byOutput.map { case (name, ins) => name -> (ins ++ shared) }
 
-    val outputMap = outputs.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
-
-    val inputsInAllOutputs = inputToOutputs.collect { case (input, Outputs.All) => input }.toSet
-
-    val finalMap = outputMap.mapValues(_ ++ inputsInAllOutputs).toMap
-
-    val allOutputInputs = finalMap.values.flatten.toSet
-    val missedInputs    = inputs.filterNot(allOutputInputs.contains)
-
-    if (!missedInputs.forall(ignoredInputs.contains)) {
-      missedInputs.filterNot(ignoredInputs.contains).foreach { input =>
-        System.err.println(s"[${getName}] input not represented in any output: ${input.key}")
+    // coverage validation: every input must land in some output or be
+    // dropped on purpose — note an `All` input with zero named
+    // outputs lands nowhere and is uncovered, same as the reference
+    val landed    = plan.values.foldLeft(dropped)(_ ++ _)
+    val uncovered = inputs.filterNot(landed.contains)
+    if (uncovered.nonEmpty) {
+      uncovered.foreach { in =>
+        System.err.println(s"[${getName}] input not represented in any output: ${in.key}")
       }
-      Map.empty // no work will be done — same behavior as the reference
+      Map.empty // planning fails closed: no work at all
     } else {
-      finalMap
-        .filter { case (output, _) => opts.onlyGlobs.forall(_.exists(_.matches(output))) }
-        .filterNot { case (output, _) => opts.excludeGlobs.exists(_.exists(_.matches(output))) }
+      plan.filter { case (name, _) => opts.selects(name) }
     }
   }
 

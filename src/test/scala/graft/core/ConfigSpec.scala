@@ -23,10 +23,16 @@ final class ConfigSpec extends AnyFunSuite {
     assert(c.shufflePartitions.isEmpty)
   }
 
-  test("util.time logs elapsed and returns the body value") {
+  test("stopwatch.logged reports elapsed and returns the body value") {
     var logged = ""
-    val r = Util.time("op", s => logged = s) { 41 + 1 }
+    val r = Stopwatch.logged("op", s => logged = s) { 41 + 1 }
     assert(r == 42)
     assert(logged.startsWith("op took") && logged.endsWith("ms"))
+  }
+
+  test("stopwatch.measure returns value and non-negative millis") {
+    val (v, ms) = Stopwatch.measure { "x" * 3 }
+    assert(v == "xxx")
+    assert(ms >= 0)
   }
 }

@@ -91,5 +91,10 @@ final class MultiStageSpec extends SparkTestBase {
     // then B catches up alone
     PipelineMethod.runWith(spark, root, Seq("--yes", "--stage", "StageB"))
     assert(bRuns.get == 4)
+
+    // a mistyped --stage name fails loudly instead of running nothing
+    assertThrows[NoSuchElementException] {
+      PipelineMethod.runWith(spark, root, Seq("--yes", "--stage", "StageZ"))
+    }
   }
 }

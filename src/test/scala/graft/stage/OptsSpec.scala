@@ -2,7 +2,10 @@ package graft.stage
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Behavior ported from reference OptsTest.scala:8-36. */
+/** Flag semantics from the reference CLI (OptsTest.scala:8-36),
+  * exercised over a service-name domain, plus the strict-parse
+  * behavior (unknown flags rejected).
+  */
 final class OptsSpec extends AnyFunSuite {
 
   test("mutually exclusive flags") {
@@ -16,18 +19,26 @@ final class OptsSpec extends AnyFunSuite {
     assert(new Opts(Seq.empty).dryRun())
   }
 
-  test("only and exclude") {
-    val opts  = new Opts(Seq("--only", "FG*,T2D*", "--exclude", "*adj*"))
-    val tests = Seq("BMI", "FG", "FGadjBMI", "T2D", "T2DadjBMI", "FI", "WHR")
+  test("unknown or mistyped flags are rejected, not absorbed") {
+    assertThrows[ValidationFailure](new Opts(Seq("--reproces")))       // typo of --reprocess
+    assertThrows[ValidationFailure](new Opts(Seq("--insert-run")))     // typo of --insert-runs
+    assertThrows[ValidationFailure](new Opts(Seq("--frobnicate")))
+    assertThrows[ValidationFailure](new Opts(Seq("positional")))
+    assertThrows[ValidationFailure](new Opts(Seq("--stage")))          // missing value
+  }
 
-    val onlyTests    = tests.filter(t => opts.onlyGlobs.get.exists(_.matches(t)))
-    val excludeTests = tests.filter(t => opts.excludeGlobs.get.exists(_.matches(t)))
+  test("only and exclude globs compose") {
+    val opts = new Opts(Seq("--only", "api*,batch*", "--exclude", "*-staging"))
+    val outputs = Seq("api", "api-staging", "batch-daily", "batch-staging", "web", "cron")
 
-    assert(onlyTests.toSet == Set("FG", "FGadjBMI", "T2D", "T2DadjBMI"))
-    assert(excludeTests.toSet == Set("FGadjBMI", "T2DadjBMI"))
-
-    val finalTests = onlyTests.filterNot(t => opts.excludeGlobs.get.exists(_.matches(t)))
-    assert(finalTests.toSet == Set("FG", "T2D"))
+    assert(outputs.filter(opts.selects).toSet == Set("api", "batch-daily"))
+    // --only alone
+    assert(outputs.filter(new Opts(Seq("--only", "w*")).selects) == Seq("web"))
+    // --exclude alone
+    assert(outputs.filter(new Opts(Seq("--exclude", "api*")).selects).toSet ==
+      Set("batch-daily", "batch-staging", "web", "cron"))
+    // neither: everything selected
+    assert(outputs.forall(new Opts(Seq.empty).selects))
   }
 
   test("clusters must be positive") {

@@ -7,7 +7,7 @@ import graft.core.{Input, Outputs}
 
 /** Behavior ported from reference StageTest.scala:33-70, plus
   * coverage-validation and only/exclude semantics
-  * (Stage.scala:195-214).
+  * (Stage.scala:195-214), over the metrics/logs fixture domain.
   */
 final class StageSpec extends SparkTestBase {
 
@@ -18,79 +18,84 @@ final class StageSpec extends SparkTestBase {
 
   def input(name: String): Input = Input(name, Instant.now)
 
-  val inputA1 = input("a/foo/bar")
-  val inputA2 = input("a/foo/baz")
-  val inputB1 = input("b/bar/wow")
-  val inputB2 = input("b/bar/ack")
-  val inputC1 = input("c/any/all")
+  val apiMetrics1 = input("metrics/api/cpu")
+  val apiMetrics2 = input("metrics/api/mem")
+  val webLogs1    = input("logs/web/access")
+  val webLogs2    = input("logs/web/error")
+  val sharedConf  = input("shared/config/global")
 
   private val opts = new Opts(Seq.empty)
 
-  def testInputToOutput(input: Input, expectedOutput: String): Boolean =
-    testStage.rules(input) match {
+  def routesTo(in: Input, expectedOutput: String): Boolean =
+    testStage.rules(in) match {
       case Outputs.Named(seq @ _*) => seq == Seq(expectedOutput)
       case _                       => false
     }
 
   test("input -> outputs") {
-    assert(testInputToOutput(inputA1, "foo"))
-    assert(testInputToOutput(inputA2, "foo"))
-    assert(testInputToOutput(inputB1, "bar"))
-    assert(testInputToOutput(inputB2, "bar"))
+    assert(routesTo(apiMetrics1, "api"))
+    assert(routesTo(apiMetrics2, "api"))
+    assert(routesTo(webLogs1, "web"))
+    assert(routesTo(webLogs2, "web"))
   }
 
   test("all outputs") {
-    assert(testStage.rules(inputC1) == Outputs.All)
+    assert(testStage.rules(sharedConf) == Outputs.All)
   }
 
   test("simple (output -> inputs)") {
-    val inputs    = Seq(inputA1, inputA2, inputB1, inputB2)
+    val inputs    = Seq(apiMetrics1, apiMetrics2, webLogs1, webLogs2)
     val outputMap = testStage.buildOutputMap(inputs, opts)
 
     assert(outputMap.keys.size == 2)
-    assert(outputMap.contains("foo"))
-    assert(outputMap.contains("bar"))
-    assert(outputMap("foo") == Set(inputA1, inputA2))
-    assert(outputMap("bar") == Set(inputB1, inputB2))
+    assert(outputMap.contains("api"))
+    assert(outputMap.contains("web"))
+    assert(outputMap("api") == Set(apiMetrics1, apiMetrics2))
+    assert(outputMap("web") == Set(webLogs1, webLogs2))
   }
 
   test("all (output -> inputs)") {
-    val inputs    = Seq(inputA1, inputB1, inputC1)
+    val inputs    = Seq(apiMetrics1, webLogs1, sharedConf)
     val outputMap = testStage.buildOutputMap(inputs, opts)
 
     assert(outputMap.keys.size == 2)
-    assert(outputMap("foo").contains(inputC1))
-    assert(outputMap("bar").contains(inputC1))
+    assert(outputMap("api").contains(sharedConf))
+    assert(outputMap("web").contains(sharedConf))
   }
 
   test("coverage validation failure yields empty map, not an exception") {
     // a stage whose rules ignore nothing and miss input "x/..."
     val stage = new TestMethod.TestStage() {
       override val rules: PartialFunction[Input, Outputs] = {
-        case i if i.key.startsWith("a/") => Outputs.Named("foo")
-        case _                           => Outputs.Named() // named-nothing: not ignored
+        case i if i.key.startsWith("metrics/") => Outputs.Named("api")
+        case _                                 => Outputs.Named() // named-nothing: not ignored
       }
     }
-    val outputMap = stage.buildOutputMap(Seq(inputA1, input("x/unmatched")), opts)
+    val outputMap = stage.buildOutputMap(Seq(apiMetrics1, input("x/unmatched")), opts)
     assert(outputMap.isEmpty)
   }
 
   test("Null-ignored inputs do not fail coverage") {
     val stage = new TestMethod.TestStage() {
       override val rules: PartialFunction[Input, Outputs] = {
-        case i if i.key.startsWith("a/") => Outputs.Named("foo")
-        case _                           => Outputs.Null
+        case i if i.key.startsWith("metrics/") => Outputs.Named("api")
+        case _                                 => Outputs.Null
       }
     }
-    val outputMap = stage.buildOutputMap(Seq(inputA1, input("x/skipme")), opts)
-    assert(outputMap == Map("foo" -> Set(inputA1)))
+    val outputMap = stage.buildOutputMap(Seq(apiMetrics1, input("x/skipme")), opts)
+    assert(outputMap == Map("api" -> Set(apiMetrics1)))
+  }
+
+  test("an Outputs.All input with no named outputs fails coverage closed") {
+    val outputMap = testStage.buildOutputMap(Seq(sharedConf), opts)
+    assert(outputMap.isEmpty)
   }
 
   test("only/exclude output filtering") {
-    val inputs = Seq(inputA1, inputB1)
-    val only   = testStage.buildOutputMap(inputs, new Opts(Seq("--only", "f*")))
-    assert(only.keySet == Set("foo"))
-    val excl = testStage.buildOutputMap(inputs, new Opts(Seq("--exclude", "f*")))
-    assert(excl.keySet == Set("bar"))
+    val inputs = Seq(apiMetrics1, webLogs1)
+    val only   = testStage.buildOutputMap(inputs, new Opts(Seq("--only", "a*")))
+    assert(only.keySet == Set("api"))
+    val excl = testStage.buildOutputMap(inputs, new Opts(Seq("--exclude", "a*")))
+    assert(excl.keySet == Set("web"))
   }
 }

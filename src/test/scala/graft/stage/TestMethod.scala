@@ -4,24 +4,27 @@ import org.apache.spark.sql.SparkSession
 
 import graft.core.{Input, Outputs}
 
-/** Port of the reference test harness (TestMethod.scala:5-30): fake
-  * sources under the `a` and `b` prefixes and rules with an
-  * `Outputs.All` fallback.
+/** Spec fixture method: two ingest channels — service metrics and
+  * service logs — each mapping an input to the output named by the
+  * captured service, with everything else (e.g. shared config)
+  * feeding every output via `Outputs.All`. Exercises the same rule
+  * surface the reference's test harness does (TestMethod.scala:5-30)
+  * over a different domain.
   */
 object TestMethod extends Method {
 
   class TestStage(implicit context: Context) extends Stage {
-    val sourceA: Input.Source = Input.Source("a/*/", "*")
-    val sourceB: Input.Source = Input.Source("b/*/", "*")
+    val metricsSrc: Input.Source = Input.Source("metrics/*/", "*")
+    val logsSrc: Input.Source    = Input.Source("logs/*/", "*")
 
     override val sources: Seq[Input.Source] = Seq.empty
 
     override def make(output: String): SparkJob = SparkJob.noop
 
     override val rules: PartialFunction[Input, Outputs] = {
-      case sourceA(a, _) => Outputs.Named(a)
-      case sourceB(b, _) => Outputs.Named(b)
-      case _             => Outputs.All
+      case metricsSrc(service, _) => Outputs.Named(service)
+      case logsSrc(service, _)    => Outputs.Named(service)
+      case _                      => Outputs.All
     }
 
     override def getName: String = "TestStage"
