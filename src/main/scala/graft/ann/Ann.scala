@@ -64,8 +64,7 @@ object Ann {
       val withSketches = df.select(
         col("id").as(idAs), col("vec").as(vecAs),
         VectorOps.fnorm(col("vec")).as(normAs),
-        array((0 until tables).map(t =>
-          VectorOps.hyperplaneSketch(col("vec"), dim, planes, seed + t)): _*).as("sketches"))
+        graft.functions.HyperplaneSketches(col("vec"), dim, planes, tables, seed).as("sketches"))
         .select(col(idAs), col(vecAs), col(normAs),
           posexplode(col("sketches")).as(Seq("table", "sketch")))
       if (!probe)
@@ -149,21 +148,33 @@ object Ann {
   def cosineNearDupPairsLSH(df: DataFrame, minCos: Double, dim: Int,
                             planes: Int = 10, tables: Int = 8,
                             seed: Long = 42L): DataFrame = {
-    val indexed = df.select(
-      col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"),
-      posexplode(array((0 until tables).map(t =>
-        VectorOps.hyperplaneSketch(col("vec"), dim, planes, seed + t)): _*))
+    // candidate generation shuffles (table, bucket, id) rows ONLY —
+    // never the vectors. The symmetric self-join reuses one Exchange
+    // (identical subplans), and dedup happens on bare (a, b) pairs.
+    val sketched = df.select(col("id"),
+      posexplode(graft.functions.HyperplaneSketches(col("vec"), dim, planes, tables, seed))
         .as(Seq("table", "bucket")))
-    // symmetric self-join on (table, bucket): both sides shuffle the
-    // same subplan identically, so Spark reuses one Exchange and the
-    // sketches evaluate once per vector — no cache needed (or leaked)
-    val l = indexed.select(col("table"), col("bucket"),
-      col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
-    val r = indexed.select(col("table"), col("bucket"),
-      col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))
-    l.join(r, Seq("table", "bucket"))
+    val cands = sketched.select(col("table"), col("bucket"), col("id").as("a"))
+      .join(sketched.select(col("table"), col("bucket"), col("id").as("b")),
+        Seq("table", "bucket"))
       .filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
+      .select("a", "b")
+      .distinct()
+    // verify: melt pairs to (pair, id) so the vector table is joined
+    // once (not once per side), reassemble per pair, score exactly
+    val vecs = df.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
+    val melted = cands.select(col("a"), col("b"),
+        explode(array(
+          struct(col("a").as("id"), lit(0).as("side")),
+          struct(col("b").as("id"), lit(1).as("side")))).as("m"))
+      .select(col("a"), col("b"), col("m.id").as("id"), col("m.side").as("side"))
+    melted.join(vecs, Seq("id"))
+      .groupBy(col("a"), col("b"))
+      .agg(
+        first(when(col("side") === 0, col("vec")), ignoreNulls = true).as("va"),
+        first(when(col("side") === 0, col("nrm")), ignoreNulls = true).as("na"),
+        first(when(col("side") === 1, col("vec")), ignoreNulls = true).as("vb"),
+        first(when(col("side") === 1, col("nrm")), ignoreNulls = true).as("nb"))
       .withColumn("sim", VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("sim") >= minCos)
       .select("a", "b", "sim")

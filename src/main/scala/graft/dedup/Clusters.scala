@@ -33,8 +33,13 @@ object Clusters {
     // localCheckpoint (not persist): iterative algorithms must
     // truncate lineage every iteration or the logical plan deepens
     // geometrically (plan rendering alone OOMs after ~10 rounds)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    //
+    // seed each node with min(id, min neighbor) — one aggregation,
+    // same shuffle the identity-seeded distinct() would cost, but it
+    // starts the loop one propagation round ahead
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
       .localCheckpoint(true)
 
     var changed = 1L

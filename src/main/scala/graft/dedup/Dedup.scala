@@ -49,33 +49,72 @@ object NgramJaccard {
   def shingles(c: Column, n: Int): Column =
     graft.functions.WordShingles(TextOps.tokens(c), n)
 
+  /** Candidate pairs (a < b) that can possibly reach Jaccard ≥ t,
+    * from prefix-filtered posting lists (Chaudhuri et al. SSJoin /
+    * Xiao et al. PPJoin): order each doc's shingles by ascending
+    * document frequency (rarest first, ties by value) and post only
+    * the first |A| − ⌈t·|A|⌉ + 1 of them — any pair with J ≥ t must
+    * collide inside both prefixes, so the join stays exact while a
+    * universally-shared shingle (the Σ postings² hot key) drops out
+    * of every large doc's posting list entirely.
+    *
+    * The prefix-length test is kept in integer arithmetic
+    * (rank ≤ sz − ⌈t·sz⌉ + 1  ⇔  t·sz ≤ sz + 1 − rank, scaled to
+    * millionths) — a float ⌈⌉ at the boundary would silently shorten
+    * prefixes and break exactness.
+    */
+  def prefixCandidates(df: DataFrame, idCol: String, textCol: String, n: Int,
+                       minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val num   = math.round(minJaccard * 1e6)
+    val denom = 1000000L
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("dfreq").asc, col("sh").asc)
+    val prefix = sh.join(dfreq, Seq("sh"))
+      .withColumn("rk", row_number().over(byRarity))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .filter(lit(num) * col("sz") <= lit(denom) * (col("sz") + 1 - col("rk")))
+    prefix.select(col("sh"), col("id").as("a"))
+      .join(prefix.select(col("sh"), col("id").as("b")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
   /** All pairs (a < b) with Jaccard ≥ `minJaccard`, plus exact
     * intersection/union counts.
     *
-    * Inverted-index formulation (not an O(n²) cross join): explode
-    * distinct shingles to a posting list, self-join postings on the
-    * shingle, and count per pair — a pair materializes only if it
-    * shares at least one shingle, and |A∩B| falls out of the
-    * group-by. Both joins shuffle on keys (shingle, then pair), so
-    * the plan scales with Σ postings², not documents². The
-    * threshold test stays exact integer arithmetic.
+    * Inverted-index formulation (not an O(n²) cross join):
+    * [[prefixCandidates]] generates the (provably complete) candidate
+    * pairs from rarest-shingle postings, then one pass over the
+    * shingle sets verifies each candidate exactly — candidates melt
+    * to two (pair, id) rows, join the per-doc shingle arrays on id,
+    * and the pair re-assembles in a group-by, so the corpus-sized
+    * shingle table is touched once, not once per join side. All
+    * shuffles are on keys (shingle, id, pair); the threshold test
+    * stays exact integer arithmetic.
     */
   def pairs(df: DataFrame, idCol: String, textCol: String, n: Int,
             minJaccard: Double): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val l = sh.select(col("sh"), col("id").as("a"))
-    val r = sh.select(col("sh"), col("id").as("b"))
-    l.join(r, Seq("sh"))
-      .filter(col("a") < col("b"))
+    val num   = math.round(minJaccard * 1e6)
+    val denom = 1000000L
+    val shSets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+    val melted = prefixCandidates(df, idCol, textCol, n, minJaccard)
+      .select(col("a"), col("b"),
+        explode(array(
+          struct(col("a").as("id"), lit(0).as("side")),
+          struct(col("b").as("id"), lit(1).as("side")))).as("m"))
+      .select(col("a"), col("b"), col("m.id").as("id"), col("m.side").as("side"))
+    melted.join(shSets, Seq("id"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("i"))
-      .join(broadcast(sizes.select(col("id").as("a"), col("sz").as("sza"))), Seq("a"))
-      .join(broadcast(sizes.select(col("id").as("b"), col("sz").as("szb"))), Seq("b"))
-      .withColumn("u", col("sza") + col("szb") - col("i"))
+      .agg(
+        first(when(col("side") === 0, col("shs")), ignoreNulls = true).as("sha"),
+        first(when(col("side") === 1, col("shs")), ignoreNulls = true).as("shb"))
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("u", size(col("sha")) + size(col("shb")) - col("i"))
       // exact rational comparison: i/u >= t  ⇔  i*denom >= u*numer
-      .filter(col("i") * lit(1000000L) >= col("u") * lit(math.round(minJaccard * 1e6)))
+      .filter(col("i") * lit(denom) >= col("u") * lit(num))
       .select(col("a"), col("b"), col("i"), col("u"),
         (col("i").cast("double") / col("u")).as("jaccard"))
   }

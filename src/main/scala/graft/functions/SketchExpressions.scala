@@ -124,6 +124,10 @@ object SimHash64 {
   * Equivalent to `array_distinct(transform(sequence(...), i =>
   * concat_ws(" ", slice(tokens, i, n))))` but without n·len
   * interpreted lambda evaluations and intermediate allocations.
+  *
+  * Windows containing a null token are skipped — the declared
+  * element type is non-null, and a null must never leak into it via
+  * `UTF8String.concat` (downstream codegen trusts containsNull).
   */
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
@@ -146,13 +150,21 @@ case class WordShingles(child: Expression, n: Int)
       val space = UTF8String.fromString(" ")
       var i = 0
       while (i <= len - n) {
-        var s = arr.getUTF8String(i)
-        var j = 1
-        while (j < n) {
-          s = UTF8String.concat(s, space, arr.getUTF8String(i + j))
+        var nullInWindow = false
+        var j = 0
+        while (j < n && !nullInWindow) {
+          nullInWindow = arr.isNullAt(i + j)
           j += 1
         }
-        out.add(s)
+        if (!nullInWindow) {
+          var s = arr.getUTF8String(i)
+          j = 1
+          while (j < n) {
+            s = UTF8String.concat(s, space, arr.getUTF8String(i + j))
+            j += 1
+          }
+          out.add(s)
+        }
         i += 1
       }
     }
@@ -170,4 +182,73 @@ case class WordShingles(child: Expression, n: Int)
 object WordShingles {
   def apply(tokens: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(tokens), n))
+}
+
+/** All `tables` signed-random-hyperplane sketches of a float vector
+  * in one pass: table t's planes are `planes × dim` Gaussians drawn
+  * from `Random(seed + t)` in plane-major order, bit p of sketch t
+  * is the sign of plane p's projection.
+  *
+  * The HOF formulation (`aggregate(zip_with(vec, array(lit…)))` per
+  * plane per table) evaluates its lambdas interpreted per element —
+  * tables·planes·dim boxed calls per row. This is the same math as
+  * one compiled loop over a precomputed plane matrix.
+  */
+case class HyperplaneSketches(child: Expression, dim: Int, planes: Int,
+                              tables: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  require(planes >= 1 && planes <= 63, "planes must be in [1, 63]")
+  require(tables >= 1, "tables must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane sketches expect array<float>, got ${t.simpleString}")
+  }
+
+  // plane matrix per table, plane-major — the draw order is part of
+  // the contract: tuned (planes, tables, seed) configurations (and
+  // tools/TuneD5) depend on it
+  @transient private lazy val planeMats: Array[Array[Double]] =
+    Array.tabulate(tables) { t =>
+      val rnd = new scala.util.Random(seed + t)
+      Array.fill(planes * dim)(rnd.nextGaussian())
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n   = math.min(arr.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val mat  = planeMats(t)
+      var bits = 0L
+      var p    = 0
+      while (p < planes) {
+        val off = p * dim
+        var dot = 0.0
+        var k   = 0
+        while (k < n) {
+          if (!arr.isNullAt(k)) dot += arr.getFloat(k).toDouble * mat(off + k)
+          k += 1
+        }
+        if (dot >= 0) bits |= (1L << p)
+        p += 1
+      }
+      out(t) = bits
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSketches =
+    copy(child = newChild)
+}
+
+object HyperplaneSketches {
+  def apply(vec: Column, dim: Int, planes: Int, tables: Int, seed: Long): Column =
+    Bridge.column(HyperplaneSketches(Bridge.expression(vec), dim, planes, tables, seed))
 }

@@ -55,18 +55,8 @@ object VectorOps {
       (acc, v) => acc + v
     )
 
-  /** Signed random-hyperplane sketch: `planes` deterministic
-    * hyperplanes (seeded Gaussian), one sign bit each, packed into a
-    * long. Vectors with equal sketches are likely-similar — the
-    * blocking key for LSH near-dup and ANN candidate generation.
-    */
-  def hyperplaneSketch(v: Column, dim: Int, planes: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val bits = (0 until planes).map { p =>
-      val coeffs = array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
-      val proj   = dot(v, coeffs)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  // Signed random-hyperplane sketches live in
+  // [[graft.functions.HyperplaneSketches]] — a single-pass expression.
+  // The HOF formulation (aggregate(zip_with(v, array(lit…))) per
+  // plane) evaluates interpreted per element and was the d5 hot spot.
 }

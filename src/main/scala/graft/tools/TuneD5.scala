@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Offline tuning harness for the d5 LSH blocking parameters.
   *
   * Collects the (small) embeddings fixtures and, in pure Scala,
-  * replicates `VectorOps.hyperplaneSketch`'s plane generation
+  * replicates `functions.HyperplaneSketches`'s plane generation
   * (`scala.util.Random(seed + table)`, `planes × dim` Gaussians in
   * plane-major order) to measure, per (planes, tables, seed) config:
   * recall of the banded candidates against the exact ≥ τ pair set,

@@ -58,6 +58,38 @@ final class DedupSpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("prefix filtering prunes a universal hot shingle without losing pairs") {
+    // 40 docs, each with its own distinct vocabulary, all sharing one
+    // universal phrase ("common shared filler words appear in every
+    // document") — the degenerate posting list that makes a plain
+    // inverted-index join quadratic. Two planted near-dup pairs.
+    val base = (0 until 40).map { i =>
+      val own = (0 until 12).map(j => s"tok${i}_$j").mkString(" ")
+      (i.toLong, s"common shared filler words appear everywhere $own")
+    }
+    val planted = Seq(
+      (100L, base(0)._2 + " extra"),   // near-dup of doc 0
+      (101L, base(1)._2 + " extra2")   // near-dup of doc 1
+    )
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+
+    val n = 3
+    val tau = 0.7
+    val nDocs = 42L
+    val allPairs = nDocs * (nDocs - 1) / 2
+
+    val nCand = NgramJaccard.prefixCandidates(corpus, "doc_id", "text", n, tau).count()
+    // every doc shares the universal 3-gram windows, so an unfiltered
+    // posting join would candidate every pair; the prefix keeps only
+    // each doc's rarest shingles, which the hot shingles never are
+    assert(nCand < allPairs / 4, s"prefix candidates $nCand should be far below $allPairs")
+
+    val found = NgramJaccard.pairs(corpus, "doc_id", "text", n, tau)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((0L, 100L)))
+    assert(found.contains((1L, 101L)))
+  }
+
   test("simhash: identical docs collide at distance 0, near-dups are close") {
     val fps = SimHash.fingerprints(docs, "doc_id", "text")
     val byId = fps.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
