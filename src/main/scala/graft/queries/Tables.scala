@@ -18,6 +18,10 @@ object Tables {
     * truncate, so bucketed aggregates agree across engines.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // graft-built sessions already set this at build time
+    // (GraftSession) — this is an idempotent fallback so the loader
+    // also works on a foreign session; there is no per-read option
+    // for it (only ParquetToSparkSchemaConverter reads the SQLConf)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     // integer `div`, NOT `/`: double division loses unit precision at

@@ -16,6 +16,16 @@ import org.apache.spark.sql.{Column, Dataset, Encoder, SaveMode, SparkSession}
   * rename-atomic on HDFS/local (documented non-atomic on raw S3 —
   * production deployments would point this at a table format).
   *
+  * Writer concurrency: every mutation runs under an exclusive
+  * `<path>.lock` file taken with `fs.create(..., overwrite = false)`
+  * — an atomic create-if-absent on HDFS/local (and on S3 with
+  * conditional writes) — so two concurrent method processes cannot
+  * interleave their read-modify-write cycles and silently drop each
+  * other's rows (the reference gets the same guarantee per statement
+  * from MySQL transactions). Locks carry holder + timestamp; a crash
+  * leaves a lock that later writers break after `StaleLockMs`.
+  * Readers never lock: the rename swap keeps reads consistent.
+  *
   * Rows are typed; keys are column names. The table is run-metadata
   * sized (thousands of rows), but every operation is expressed
   * relationally, so nothing here breaks if it grows by 10^6.
@@ -33,11 +43,58 @@ final class ParquetTable[T: Encoder](
 
   def exists: Boolean = fs.exists(new Path(path))
 
+  private val lockPath = new Path(path + ".lock")
+
+  /** How long before a lock left by a crashed writer is breakable. */
+  private val StaleLockMs = 60000L
+
+  /** How long a writer waits for the lock before giving up loudly. */
+  private val LockTimeoutMs = 30000L
+
+  /** Run `body` holding the exclusive writer lock — a per-path JVM
+    * monitor (threads sharing this process; the local-FS
+    * create-if-absent is not atomic across threads) nested inside
+    * the cross-process lock file.
+    */
+  private def withWriterLock[A](body: => A): A =
+    ParquetTable.monitorFor(path).synchronized(withLockFile(body))
+
+  private def withLockFile[A](body: => A): A = {
+    val f        = fs
+    val deadline = System.currentTimeMillis + LockTimeoutMs
+    var held     = false
+    while (!held) {
+      try {
+        // atomic create-if-absent: exactly one contender wins
+        val out = f.create(lockPath, false)
+        try out.write(
+          s"${UUID.randomUUID()} pid=${ProcessHandle.current.pid} ts=${System.currentTimeMillis}"
+            .getBytes("UTF-8"))
+        finally out.close()
+        held = true
+      } catch {
+        case _: java.io.IOException =>
+          // lock held elsewhere: break it if stale, else wait and retry
+          val stale =
+            try System.currentTimeMillis - f.getFileStatus(lockPath).getModificationTime > StaleLockMs
+            catch { case _: java.io.IOException => false } // vanished between create and stat
+          if (stale) f.delete(lockPath, false)
+          else if (System.currentTimeMillis > deadline)
+            throw new IllegalStateException(
+              s"timed out after ${LockTimeoutMs}ms waiting for writer lock $lockPath")
+          else Thread.sleep(25L + scala.util.Random.nextInt(75))
+      }
+    }
+    try body
+    finally fs.delete(lockPath, false)
+  }
+
   /** Idempotent create (reference `migrate()`: CREATE TABLE IF NOT
     * EXISTS, Runs.scala:36-45).
     */
-  def migrate(): Unit =
+  def migrate(): Unit = withWriterLock {
     if (!exists) writeAtomic(spark.emptyDataset[T])
+  }
 
   def ds: Dataset[T] =
     if (exists) spark.read.parquet(path).as[T]
@@ -50,20 +107,23 @@ final class ParquetTable[T: Encoder](
   /** Upsert: replace any existing row with the same key columns. */
   def upsert(rows: Seq[T]): Unit = {
     if (rows.isEmpty) return
-    val incoming = spark.createDataset(rows)
-    val kept     = ds.join(incoming.select(keyCols.map(c => $"$c"): _*), keyCols, "left_anti").as[T]
-    writeAtomic(kept.unionByName(incoming))
+    withWriterLock {
+      val incoming = spark.createDataset(rows)
+      val kept     = ds.join(incoming.select(keyCols.map(c => $"$c"): _*), keyCols, "left_anti").as[T]
+      writeAtomic(kept.unionByName(incoming))
+    }
   }
 
   /** Delete all rows matching the predicate (null-safe: a null
     * predicate result keeps the row).
     */
-  def delete(pred: Column): Unit =
+  def delete(pred: Column): Unit = withWriterLock {
     writeAtomic(ds.filter(!org.apache.spark.sql.functions.coalesce(
       pred, org.apache.spark.sql.functions.lit(false))))
+  }
 
   /** Point update: transform matching rows, keep the rest. */
-  def update(pred: Column)(f: T => T): Unit = {
+  def update(pred: Column)(f: T => T): Unit = withWriterLock {
     val matched = ds.filter(pred).collect().toSeq.map(f)
     val rest    = ds.filter(!org.apache.spark.sql.functions.coalesce(
       pred, org.apache.spark.sql.functions.lit(false))).collect().toSeq
@@ -90,4 +150,11 @@ final class ParquetTable[T: Encoder](
     }
     f.delete(trash, true)
   }
+}
+
+object ParquetTable {
+  private val monitors = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+
+  private def monitorFor(path: String): AnyRef =
+    monitors.getOrElseUpdate(path, new AnyRef)
 }

@@ -39,6 +39,7 @@ object EventsPipeline {
     */
   def readStream(spark: SparkSession, dir: String,
                  glob: String = "*.parquet"): DataFrame = {
+    // set at build time by GraftSession; idempotent foreign-session fallback
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
@@ -158,8 +159,8 @@ object EventsPipeline {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     // transformWithState needs multi-column-family state, which only
-    // the RocksDB provider supports (also the recommended provider
-    // for any large-state production job).
+    // the RocksDB provider supports. GraftSession sets it at build
+    // time; idempotent fallback for foreign sessions.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     events
