@@ -1,27 +1,31 @@
 package graft.functions
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 
 /** Order- and duplication-insensitive 64-bit content fingerprint of a
-  * token array: XOR-fold of per-distinct-token hashes.
+  * token array: XOR-fold of per-distinct-token hashes, where a
+  * token's hash is the first 8 bytes of its MD5 (big-endian).
   *
-  * Equivalent purpose to `xxhash64(concat_ws(" ", array_sort(
-  * array_distinct(tokens))))` but one pass, no sort, no string
-  * concatenation — and commutative by construction, so it's also a
-  * valid *aggregation* fingerprint (partial fingerprints XOR
-  * together), which is what a 100 TB fingerprint-everything pass
-  * wants.
+  * Commutative by construction, so it's also a valid *aggregation*
+  * fingerprint (partial fingerprints XOR together), which is what a
+  * 100 TB fingerprint-everything pass wants. The per-token hash is
+  * MD5-derived — ubiquitously available — so any engine can recompute
+  * the fingerprint from the raw text (`xor-fold(first-8-bytes(md5(
+  * distinct tokens)))`); a fingerprint only earns its keep in lineage
+  * and cross-system reconciliation if the other system can derive it
+  * too. (A seeded xxhash64 fold is ~5× faster per token but locks the
+  * fingerprint to this codebase.)
   */
 case class ContentFingerprint64(child: Expression)
     extends UnaryExpression with CodegenFallback {
-
-  private val Seed = 42L
 
   override def dataType: DataType = LongType
 
@@ -34,13 +38,17 @@ case class ContentFingerprint64(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val arr  = input.asInstanceOf[ArrayData]
     val n    = arr.numElements()
+    val md   = ContentFingerprint64.digests.get()
     val seen = new java.util.HashSet[Long]()
     var fp   = 0L
     var i    = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), Seed)
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (digest(k) & 0xffL); k += 1 }
         if (seen.add(h)) fp ^= h // distinct-only: duplicates are no-ops
       }
       i += 1
@@ -53,6 +61,10 @@ case class ContentFingerprint64(child: Expression)
 }
 
 object ContentFingerprint64 {
+  // MessageDigest is stateful and not thread-safe; one per task thread
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   def apply(tokens: Column): Column =
     Bridge.column(ContentFingerprint64(Bridge.expression(tokens)))
 }

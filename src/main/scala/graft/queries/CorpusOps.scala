@@ -129,7 +129,8 @@ object CorpusOps {
       ).orderBy(col("doc_id"))
     },
 
-    // fingerprints: xxhash64-defined → rows-only.
+    // fingerprints are MD5-prefix XOR-folds — recomputable by any
+    // engine, so DuckDB oracles the exact values.
     "t4_fingerprint" -> { (s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
@@ -394,6 +395,48 @@ object CorpusOps {
          |   + (1.0 - least(npunct / greatest(ntok, 1), 1.0))) / 3.0 AS quality
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    // mirrors TextOps.langId: per-language distinct-stopword hits,
+    // argmax by (score, lang) — DuckDB struct comparison is
+    // field-order lexicographic, same as Spark's greatest(struct) —
+    // with the CJK-ratio override
+    "t3_lang_id" -> {
+      val cands = TextOps.stopwords.keys.toSeq.sorted.map { l =>
+        val list = TextOps.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"{'score': len(list_intersect(dt, $list)), 'lang': '$l'}"
+      }.mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang AS lang_label,
+         |    list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS dt,
+         |    CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE)
+         |      / greatest(len(text), 1) AS cjk
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang_label, cjk, list_aggregate($cands, 'max') AS best
+         |  FROM base)
+         |SELECT doc_id, lang_label,
+         |  CASE WHEN cjk > 0.2 THEN 'zh' ELSE best.lang END AS lang_pred,
+         |  CAST(CASE WHEN cjk > 0.2 THEN -1 ELSE best.score END AS INT) AS score
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    // the fingerprint contract: xor-fold of first-8-bytes(md5(token))
+    // over distinct whitespace tokens, big-endian, two's complement
+    "t4_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_transform(
+        |        list_distinct(string_split_regex(trim(text), '\s+')),
+        |        t -> CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT)),
+        |      (a, b) -> xor(a, b)) AS ufp
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CAST(ufp AS HUGEINT)
+        |    - CASE WHEN ufp >= CAST('9223372036854775808' AS UBIGINT)
+        |           THEN CAST('18446744073709551616' AS HUGEINT)
+        |           ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS fp
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "t5_vocabulary" ->
       """WITH toks AS (
