@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` payloads with
   * typed metadata, processed per-partition in batches.
   *
-  * The decode step is STUBBED (this container has no image/audio
-  * codecs): [[MediaDecoder.decodeStub]] derives deterministic fake
-  * features from the bytes. Everything around it — the schema, the
-  * partition-batched `mapPartitions` shape (one decoder instance per
-  * partition, streamed batches, no per-row setup cost), partitioning
-  * by media type, and the metadata projection — is the real
-  * cluster-scale plumbing a production decoder drops into.
+  * Images decode for real through `javax.imageio` (PNG/BMP/GIF/JPEG
+  * readers ship with the JDK — no native codecs needed); payloads
+  * that aren't parseable images, and the audio/video modalities (no
+  * codecs in this container), fall back to [[MediaDecoder.decodeStub]]
+  * — deterministic fake features from the bytes. Everything else —
+  * the schema, the partition-batched `mapPartitions` shape (one
+  * decoder instance per partition, streamed batches, no per-row setup
+  * cost), partitioning by media type, and the metadata projection —
+  * is the real cluster-scale plumbing a production codec drops into.
   */
 object Multimodal {
 
@@ -45,9 +47,10 @@ object Multimodal {
       ).as("media_type"),
       col(textCol).cast("binary").as("payload"))
 
-  /** Batched per-partition decode. A real implementation would open
-    * one codec per partition here and decode `batch`-sized chunks;
-    * the stub keeps the identical dataflow shape.
+  /** Batched per-partition decode: real `javax.imageio` for image
+    * payloads, deterministic stub for everything else. Audio/video
+    * codecs would bind per partition here, exactly where the decoder
+    * reference is taken.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -55,7 +58,25 @@ object Multimodal {
       // per-partition decoder setup happens once, here
       val decoder = MediaDecoder
       rows.grouped(64).flatMap { batch =>   // batch shape for vectorized codecs
-        batch.iterator.map(decoder.decodeStub)
+        batch.iterator.map(decoder.decode)
+      }
+    }
+  }
+
+  /** Distributed image normalization: every decodable image payload
+    * is rescaled to `w`×`h` (re-encoded PNG); non-images and
+    * undecodable payloads pass through untouched. One decoder per
+    * partition, streaming — the standard shape for a corpus-wide
+    * "resize everything to model input size" pass.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        if (m.media_type == "image")
+          MediaDecoder.resizeImage(m.payload, w, h)
+            .map(p => m.copy(payload = p)).getOrElse(m)
+        else m
       }
     }
   }
@@ -119,12 +140,62 @@ object MultimodalFrames {
   }
 }
 
-/** STUB decoder — deterministic fake features derived from payload
-  * bytes. Replace `decodeStub` with a real codec (e.g. javacv /
-  * TwelveMonkeys) bound per partition; signatures stay identical.
+/** Media decoder: genuine JDK image decode with a deterministic
+  * stub fallback for non-image payloads (audio/video codecs are not
+  * in this container; a javacv-style binding would slot in beside
+  * [[decodeImageDims]]).
   */
 object MediaDecoder {
   import Multimodal._
+
+  /** Real decode: parse the payload with `javax.imageio` and return
+    * (width, height), or None if no installed reader recognizes it.
+    */
+  def decodeImageDims(payload: Array[Byte]): Option[(Int, Int)] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      .map(img => (img.getWidth, img.getHeight))
+    catch { case _: java.io.IOException => None }
+
+  /** Features for one media row: image payloads that parse get their
+    * true dimensions (and a real checksum of the pixels' source
+    * bytes); everything else falls back to [[decodeStub]].
+    */
+  def decode(row: MediaRow): MediaFeatures =
+    if (row.media_type == "image") {
+      decodeImageDims(row.payload) match {
+        case Some((w, h)) =>
+          MediaFeatures(
+            media_id = row.media_id,
+            media_type = row.media_type,
+            byte_len = row.payload.length.toLong,
+            width = w,
+            height = h,
+            duration_ms = 0L,
+            checksum = byteSum(row.payload))
+        case None => decodeStub(row)
+      }
+    } else decodeStub(row)
+
+  /** Real image resize: decode, scale with Graphics2D, re-encode as
+    * PNG. None if the payload isn't a decodable image.
+    */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+      val scaled = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try g.drawImage(img, 0, 0, w, h, null)
+      finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", out)
+      out.toByteArray
+    } catch { case _: java.io.IOException => None }
+
+  private def byteSum(payload: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < payload.length) { s += (payload(i) & 0xff).toLong; i += 1 }
+    s
+  }
 
   def decodeStub(row: MediaRow): MediaFeatures = {
     val len = row.payload.length.toLong

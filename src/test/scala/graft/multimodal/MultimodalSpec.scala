@@ -46,6 +46,46 @@ final class MultimodalSpec extends SparkTestBase {
     assert(resized.nonEmpty && resized.forall(_.frame.length == 16))
   }
 
+  // a real PNG payload, rendered in-JVM
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("image payloads decode for real: true dimensions via imageio") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", pngBytes(23, 17)),
+      Multimodal.MediaRow(2L, "image", pngBytes(8, 40)),
+      Multimodal.MediaRow(3L, "image", "not an image at all".getBytes), // falls back to stub
+      Multimodal.MediaRow(4L, "audio", pngBytes(5, 5))                  // wrong modality: stub
+    ).toDF()
+
+    val byId = Multimodal.decodeFeatures(spark, media).collect().map(f => f.media_id -> f).toMap
+    assert(byId(1L).width == 23 && byId(1L).height == 17 && byId(1L).duration_ms == 0L)
+    assert(byId(2L).width == 8 && byId(2L).height == 40)
+    val stub3 = MediaDecoder.decodeStub(Multimodal.MediaRow(3L, "image", "not an image at all".getBytes))
+    assert(byId(3L).width == stub3.width && byId(3L).height == stub3.height)
+    assert(byId(4L).width == (byId(4L).byte_len % 640).toInt) // stub shape for audio
+  }
+
+  test("resizeImages rescales every decodable image to the target size") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", pngBytes(64, 48)),
+      Multimodal.MediaRow(2L, "image", "junk".getBytes),
+      Multimodal.MediaRow(3L, "video", pngBytes(10, 10))
+    ).toDF()
+
+    val resized = Multimodal.resizeImages(spark, media, 16, 12).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(MediaDecoder.decodeImageDims(resized(1L).payload).contains((16, 12)))
+    assert(java.util.Arrays.equals(resized(2L).payload, "junk".getBytes)) // undecodable passthrough
+    assert(MediaDecoder.decodeImageDims(resized(3L).payload).contains((10, 10))) // non-image untouched
+  }
+
   test("decode is stable under repartitioning (per-partition batching)") {
     val docs = (0L until 200L).map(i => (i, s"payload number $i with body " + ("y" * (i % 50).toInt)))
       .toDF("doc_id", "text")
