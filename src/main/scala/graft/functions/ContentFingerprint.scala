@@ -38,17 +38,12 @@ case class ContentFingerprint64(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val arr  = input.asInstanceOf[ArrayData]
     val n    = arr.numElements()
-    val md   = ContentFingerprint64.digests.get()
     val seen = new java.util.HashSet[Long]()
     var fp   = 0L
     var i    = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        md.reset()
-        val digest = md.digest(arr.getUTF8String(i).getBytes)
-        var h = 0L
-        var k = 0
-        while (k < 8) { h = (h << 8) | (digest(k) & 0xffL); k += 1 }
+        val h = Md5Long.hash(arr.getUTF8String(i))
         if (seen.add(h)) fp ^= h // distinct-only: duplicates are no-ops
       }
       i += 1
@@ -61,10 +56,28 @@ case class ContentFingerprint64(child: Expression)
 }
 
 object ContentFingerprint64 {
+  def apply(tokens: Column): Column =
+    Bridge.column(ContentFingerprint64(Bridge.expression(tokens)))
+}
+
+/** The shared per-token hash of the fingerprint family: the first 8
+  * bytes of MD5, big-endian, as a signed long. MD5 (not a seeded
+  * xxhash) so ANY engine can recompute fingerprints from raw text —
+  * the DuckDB oracle derives the exact same 64-bit values in SQL
+  * (`CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)`).
+  */
+private[functions] object Md5Long {
   // MessageDigest is stateful and not thread-safe; one per task thread
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  def apply(tokens: Column): Column =
-    Bridge.column(ContentFingerprint64(Bridge.expression(tokens)))
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val digest = md.digest(s.getBytes)
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (digest(k) & 0xffL); k += 1 }
+    h
+  }
 }

@@ -69,13 +69,14 @@ object MinHashSignature {
 }
 
 /** 64-bit SimHash over a token array: bit i of the result is the
-  * sign of Σ_tokens (bit i of xxh64(token) ? +1 : -1). One pass,
-  * 64 counters.
+  * sign of Σ_tokens (bit i of hash(token) ? +1 : -1). One pass,
+  * 64 counters. The per-token hash is the [[Md5Long]] MD5 prefix, so
+  * fingerprints (and the hamming pairs built from them) are
+  * recomputable by any engine — the DuckDB oracle gates the d4 query
+  * exactly.
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
-
-  private val Seed = 42L
 
   override def dataType: DataType = LongType
 
@@ -92,8 +93,7 @@ case class SimHash64(child: Expression)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val s = arr.getUTF8String(j)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), Seed)
+        val h = Md5Long.hash(arr.getUTF8String(j))
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1

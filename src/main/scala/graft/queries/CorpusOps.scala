@@ -56,8 +56,10 @@ object CorpusOps {
         .orderBy(col("id"))
     },
 
-    // SimHash fingerprints + hamming-blocked pairs: deterministic but
-    // hash-defined → rows-only check + planted-dup spec.
+    // SimHash fingerprints + hamming-blocked pairs. The per-shingle
+    // hash is the MD5 prefix, so DuckDB recomputes the fingerprints
+    // bit-for-bit and oracles the pair set (the blocking is an
+    // optimization; the contract is "all pairs within hamming 12").
     "d4_simhash" -> { (s, d) =>
       val fps = SimHash.fingerprintsOfTokens(
         t(s, d, "documents"), "doc_id", NgramJaccard.shingles(col("text"), 3))
@@ -394,6 +396,34 @@ object CorpusOps {
          |   + least(stop_ratio * 4.0, 1.0)
          |   + (1.0 - least(npunct / greatest(ntok, 1), 1.0))) / 3.0 AS quality
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // mirrors SimHash64 exactly: per-shingle MD5-prefix hashes, bit i
+    // of the fingerprint = sign of the per-bit ±1 sum, then an
+    // all-pairs hamming filter (the Spark side's pigeonhole chunk
+    // blocking is a plan optimization with identical results)
+    "d4_simhash" -> {
+      val bitTerms = (0 until 64).map { i =>
+        val pow = java.math.BigInteger.ONE.shiftLeft(i).toString
+        s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST('$pow' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+      }.mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id, list_transform(shingles,
+         |    t -> CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT)) AS hs
+         |  FROM sh),
+         |fp AS (
+         |  SELECT doc_id, CAST($bitTerms AS UBIGINT) AS f FROM hs)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS dist
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.f, b.f)) <= 12
+         |ORDER BY a, b""".stripMargin
     },
 
     // mirrors TextOps.langId: per-language distinct-stopword hits,
