@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Scale-shape regression guard: no gated query may plan a
+  * CartesianProduct, and BroadcastNestedLoopJoin is allowed only
+  * where a genuinely tiny (1-row scalar) side makes it the right
+  * plan. This is the class of regression that turns a correct query
+  * into a 100 TB scale-killer while every value-level gate stays
+  * green — so the *plan* is the asserted artifact.
+  *
+  * Planning only (`executedPlan` string) — nothing executes.
+  */
+final class PlanAuditSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+  //   - a broadcast of a 1-row aggregate (scalar count / corpus size):
+  //     t6, q23
+  //   - brute-force ANN, where "score the broadcast query batch
+  //     against every corpus row" IS the operator — the corpus side
+  //     never shuffles and each partition scans independently: a1
+  private val scalarBroadcastOk =
+    Set("t6_tfidf_top_terms", "q23_correlated_subquery", "a1_ann_topk")
+
+  // the streaming query executes on construction; everything else
+  // plans lazily and is audited here
+  private val skipped = Set("s1_stream_tumbling")
+
+  test("no gated query plans a cartesian product") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if skipped(name) => None
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnl = plan.contains("BroadcastNestedLoopJoin") && !scalarBroadcastOk(name)
+        if (cartesian || bnl)
+          Some(s"$name: ${if (cartesian) "CartesianProduct" else "BroadcastNestedLoopJoin"}")
+        else None
+    }
+    assert(offenders.isEmpty, s"scale-killer plans detected:\n${offenders.mkString("\n")}")
+  }
+}
