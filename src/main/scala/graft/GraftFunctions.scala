@@ -49,6 +49,12 @@ object GraftFunctions {
       require(exprs.length == 1, "content_fingerprint(tokens)")
       ContentFingerprint64(exprs(0))
     },
+    "hyperplane_sketches" -> { exprs =>
+      require(exprs.length == 5, "hyperplane_sketches(vec, dim, planes, tables, seed)")
+      HyperplaneSketches(exprs(0), foldableInt(exprs(1), "dim"),
+        foldableInt(exprs(2), "planes"), foldableInt(exprs(3), "tables"),
+        foldableInt(exprs(4), "seed").toLong)
+    },
     // Glob semantics (reference Glob.scala) as SQL predicates: the
     // glob compiles to the shared regex and evaluates as codegen'd
     // RLike / RegExpExtract.

@@ -20,6 +20,7 @@ final class GraftFunctionsSpec extends SparkTestBase {
         |  size(minhash(toks, 8)) AS mh,
         |  size(shingles(toks, 2)) AS sg,
         |  content_fingerprint(toks) AS fp,
+        |  size(hyperplane_sketches(x, 3, 4, 6, 42)) AS hp,
         |  glob_match('a/foo/bar', 'a/*/bar') AS gm,
         |  glob_match('a/foo/x/bar', 'a/*/bar') AS gm2,
         |  glob_extract('a/foo/bar', 'a/*/bar', 1) AS gx
@@ -29,6 +30,7 @@ final class GraftFunctionsSpec extends SparkTestBase {
     assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-12)
     assert(row.getAs[Int]("mh") == 8)
     assert(row.getAs[Int]("sg") == 3) // a b | b a | a c
+    assert(row.getAs[Int]("hp") == 6) // one sketch per table
     assert(row.getAs[Boolean]("gm"))
     assert(!row.getAs[Boolean]("gm2")) // * must not cross '/'
     assert(row.getAs[String]("gx") == "foo")
