@@ -94,23 +94,34 @@ object EventsPipeline {
     * source, which is the point of keeping the schemas identical).
     */
   def readKafkaStream(spark: SparkSession, bootstrapServers: String,
-                      topic: String): DataFrame = {
-    val eventSchema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", TimestampType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .load()
-      .select(from_json(col("value").cast("string"), eventSchema).as("e"))
+                      topic: String): DataFrame =
+    parseKafkaEnvelope(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load())
+
+  /** JSON event payload schema carried in the Kafka record value. */
+  val kafkaEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Kafka wire envelope → typed event rows: exactly the transform
+    * [[readKafkaStream]] applies after `load()`. Factored out so the
+    * parse logic runs under test against a memory stream carrying the
+    * connector's wire schema (binary key/value + topic/partition/
+    * offset) — only the socket itself needs the connector jar.
+    */
+  def parseKafkaEnvelope(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("value").cast("string"), kafkaEventSchema).as("e"))
       .select("e.*")
-  }
 
   /** Stream-static enrichment join: each micro-batch joins against
     * the (broadcastable) static dimension — no streaming state at

@@ -50,6 +50,41 @@ final class EventsPipelineSpec extends SparkTestBase {
     assert(got.select("event_id").distinct().count() == nDistinct)
   }
 
+  test("kafka envelope parsing: wire-schema memory stream to typed events to windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import EventsPipelineSpec.Wire
+
+    def rec(offset: Long, id: Long, ts: String, user: Long, typ: String, v: Double): Wire =
+      Wire(
+        key = user.toString.getBytes("UTF-8"),
+        value =
+          s"""{"event_id":$id,"ts":"$ts","user_id":$user,"event_type":"$typ","value":$v,"props":"{}"}"""
+            .getBytes("UTF-8"),
+        topic = "events", partition = 0, offset = offset,
+        timestamp = java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), timestampType = 0)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Wire]
+    mem.addData(
+      rec(0, 1L, "2024-01-01 10:05:00", 7L, "click", 1.5),
+      rec(1, 2L, "2024-01-01 10:20:00", 7L, "click", 2.5),
+      rec(2, 3L, "2024-01-01 11:05:00", 8L, "view", 4.0))
+
+    val q = EventsPipeline.tumblingCounts(EventsPipeline.parseKafkaEnvelope(mem.toDF()))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("spec_kafka_envelope").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val rows = spark.table("spec_kafka_envelope")
+      .select(col("bucket_ts").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(rows == Set(
+      Seq("2024-01-01 10:00:00", "click", 2L, 4.0),
+      Seq("2024-01-01 11:00:00", "view", 1L, 4.0)))
+  }
+
   test("session windows merge events within the gap") {
     val sessions = EventsPipeline.runToCompletion(
       spark, sfDir, EventsPipeline.sessionCounts,
@@ -139,4 +174,11 @@ final class EventsPipelineSpec extends SparkTestBase {
       queryName = "spec_tumbling2", glob = "events.parquet")
     assert(slide.count() > tumble.count())
   }
+}
+
+object EventsPipelineSpec {
+  /** The Kafka connector's wire schema: binary key/value + provenance. */
+  final case class Wire(key: Array[Byte], value: Array[Byte], topic: String,
+                        partition: Int, offset: Long,
+                        timestamp: java.sql.Timestamp, timestampType: Int)
 }
