@@ -90,6 +90,38 @@ final class DedupSpec extends SparkTestBase {
     assert(found.contains((1L, 101L)))
   }
 
+  test("prefix filtering is complete: randomized corpora match brute force") {
+    // seeded random corpora over a small vocabulary (forcing heavy
+    // shingle sharing), brute-force expected pairs computed in plain
+    // Scala with the same shingle semantics
+    val n = 3
+    val tau = 0.6
+    for (seed <- Seq(7, 23, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector.tabulate(12)(i => s"w$i")
+      val docs = (0 until 60).map { id =>
+        val len = 3 + rnd.nextInt(25)
+        (id.toLong, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+
+      def shingleSet(text: String): Set[String] = {
+        val toks = text.split("\\s+").toVector
+        if (toks.length < n) Set.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val sh = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+      val expected = (for {
+        (a, sa) <- sh; (b, sb) <- sh if a < b && sa.nonEmpty
+        i = (sa & sb).size; u = (sa | sb).size
+        if u > 0 && i * 1000000L >= u * math.round(tau * 1e6)
+      } yield (a, b)).toSet
+
+      val got = NgramJaccard.pairs(docs.toDF("doc_id", "text"), "doc_id", "text", n, tau)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"seed $seed: got ${got.size}, expected ${expected.size}")
+    }
+  }
+
   test("simhash: identical docs collide at distance 0, near-dups are close") {
     val fps = SimHash.fingerprints(docs, "doc_id", "text")
     val byId = fps.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
