@@ -60,6 +60,39 @@ object ContentFingerprint64 {
     Bridge.column(ContentFingerprint64(Bridge.expression(tokens)))
 }
 
+/** A string's first-15-hex-digits-of-MD5 as a non-negative 60-bit
+  * long — the deterministic "random" value behind hash sampling:
+  * reproducible across runs, engines (DuckDB:
+  * `CAST('0x' || substr(md5(s), 1, 15) AS UBIGINT)`), partitionings,
+  * and cluster sizes, unlike RNG-based `sample()`. 60 bits so the
+  * value is positive in any signed 64-bit engine.
+  */
+case class Md5Bucket60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_bucket60 expects string, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Long.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) >>> 4
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Bucket60 =
+    copy(child = newChild)
+}
+
+object Md5Bucket60 {
+  def apply(s: Column): Column =
+    Bridge.column(Md5Bucket60(Bridge.expression(s)))
+
+  /** 2^60 — the bucket space; `rate` maps to threshold rate·2^60. */
+  val Space: Long = 1L << 60
+}
+
 /** The shared per-token hash of the fingerprint family: the first 8
   * bytes of MD5, big-endian, as a signed long. MD5 (not a seeded
   * xxhash) so ANY engine can recompute fingerprints from raw text —

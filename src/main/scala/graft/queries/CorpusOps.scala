@@ -196,6 +196,20 @@ object CorpusOps {
         .orderBy(col("source"))
     },
 
+    // Deterministic stratified sampling (training-mix curation):
+    // per-language keep-rates decided by each doc's MD5 hash bucket —
+    // reproducible across runs/partitionings/engines, so DuckDB
+    // selects the exact same rows. A pure predicate: no shuffle.
+    "c2_stratified_sample" -> { (s, d) =>
+      import graft.operators.Sampling
+      Sampling.stratifiedSample(
+          t(s, d, "documents"),
+          keyCol = col("doc_id"), strataCol = col("lang"),
+          rates = Map("en" -> 0.5, "fr" -> 0.3), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // Sliding-window document chunking (training-data / RAG prep):
     // 50-token chunks with 10-token overlap, one row per chunk.
     "t7_chunking" -> { (s, d) =>
@@ -494,6 +508,19 @@ object CorpusOps {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // same hash-bucket decision as the Spark side, constructed from
+    // the shared Sampling.oracle* helpers so the two cannot drift
+    "c2_stratified_sample" -> {
+      import graft.operators.Sampling
+      val b = Sampling.oracleBucketSql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE $b < CASE
+         |  WHEN lang = 'en' THEN ${Sampling.oracleThreshold(0.5)}
+         |  WHEN lang = 'fr' THEN ${Sampling.oracleThreshold(0.3)}
+         |  ELSE ${Sampling.oracleThreshold(0.1)} END
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "c1_clean_pipeline" -> {
       val allStop = TextOps.stopwords.values.flatten.toSeq.distinct
