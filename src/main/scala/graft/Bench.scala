@@ -13,10 +13,12 @@ import org.apache.spark.sql.SparkSession
   * default `BENCH.out` in the working directory) so the driver can
   * parse it without scraping sbt's log prefixes.
   *
-  * Each query runs twice — once to warm the JVM/code cache and once
-  * measured — in sorted name order so timings are stable run-to-run.
-  * The action is `count()` (forces the full plan, no driver
-  * collection cost).
+  * Each query runs three times — one warmup for JIT/code-cache/file
+  * index, then two measured runs of which the MINIMUM is reported
+  * (the min of warmed runs estimates the noise floor; a single
+  * measurement carries GC/compilation jitter) — in sorted name order
+  * so timings are stable run-to-run. The action is `count()` (forces
+  * the full plan, no driver collection cost).
   *
   * A query that throws is NOT silently dropped: its error is recorded
   * in the JSON (`"errors"`) and the process exits non-zero, so a
@@ -43,7 +45,12 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       timeOnce(fn) // warmup: JIT, code cache, file-index caches
-      name -> timeOnce(fn)
+      val measured = (timeOnce(fn), timeOnce(fn)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Left(e), _)         => Left(e)
+        case (_, Left(e))         => Left(e)
+      }
+      name -> measured
     }
 
     def esc(s: String): String =
