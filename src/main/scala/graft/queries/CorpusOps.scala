@@ -210,6 +210,37 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     },
 
+    // The full training-data pipeline as ONE declarative plan:
+    // language+quality gate → exact dedup (min doc_id per canonical
+    // content hash) → deterministic 50% hash-sample → 50/10
+    // sliding-window chunks. Every stage is an operator gated
+    // individually elsewhere; this is the composition a real corpus
+    // build runs, and it stays a single Catalyst-optimized query.
+    "c3_training_pipeline" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Sampling
+      val gated = t(s, d, "documents")
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .filter(col("lang") === "en" && col("quality") > 0.55)
+      val byContent = Window
+        .partitionBy(md5(trim(lower(col("text"))).cast("binary")))
+        .orderBy(col("doc_id"))
+      val deduped = gated
+        .withColumn("rn", row_number().over(byContent))
+        .filter(col("rn") === 1)
+      val sampled = Sampling.hashSample(deduped, col("doc_id"), 0.5)
+      sampled
+        .select(col("doc_id"),
+          posexplode(TextOps.chunkStarts(col("text"), 50, 10)).as(Seq("chunk_idx", "start")),
+          col("text"))
+        .select(
+          col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          TextOps.chunkText(col("text"), col("start"), 50).as("chunk"))
+        .withColumn("n_tokens", TextOps.nTokens(col("chunk")).cast("long"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Sliding-window document chunking (training-data / RAG prep):
     // 50-token chunks with 10-token overlap, one row per chunk.
     "t7_chunking" -> { (s, d) =>
@@ -546,6 +577,49 @@ object CorpusOps {
          |  round(max(quality), 6) AS max_q
          |FROM q WHERE lang = 'en' AND quality > 0.55
          |GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // c1's quality gate + window dedup + c2's hash-bucket sampling +
+    // t7's chunk expansion, composed
+    "c3_training_pipeline" -> {
+      import graft.operators.Sampling
+      val allStop = TextOps.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val b = Sampling.oracleBucketSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, lang,
+         |    list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS ltoks,
+         |    len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS ndist,
+         |    len(string_split_regex(trim(text), '\\s+')) AS ntok
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, text, lang,
+         |    (least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+         |     + least(CAST(len(list_intersect(ltoks, $allStop)) AS DOUBLE)
+         |         / greatest(ndist, 1) * 4.0, 1.0)
+         |     + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |         / greatest(ntok, 1), 1.0))) / 3.0 AS quality
+         |  FROM d),
+         |gated AS (
+         |  SELECT doc_id, text FROM q WHERE lang = 'en' AND quality > 0.55),
+         |deduped AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      row_number() OVER (PARTITION BY md5(trim(lower(text))) ORDER BY doc_id) AS rn
+         |    FROM gated) WHERE rn = 1),
+         |samp AS (
+         |  SELECT doc_id, text FROM deduped
+         |  WHERE $b < ${Sampling.oracleThreshold(0.5)}),
+         |toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM samp),
+         |chunks AS (
+         |  SELECT doc_id, unnest(range(0, CAST(ceil(len(toks)/40.0) AS BIGINT))) AS n
+         |  FROM toks)
+         |SELECT c.doc_id, CAST(c.n AS BIGINT) AS chunk_idx,
+         |  array_to_string(list_slice(t.toks, c.n * 40 + 1, c.n * 40 + 50), ' ') AS chunk,
+         |  CAST(len(list_slice(t.toks, c.n * 40 + 1, c.n * 40 + 50)) AS BIGINT) AS n_tokens
+         |FROM chunks c JOIN toks t USING (doc_id)
+         |ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
     "t7_chunking" ->
