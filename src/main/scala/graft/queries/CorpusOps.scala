@@ -309,6 +309,19 @@ object CorpusOps {
           queryName = s"s1_tumbling_${System.nanoTime()}",
           glob = "events.parquet")
         .orderBy(col("bucket_ts"), col("event_type"))
+    },
+
+    // Streaming session windows (30-min gap), run to completion and
+    // gated against the batch gaps-and-islands formulation: Spark's
+    // session_window end = last event + gap, sessions merge iff the
+    // next event arrives strictly within the gap — both reproduced
+    // exactly in the DuckDB oracle.
+    "s2_stream_sessions" -> { (s, d) =>
+      EventsPipeline.runToCompletion(
+          s, d, EventsPipeline.sessionCounts,
+          queryName = s"s2_sessions_${System.nanoTime()}",
+          glob = "events.parquet")
+        .orderBy(col("user_id"), col("session_start"))
     }
   )
 
@@ -681,6 +694,24 @@ object CorpusOps {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY bucket_ts, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ts, event_type""".stripMargin,
+
+    "s2_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |i AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM g)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM i GROUP BY user_id, grp
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

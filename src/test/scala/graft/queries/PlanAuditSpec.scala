@@ -24,9 +24,9 @@ final class PlanAuditSpec extends SparkTestBase {
   private val scalarBroadcastOk =
     Set("t6_tfidf_top_terms", "q23_correlated_subquery", "a1_ann_topk")
 
-  // the streaming query executes on construction; everything else
+  // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
-  private val skipped = Set("s1_stream_tumbling")
+  private val skipped = Set("s1_stream_tumbling", "s2_stream_sessions")
 
   test("no gated query plans a cartesian product") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
