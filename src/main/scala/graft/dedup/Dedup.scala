@@ -167,6 +167,66 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** Incremental near-dup detection: find pairs that involve at
+    * least one NEW document — the production shape for a corpus that
+    * grows by batches, where re-checking existing×existing every day
+    * is the dominant wasted cost. Candidates come from banding the
+    * new batch against (existing ∪ new) band buckets, so the
+    * existing×existing join never happens; at scale the existing
+    * side's signatures/bands load from a stored table instead of
+    * recomputing (the operator only needs (id, bands) for the
+    * existing side and raw text for verification).
+    *
+    * Requires new ids to sort after existing ids (any batch id
+    * scheme does this); output is (a, b, jaccard) with a < b and b
+    * always a new document.
+    */
+  def nearDuplicatesIncremental(existing: DataFrame, incoming: DataFrame,
+                                idCol: String, textCol: String,
+                                numHashes: Int = 16, bands: Int = 4, n: Int = 1,
+                                minJaccard: Double = 0.8): DataFrame = {
+    val allDocs = existing.select(col(idCol), col(textCol))
+      .unionByName(incoming.select(col(idCol), col(textCol)))
+    val allBands = signatures(allDocs, idCol, textCol, numHashes, bands, n)
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    val newBands = signatures(incoming, idCol, textCol, numHashes, bands, n)
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    // l = all docs, r = new docs only: (l < r) covers old↔new and
+    // new↔new exactly once and old↔old never (new ids sort last)
+    val cands = allBands.select(col("band"), col("bucket"), col("id").as("a"))
+      .join(newBands.select(col("band"), col("bucket"), col("id").as("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    verifyPairs(cands, allDocs, idCol, textCol, n, minJaccard)
+      .select(col("a"), col("b"), (col("i").cast("double") / col("u")).as("jaccard"))
+  }
+
+  /** Exact-verify candidate (a, b) pairs against the docs' shingle
+    * sets: pairs melt to (pair, id) rows so the corpus-sized shingle
+    * table is joined once, then each pair reassembles with exact
+    * intersection/union counts and the integer threshold test.
+    */
+  private[dedup] def verifyPairs(cands: DataFrame, docs: DataFrame,
+                                 idCol: String, textCol: String, n: Int,
+                                 minJaccard: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), NgramJaccard.shingles(col(textCol), n).as("shs"))
+    val melted = cands.select(col("a"), col("b"),
+        explode(array(
+          struct(col("a").as("id"), lit(0).as("side")),
+          struct(col("b").as("id"), lit(1).as("side")))).as("m"))
+      .select(col("a"), col("b"), col("m.id").as("id"), col("m.side").as("side"))
+    melted.join(sh, Seq("id"))
+      .groupBy(col("a"), col("b"))
+      .agg(
+        first(when(col("side") === 0, col("shs")), ignoreNulls = true).as("sha"),
+        first(when(col("side") === 1, col("shs")), ignoreNulls = true).as("shb"))
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("u", size(col("sha")) + size(col("shb")) - col("i"))
+      .filter(col("i") * lit(1000000L) >= col("u") * lit(math.round(minJaccard * 1e6)))
+  }
+
   /** Full pipeline: signatures → banded candidates → exact verify.
     *
     * The verify step touches the (corpus-sized) shingle table exactly
@@ -180,20 +240,7 @@ object MinHashLSH {
                      numHashes: Int = 16, bands: Int = 4, n: Int = 1,
                      minJaccard: Double = 0.8): DataFrame = {
     val cands = candidates(signatures(df, idCol, textCol, numHashes, bands, n))
-    val sh = df.select(col(idCol).as("id"), NgramJaccard.shingles(col(textCol), n).as("sh"))
-    val melted = cands.select(col("a"), col("b"),
-        explode(array(
-          struct(col("a").as("id"), lit(0).as("side")),
-          struct(col("b").as("id"), lit(1).as("side")))).as("m"))
-      .select(col("a"), col("b"), col("m.id").as("id"), col("m.side").as("side"))
-    melted.join(sh, Seq("id"))
-      .groupBy(col("a"), col("b"))
-      .agg(
-        first(when(col("side") === 0, col("sh")), ignoreNulls = true).as("sha"),
-        first(when(col("side") === 1, col("sh")), ignoreNulls = true).as("shb"))
-      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("u", size(col("sha")) + size(col("shb")) - col("i"))
-      .filter(col("i") * lit(1000000L) >= col("u") * lit(math.round(minJaccard * 1e6)))
+    verifyPairs(cands, df, idCol, textCol, n, minJaccard)
       .select(col("a"), col("b"), (col("i").cast("double") / col("u")).as("jaccard"))
   }
 }

@@ -66,6 +66,20 @@ object CorpusOps {
       SimHash.pairs(fps, maxDist = 12).orderBy(col("a"), col("b"))
     },
 
+    // Incremental dedup: documents split into an "existing" corpus
+    // (doc_id < 250) and a "new" batch; only pairs touching the new
+    // batch are produced — the existing×existing join never runs.
+    // Banding recall on this corpus is 1.0 (d3's configuration), so
+    // the exact-jaccard DuckDB oracle gates it.
+    "d7_dedup_incremental" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      MinHashLSH.nearDuplicatesIncremental(
+          existing = docs.filter(col("doc_id") < 250),
+          incoming = docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", numHashes = 24, bands = 8, n = 3, minJaccard = 0.8)
+        .orderBy(col("a"), col("b"))
+    },
+
     // LSH-blocked near-dup pairs: hyperplane-sketch bucket self-join,
     // never an all-pairs product. (planes=6, tables=48, seed=42) is
     // tuned (tools/TuneD5.scala) to recall 1.0 against the exact ≥τ
@@ -366,6 +380,20 @@ object CorpusOps {
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh)) * 1000000 >=
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 800000
+         |ORDER BY a, b""".stripMargin,
+
+    // d3's exact-pair oracle restricted to pairs touching the new
+    // batch (b >= 250 ⇔ at least one side is new, since new ids sort
+    // last and a < b)
+    "d7_dedup_incremental" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE b.doc_id >= 250
+         |  AND len(list_intersect(a.sh, b.sh)) * 1000000 >=
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 800000
          |ORDER BY a, b""".stripMargin,
 

@@ -58,6 +58,20 @@ final class DedupSpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("incremental dedup finds exactly the pairs touching the new batch") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = 250L
+    val full = MinHashLSH.nearDuplicates(docs01, "doc_id", "text", 24, 8, 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = MinHashLSH.nearDuplicatesIncremental(
+        docs01.filter(col("doc_id") < split), docs01.filter(col("doc_id") >= split),
+        "doc_id", "text", 24, 8, 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == full.filter { case (_, b) => b >= split })
+    assert(incr.forall { case (_, b) => b >= split }, "no existing-only pairs may appear")
+    assert(incr.nonEmpty)
+  }
+
   test("prefix filtering prunes a universal hot shingle without losing pairs") {
     // 40 docs, each with its own distinct vocabulary, all sharing one
     // universal phrase ("common shared filler words appear in every
