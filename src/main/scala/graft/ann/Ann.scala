@@ -180,6 +180,47 @@ object Ann {
       .select("a", "b", "sim")
   }
 
+  /** Incremental embedding near-dup: pairs involving at least one
+    * NEW vector, from sketch-bucket collisions of the incoming batch
+    * against (existing ∪ new) — the existing×existing join never
+    * runs, which is what makes re-checking a growing corpus per
+    * batch affordable. New ids must sort after existing ids; every
+    * output pair's `b` is a new vector. Same tuned (planes, tables,
+    * seed) semantics as [[cosineNearDupPairsLSH]].
+    */
+  def cosineNearDupPairsLSHIncremental(existing: DataFrame, incoming: DataFrame,
+                                       minCos: Double, dim: Int,
+                                       planes: Int = 10, tables: Int = 8,
+                                       seed: Long = 42L): DataFrame = {
+    def sketched(df: DataFrame) = df.select(col("id"),
+      posexplode(graft.functions.HyperplaneSketches(col("vec"), dim, planes, tables, seed))
+        .as(Seq("table", "bucket")))
+    val all = existing.select(col("id"), col("vec"))
+      .unionByName(incoming.select(col("id"), col("vec")))
+    val cands = sketched(all).select(col("table"), col("bucket"), col("id").as("a"))
+      .join(sketched(incoming).select(col("table"), col("bucket"), col("id").as("b")),
+        Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val vecs = all.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
+    val melted = cands.select(col("a"), col("b"),
+        explode(array(
+          struct(col("a").as("id"), lit(0).as("side")),
+          struct(col("b").as("id"), lit(1).as("side")))).as("m"))
+      .select(col("a"), col("b"), col("m.id").as("id"), col("m.side").as("side"))
+    melted.join(vecs, Seq("id"))
+      .groupBy(col("a"), col("b"))
+      .agg(
+        first(when(col("side") === 0, col("vec")), ignoreNulls = true).as("va"),
+        first(when(col("side") === 0, col("nrm")), ignoreNulls = true).as("na"),
+        first(when(col("side") === 1, col("vec")), ignoreNulls = true).as("vb"),
+        first(when(col("side") === 1, col("nrm")), ignoreNulls = true).as("nb"))
+      .withColumn("sim", VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= minCos)
+      .select("a", "b", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).
     * All-pairs form — kept ONLY as the ground truth for the recall
     * spec; the gated d5 query and the scale path are both

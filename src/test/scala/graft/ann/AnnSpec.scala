@@ -90,6 +90,28 @@ final class AnnSpec extends SparkTestBase {
     assert(recall >= 0.9, s"LSH near-dup recall too low: $recall")
   }
 
+  test("incremental LSH near-dup equals the full run restricted to new-touching pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val dim = 32
+    val base = (0 until 120).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val dups = base.filter(_._1 % 4 == 0).map { case (i, v) =>
+      (1000L + i) -> v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+    }
+    val df = (base ++ dups).toDF("id", "vec")
+    val split = 60L // existing: id < 60; new: 60..119 and all 1000+ dups
+
+    val full = Ann.cosineNearDupPairsLSH(df, minCos = 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = Ann.cosineNearDupPairsLSHIncremental(
+        df.filter(col("id") < split), df.filter(col("id") >= split),
+        minCos = 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == full.filter { case (_, b) => b >= split })
+    assert(incr.nonEmpty)
+    assert(incr.forall { case (_, b) => b >= split })
+  }
+
   test("cosine near-dup pairs are symmetric-free and thresholded") {
     val pairs = Ann.cosineNearDupPairs(vecs, minCos = 0.4).collect()
     assert(pairs.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
