@@ -189,8 +189,10 @@ object MinHashLSH {
       .unionByName(incoming.select(col(idCol), col(textCol)))
     val allBands = signatures(allDocs, idCol, textCol, numHashes, bands, n)
       .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
-    val newBands = signatures(incoming, idCol, textCol, numHashes, bands, n)
-      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    // the batch's bands are a semi-join of the corpus bands (batch ids
+    // broadcast) — signatures are computed once, not re-derived
+    val newBands = allBands.join(
+      broadcast(incoming.select(col(idCol).as("id"))), Seq("id"), "left_semi")
     // l = all docs, r = new docs only: (l < r) covers old↔new and
     // new↔new exactly once and old↔old never (new ids sort last)
     val cands = allBands.select(col("band"), col("bucket"), col("id").as("a"))
