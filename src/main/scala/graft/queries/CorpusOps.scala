@@ -154,6 +154,22 @@ object CorpusOps {
       ).orderBy(col("doc_id"))
     },
 
+    // PII redaction over text augmented with deterministic synthetic
+    // PII (the fixture contains none — augmenting in-query keeps the
+    // oracle comparison non-vacuous while both engines construct
+    // identical inputs). The scrub itself is the codegen'd
+    // regexp_replace chain of TextOps.redactPii.
+    "t8_redaction" -> { (s, d) =>
+      val pii = concat_ws(" ", col("text"),
+        concat(lit("user"), col("doc_id"), lit("@example.com")),
+        concat(lit("http://ex.com/p/"), col("doc_id")),
+        concat(lit("10.0.0."), pmod(col("doc_id"), lit(256))),
+        lit("+1 555-123-4567"))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.redactPii(pii).as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus vocabulary: global term frequencies + document
     // frequencies — exact integer aggregation, one shuffle on term.
     "t5_vocabulary" -> { (s, d) =>
@@ -553,6 +569,19 @@ object CorpusOps {
         |           THEN CAST('18446744073709551616' AS HUGEINT)
         |           ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS fp
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // identical augmentation, identical pattern chain — built from
+    // TextOps.piiPatterns so Spark and oracle regexes cannot drift
+    "t8_redaction" -> {
+      val augmented =
+        "concat_ws(' ', text, 'user' || doc_id || '@example.com', " +
+          "'http://ex.com/p/' || doc_id, '10.0.0.' || (doc_id % 256), '+1 555-123-4567')"
+      val chain = TextOps.piiPatterns.foldLeft(augmented) {
+        case (acc, (pat, tag)) => s"regexp_replace($acc, '$pat', '$tag', 'g')"
+      }
+      s"""SELECT doc_id, $chain AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "t5_vocabulary" ->
       """WITH toks AS (

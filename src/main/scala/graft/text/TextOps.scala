@@ -93,6 +93,27 @@ object TextOps {
     (lenTerm + stopTerm + punctTerm) / lit(3.0)
   }
 
+  /** PII scrubbing patterns, applied in order (URLs first so an
+    * address inside a URL is consumed by the URL rule). All patterns
+    * are RE2-safe — the same strings drive Spark (Java regex) and the
+    * DuckDB oracle (RE2), which is the point: a redaction rule that
+    * means different things in different engines silently leaks.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+"                                 -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"  -> "<EMAIL>",
+    "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"               -> "<IP>",
+    "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"             -> "<PHONE>")
+
+  /** Redact URLs, emails, IPv4s, and phone-shaped numbers — the
+    * standard pre-training scrub, as a codegen'd regexp_replace
+    * chain (scan-speed, no UDF).
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
   /** 64-bit content fingerprint: XOR-fold over distinct token hashes
     * — order- and duplication-insensitive, so re-shuffled or
     * re-joined corpora fingerprint identically; single-pass custom

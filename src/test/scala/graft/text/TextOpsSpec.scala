@@ -43,6 +43,27 @@ final class TextOpsSpec extends SparkTestBase {
     assert(res(5L) == "zh")
   }
 
+  test("pii redaction scrubs urls, emails, ips, phones; leaves clean text alone") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org today"),
+      (2L, "docs at https://docs.example.com/a?b=1 and http://x.io"),
+      (3L, "server 192.168.1.200 and 10.0.0.7 respond"),
+      (4L, "call +1 555-123-4567 or 555 987 6543 now"),
+      (5L, "perfectly clean text with numbers 12345 and dots a.b")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextOps.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> today")
+    assert(out(2L) == "docs at <URL> and <URL>")
+    assert(out(3L) == "server <IP> and <IP> respond")
+    assert(out(4L) == "call +1 <PHONE> or <PHONE> now")
+    assert(out(5L) == "perfectly clean text with numbers 12345 and dots a.b")
+    // idempotent: a second pass changes nothing
+    val twice = df.select(TextOps.redactPii(TextOps.redactPii(col("text"))).as("r"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == out.values.toSet)
+  }
+
   test("content fingerprint is order- and duplication-insensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"),
