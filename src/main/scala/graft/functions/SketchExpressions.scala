@@ -120,16 +120,18 @@ object SimHash64 {
     Bridge.column(SimHash64(Bridge.expression(tokens)))
 }
 
-/** Distinct word n-gram shingles of a token array, in one pass.
-  * Equivalent to `array_distinct(transform(sequence(...), i =>
-  * concat_ws(" ", slice(tokens, i, n))))` but without n·len
+/** Word n-gram shingles of a token array, in one pass — distinct
+  * (set semantics, first-seen order: the similarity-join input) or
+  * with duplicates kept in window order (the repetition-statistics
+  * input). Equivalent to `[array_distinct(]transform(sequence(...),
+  * i => concat_ws(" ", slice(tokens, i, n)))[)]` but without n·len
   * interpreted lambda evaluations and intermediate allocations.
   *
   * Windows containing a null token are skipped — the declared
   * element type is non-null, and a null must never leak into it via
   * `UTF8String.concat` (downstream codegen trusts containsNull).
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "shingle size must be >= 1")
@@ -145,7 +147,8 @@ case class WordShingles(child: Expression, n: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val len = arr.numElements()
-    val out = new java.util.LinkedHashSet[UTF8String]()
+    val out = new java.util.ArrayList[UTF8String]()
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
     if (len >= n) {
       val space = UTF8String.fromString(" ")
       var i = 0
@@ -163,15 +166,14 @@ case class WordShingles(child: Expression, n: Int)
             s = UTF8String.concat(s, space, arr.getUTF8String(i + j))
             j += 1
           }
-          out.add(s)
+          if (seen == null || seen.add(s)) out.add(s)
         }
         i += 1
       }
     }
     val res = new Array[Any](out.size)
-    val it  = out.iterator()
-    var k   = 0
-    while (it.hasNext) { res(k) = it.next(); k += 1 }
+    var k = 0
+    while (k < res.length) { res(k) = out.get(k); k += 1 }
     new GenericArrayData(res)
   }
 
@@ -182,6 +184,10 @@ case class WordShingles(child: Expression, n: Int)
 object WordShingles {
   def apply(tokens: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(tokens), n))
+
+  /** All window shingles with duplicates kept, in window order. */
+  def all(tokens: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(tokens), n, distinct = false))
 }
 
 /** All `tables` signed-random-hyperplane sketches of a float vector

@@ -170,6 +170,32 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     },
 
+    // Repetition signals (Gopher-style quality rules): per doc, the
+    // top-bigram share and the duplicate-bigram share of all token
+    // bigrams — high values mark templated/degenerate text. One
+    // explode + two keyed aggregations; exact integer ratios.
+    "t9_repetition" -> { (s, d) =>
+      val withToks = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tokens"))
+        .filter(size(col("tokens")) >= 2)
+        .select(col("doc_id"),
+          explode(graft.functions.WordShingles.all(col("tokens"), 2)).as("bg"))
+      withToks
+        .groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("cnt")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("top_cnt"))
+        .select(
+          col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          round(col("top_cnt").cast(DoubleType) / col("n_bigrams"), 6).as("top_bigram_frac"),
+          round((col("n_bigrams") - col("n_distinct")).cast(DoubleType) / col("n_bigrams"), 6)
+            .as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus vocabulary: global term frequencies + document
     // frequencies — exact integer aggregation, one shuffle on term.
     "t5_vocabulary" -> { (s, d) =>
@@ -582,6 +608,23 @@ object CorpusOps {
       s"""SELECT doc_id, $chain AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "t9_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM toks),
+        |cnts AS (
+        |  SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_frac,
+        |  round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 6) AS dup_bigram_frac
+        |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t5_vocabulary" ->
       """WITH toks AS (
