@@ -120,6 +120,41 @@ object NgramJaccard {
   }
 }
 
+/** Benchmark decontamination: screen a training corpus for n-gram
+  * overlap with a (small) evaluation/benchmark set — the standard
+  * defense against test-set leakage into training data.
+  */
+object Decontamination {
+
+  /** Per-corpus-doc overlap report against the benchmark: the
+    * maximum number of distinct word n-grams shared with any single
+    * benchmark doc (0 when none), plus the contamination flag.
+    *
+    * The benchmark side is broadcast — corpus n-grams that don't
+    * appear in the benchmark die at the broadcast hash probe, so the
+    * corpus is one shingle-scan pass and nothing corpus-sized
+    * shuffles; cost scales with corpus size × benchmark hit rate,
+    * not with the product.
+    */
+  def overlapReport(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val cPost = corpus.select(col(idCol).as("doc_id"),
+      explode(NgramJaccard.shingles(col(textCol), n)).as("g"))
+    val bPost = benchmark.select(col(idCol).as("bench_id"),
+      explode(NgramJaccard.shingles(col(textCol), n)).as("g"))
+    val perPair = cPost.join(broadcast(bPost), Seq("g"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+    val perDoc = perPair.groupBy(col("doc_id"))
+      .agg(max(col("shared")).as("max_overlap"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("max_overlap"), lit(0L)).as("max_overlap"))
+      .withColumn("contaminated", (col("max_overlap") > 0).cast("int"))
+  }
+}
+
 /** MinHash + LSH banding near-duplicate detection.
   *
   * Signature: `numHashes` min-hashes per document, hash h_i(token) =

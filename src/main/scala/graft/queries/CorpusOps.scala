@@ -80,6 +80,19 @@ object CorpusOps {
         .orderBy(col("a"), col("b"))
     },
 
+    // Benchmark decontamination report: every 50th doc plays the
+    // held-out benchmark; each remaining doc reports its max distinct
+    // 5-gram overlap with any benchmark doc (zeros included — the
+    // whole computation hashes, not just the hits).
+    "d8_decontamination" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.dedup.Decontamination.overlapReport(
+          corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          benchmark = docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // LSH-blocked near-dup pairs: hyperplane-sketch bucket self-join,
     // never an all-pairs product. (planes=6, tables=48, seed=42) is
     // tuned (tools/TuneD5.scala) to recall 1.0 against the exact ≥τ
@@ -424,6 +437,28 @@ object CorpusOps {
          |WHERE len(list_intersect(a.sh, b.sh)) * 1000000 >=
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 800000
          |ORDER BY a, b""".stripMargin,
+
+    "d8_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-3,1)),
+        |    i -> array_to_string(t[i:i+4], ' '))) AS s
+        |  FROM toks),
+        |cpost AS (
+        |  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0),
+        |bpost AS (
+        |  SELECT doc_id AS bench_id, unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+        |ov AS (
+        |  SELECT c.doc_id, b.bench_id, count(*) AS shared
+        |  FROM cpost c JOIN bpost b USING (g) GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, max(shared) AS max_overlap FROM ov GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CAST(COALESCE(m.max_overlap, 0) AS BIGINT) AS max_overlap,
+        |  CAST(COALESCE(m.max_overlap, 0) > 0 AS INT) AS contaminated
+        |FROM sh s LEFT JOIN mx m USING (doc_id)
+        |WHERE s.doc_id % 50 <> 0
+        |ORDER BY s.doc_id""".stripMargin,
 
     // d3's exact-pair oracle restricted to pairs touching the new
     // batch (b >= 250 ⇔ at least one side is new, since new ids sort

@@ -58,6 +58,23 @@ final class DedupSpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("decontamination flags docs sharing benchmark n-grams, and only those") {
+    val benchmark = Seq(
+      (900L, "the capital of france is paris and the capital of italy is rome")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "students learn that the capital of france is paris every year"), // leaked
+      (2L, "completely unrelated training text about spark joins and shuffles"),
+      (3L, "the capital markets rallied today on strong earnings reports")   // shares no 5-gram
+    ).toDF("doc_id", "text")
+    val report = Decontamination.overlapReport(corpus, benchmark, "doc_id", "text", n = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("max_overlap"), r.getAs[Int]("contaminated"))).toMap
+    assert(report(1L)._2 == 1 && report(1L)._1 >= 1)
+    assert(report(2L) == ((0L, 0)))
+    assert(report(3L) == ((0L, 0)))
+  }
+
   test("incremental dedup finds exactly the pairs touching the new batch") {
     val docs01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = 250L
