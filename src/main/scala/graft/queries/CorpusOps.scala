@@ -209,6 +209,19 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     },
 
+    // Sequence packing (pretraining batch layout): docs concatenated
+    // per source shard in doc_id order and cut into 512-token
+    // training sequences — each doc's global offset, sequence id, and
+    // in-sequence offset. Per-shard windows, distributed sort.
+    "t10_seq_packing" -> { (s, d) =>
+      TextOps.packIntoSequences(
+          t(s, d, "documents"), "text", shardCol = "source",
+          orderCol = "doc_id", maxTokens = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("token_offset"), col("seq_id"), col("offset_in_seq"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus vocabulary: global term frequencies + document
     // frequencies — exact integer aggregation, one shuffle on term.
     "t5_vocabulary" -> { (s, d) =>
@@ -660,6 +673,21 @@ object CorpusOps {
         |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_frac,
         |  round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 6) AS dup_bigram_frac
         |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t10_seq_packing" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS token_offset
+        |  FROM n)
+        |SELECT doc_id, source, n_tokens, CAST(token_offset AS BIGINT) AS token_offset,
+        |  CAST(token_offset // 512 AS BIGINT) AS seq_id,
+        |  CAST(token_offset % 512 AS BIGINT) AS offset_in_seq
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     "t5_vocabulary" ->
       """WITH toks AS (

@@ -146,4 +146,24 @@ object TextOps {
     */
   def chunkText(c: Column, start: Column, chunkTokens: Int): Column =
     concat_ws(" ", slice(tokens(c), start + 1, lit(chunkTokens)))
+
+  /** Sequence packing for pretraining batches: concatenate documents
+    * in `orderCol` order within each `shardCol` partition and cut at
+    * `maxTokens` boundaries — each doc gets its global token offset,
+    * the training sequence it starts in, and its offset inside that
+    * sequence (the concat-with-EOD-then-chunk layout). Per-shard
+    * windows keep the sort distributed: one shard = one task's sort,
+    * never a global single-partition sort.
+    */
+  def packIntoSequences(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        shardCol: String, orderCol: String,
+                        maxTokens: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", nTokens(col(textCol)).cast("long"))
+      .withColumn("token_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"token_offset div $maxTokens")) // integer div, no float boundary
+      .withColumn("offset_in_seq", col("token_offset") % maxTokens)
+  }
 }
