@@ -28,6 +28,23 @@ final class PlanAuditSpec extends SparkTestBase {
   // plans lazily and is audited here
   private val skipped = Set("s1_stream_tumbling", "s2_stream_sessions")
 
+  test("filters and pruning reach the parquet scan (q1)") {
+    val plan = graft.SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      "q1's shipdate filter must push down to the scan")
+    // column pruning: the scan must not read the widest lineitem columns
+    assert(!plan.contains("l_comment"), "q1 must not scan l_comment")
+  }
+
+  test("dimension joins broadcast (q5, q17)") {
+    Seq("q5_join_broadcast", "q17_snowflake_join").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name must broadcast its dim side")
+    }
+  }
+
   test("no gated query plans a cartesian product") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if skipped(name) => None
