@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.ann.Ann
 import graft.dedup.{Dedup, MinHashLSH, NgramJaccard, SimHash}
@@ -219,6 +219,29 @@ object CorpusOps {
           orderCol = "doc_id", maxTokens = 512)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("token_offset"), col("seq_id"), col("offset_in_seq"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Unigram LM scoring (the CCNet-style perplexity proxy): each
+    // doc's mean log corpus-probability of its tokens. Common-word
+    // prose scores high, gibberish and rare-token noise score low.
+    // The corpus LM is the t5 vocabulary (broadcast — vocab ≪
+    // corpus); the doc side is one explode + one keyed aggregation.
+    "t11_unigram_logprob" -> { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("tf_total"))
+      val total = vocab.agg(sum(col("tf_total")).as("corpus_tokens"))
+      // quantize each log to 12 decimals BEFORE summing — float sums
+      // are order-dependent across partitions; decimal sums are exact
+      val logDec = log(col("tf_total").cast(DoubleType) / col("corpus_tokens"))
+        .cast(DecimalType(24, 12))
+      toks.join(broadcast(vocab), Seq("term"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(sum(logDec).cast(DoubleType) / count(lit(1)), 6).as("mean_logprob"))
         .orderBy(col("doc_id"))
     },
 
@@ -673,6 +696,18 @@ object CorpusOps {
         |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_frac,
         |  round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 6) AS dup_bigram_frac
         |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t11_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |vocab AS (SELECT term, count(*) AS tf_total FROM toks GROUP BY term),
+        |total AS (SELECT CAST(sum(tf_total) AS BIGINT) AS corpus_tokens FROM vocab)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(ln(CAST(v.tf_total AS DOUBLE) / t.corpus_tokens)
+        |                       AS DECIMAL(24,12))) AS DOUBLE) / count(*), 6) AS mean_logprob
+        |FROM toks JOIN vocab v USING (term) CROSS JOIN total t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t10_seq_packing" ->
       """WITH n AS (

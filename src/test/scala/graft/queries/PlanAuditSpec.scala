@@ -22,7 +22,7 @@ final class PlanAuditSpec extends SparkTestBase {
   //     against every corpus row" IS the operator — the corpus side
   //     never shuffles and each partition scans independently: a1
   private val scalarBroadcastOk =
-    Set("t6_tfidf_top_terms", "q23_correlated_subquery", "a1_ann_topk")
+    Set("t6_tfidf_top_terms", "t11_unigram_logprob", "q23_correlated_subquery", "a1_ann_topk")
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
