@@ -3,6 +3,8 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every `SparkEntry.queries` entry against
@@ -23,6 +25,13 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is NOT silently dropped: its error is recorded
   * in the JSON (`"errors"`) and the process exits non-zero, so a
   * broken query fails the bench gate instead of shrinking the total.
+  * Only [[scala.util.control.NonFatal]] errors are recorded — a fatal
+  * VM error (OutOfMemoryError etc.) aborts the whole bench, because
+  * every timing measured after a heap blowout is garbage.
+  *
+  * The JSON line is kept compact (seconds rounded to 3 decimals, the
+  * `"errors"` object omitted when empty) so it fits inside the
+  * driver's output-tail capture window in one piece.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,7 +47,7 @@ object Bench {
         fn(spark, sfDir).count()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
-        case e: Throwable =>
+        case NonFatal(e) =>
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
     }
@@ -61,17 +70,21 @@ object Bench {
         case c             => c.toString
       }
 
+    def sec3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+
     val qs = results.map {
-      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Right(v)) => "\"" + k + "\":" + sec3(v)
       case (k, Left(_))  => "\"" + k + "\":-1"
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, Left(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
-      .mkString("{", ",", "}")
+    val errEntries = results.collect { case (k, Left(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
+    val errors =
+      if (errEntries.isEmpty) "" else errEntries.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     // numeric scale factor parsed from the directory name (sf0.1 -> 0.1)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":$sf}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$errors,"sf":$sf}"""
     println(line)
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
