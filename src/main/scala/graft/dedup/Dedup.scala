@@ -64,16 +64,31 @@ object NgramJaccard {
     * prefixes and break exactness.
     */
   def prefixCandidates(df: DataFrame, idCol: String, textCol: String, n: Int,
-                       minJaccard: Double): DataFrame = {
+                       minJaccard: Double): DataFrame =
+    prefixCandidatesOfSets(
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs")),
+      minJaccard)
+
+  /** [[prefixCandidates]] over an already-shingled (id, shs) table.
+    * The doc's set size rides through the explode as `size(shs)` — a
+    * per-row projection — instead of being re-counted with a second
+    * `count().over(partitionBy(id))` window pass over the exploded
+    * posting table (that window was a full extra shuffle+sort of
+    * every (id, shingle) row for a value known before the explode).
+    * Only the rarity `row_number` window remains, which is inherent
+    * to prefix filtering.
+    */
+  private[dedup] def prefixCandidatesOfSets(shSets: DataFrame,
+                                            minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val num   = math.round(minJaccard * 1e6)
     val denom = 1000000L
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sh = shSets.select(col("id"), size(col("shs")).as("sz"),
+      explode(col("shs")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
     val byRarity = Window.partitionBy(col("id")).orderBy(col("dfreq").asc, col("sh").asc)
     val prefix = sh.join(dfreq, Seq("sh"))
       .withColumn("rk", row_number().over(byRarity))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
       .filter(lit(num) * col("sz") <= lit(denom) * (col("sz") + 1 - col("rk")))
     prefix.select(col("sh"), col("id").as("a"))
       .join(prefix.select(col("sh"), col("id").as("b")), Seq("sh"))
@@ -94,13 +109,21 @@ object NgramJaccard {
     * shingle table is touched once, not once per join side. All
     * shuffles are on keys (shingle, id, pair); the threshold test
     * stays exact integer arithmetic.
+    *
+    * The (id, shs) shingle projection is `localCheckpoint`ed so the
+    * candidate generator and the verifier read ONE materialization of
+    * the shingling work (tokenize + n-gram set per doc) instead of
+    * each re-deriving the whole subtree; blocks live in executor
+    * memory and spill to local disk, and are freed when the plan is
+    * garbage-collected — nothing is pinned across queries.
     */
   def pairs(df: DataFrame, idCol: String, textCol: String, n: Int,
             minJaccard: Double): DataFrame = {
     val num   = math.round(minJaccard * 1e6)
     val denom = 1000000L
     val shSets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
-    val melted = prefixCandidates(df, idCol, textCol, n, minJaccard)
+      .localCheckpoint()
+    val melted = prefixCandidatesOfSets(shSets, minJaccard)
       .select(col("a"), col("b"),
         explode(array(
           struct(col("a").as("id"), lit(0).as("side")),

@@ -225,8 +225,12 @@ object CorpusOps {
     // Unigram LM scoring (the CCNet-style perplexity proxy): each
     // doc's mean log corpus-probability of its tokens. Common-word
     // prose scores high, gibberish and rare-token noise score low.
-    // The corpus LM is the t5 vocabulary (broadcast — vocab ≪
-    // corpus); the doc side is one explode + one keyed aggregation.
+    // The corpus LM is the t5 vocabulary. The token↔vocab join is a
+    // deliberately UN-hinted shuffle join on term: the vocabulary is
+    // an unbounded aggregate of the corpus (billions of terms on a
+    // web-scale crawl), so force-broadcasting it would OOM the build
+    // side at scale — AQE may still pick broadcast when the measured
+    // size is small. Only the 1-row corpus-total scalar is broadcast.
     "t11_unigram_logprob" -> { (s, d) =>
       val toks = t(s, d, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
@@ -236,7 +240,7 @@ object CorpusOps {
       // are order-dependent across partitions; decimal sums are exact
       val logDec = log(col("tf_total").cast(DoubleType) / col("corpus_tokens"))
         .cast(DecimalType(24, 12))
-      toks.join(broadcast(vocab), Seq("term"))
+      toks.join(vocab, Seq("term"))
         .crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
         .agg(
@@ -272,7 +276,10 @@ object CorpusOps {
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term").asc)
-      tf.join(broadcast(df), Seq("term"))
+      // un-hinted term join: df is an unbounded per-term aggregate
+      // (same scale hazard as t11's vocab) — let AQE pick broadcast
+      // only when the measured build side is actually small
+      tf.join(df, Seq("term"))
         .crossJoin(broadcast(nDocs))
         .withColumn("score",
           round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))

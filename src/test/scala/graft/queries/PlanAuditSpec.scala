@@ -45,6 +45,24 @@ final class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("no broadcast hint on an unbounded aggregate (t6, t11)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    // a force-broadcast of a keyed aggregate over the corpus (the
+    // term vocabulary, per-term document frequencies) is unbounded at
+    // scale and OOMs the build side; only grouping-key-less (1-row
+    // scalar) aggregates may carry the hint in these plans
+    Seq("t6_tfidf_top_terms", "t11_unigram_logprob").foreach { name =>
+      val analyzed = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.analyzed
+      val offending = analyzed.collect {
+        case h: ResolvedHint if !h.child.collectFirst { case a: Aggregate => a }
+            .exists(_.groupingExpressions.isEmpty) => h.simpleString(80)
+      }
+      assert(offending.isEmpty,
+        s"$name force-broadcasts a keyed (unbounded) aggregate:\n${offending.mkString("\n")}")
+    }
+  }
+
   test("no gated query plans a cartesian product") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if skipped(name) => None
