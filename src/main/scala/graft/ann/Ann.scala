@@ -94,6 +94,35 @@ object Ann {
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
 
+  /** Thresholded kNN graph via LSH: for EVERY vector, its top-k
+    * neighbors among those with cosine ≥ `minCos` — the similarity
+    * graph behind near-dup clustering and semantic dedup, built from
+    * [[cosineNearDupPairsLSH]]'s bucket self-join (never all-pairs;
+    * nothing is broadcast, so the query side may be the whole
+    * corpus). Thresholding is what makes LSH *exact* here: with
+    * (planes, tables) tuned to recall 1.0 at `minCos` (see
+    * `tools/TuneD5.scala` / `tools/TuneAnn.scala`), every qualifying
+    * pair collides in some table, so the graph equals the brute-force
+    * thresholded graph — unthresholded global top-k has no such
+    * guarantee (the k-th neighbor can be near-orthogonal, which no
+    * sublinear index recalls reliably).
+    */
+  def cosineKnnGraphLSH(df: DataFrame, minCos: Double, k: Int, dim: Int,
+                        planes: Int = 10, tables: Int = 8,
+                        seed: Long = 42L): DataFrame = {
+    val undirected = cosineNearDupPairsLSH(df, minCos, dim, planes, tables, seed)
+    val directed = undirected
+      .select(col("a").as("query_id"), col("b").as("nbr_id"), col("sim"))
+      .unionByName(undirected
+        .select(col("b").as("query_id"), col("a").as("nbr_id"), col("sim")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    directed
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse quantizer — a
     * small broadcastable centroid table, e.g. k-means centroids or
     * per-label means — partitions the corpus into cells; each query
@@ -106,19 +135,28 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2): DataFrame = {
-    val cents = centroids.select(
-      col("cell"), col("vec").as("centvec"), VectorOps.fnorm(col("vec")).as("centnorm"))
+    // centroid sims use the HOF dot (casts every element to double),
+    // so centroids may be array<float> OR array<double> (e.g. exact
+    // decimal/rounded means); the hot corpus×query scoring below
+    // stays on the fused float path. The quantizer is tiny, so the
+    // interpreted HOF cost is per-row × |cells|, not corpus².
+    val cents = broadcast(centroids.select(
+      col("cell"), col("vec").as("centvec"),
+      sqrt(VectorOps.dot(col("vec"), col("vec"))).as("centnorm")))
 
-    // nearest `n` cells for a (id, vec, norm) side
+    // nearest `n` cells for a (id, vec, norm) side. The argmax is a
+    // window over the broadcast-joined (id × cells) rows — one
+    // shuffle of narrow (id, cell, csim) rows; a production index
+    // would persist the corpus-side assignment with the vectors.
     def assign(df: DataFrame, n: Int, idAs: String, vecAs: String,
                normAs: String): DataFrame = {
       val w = Window.partitionBy(col(idAs))
         .orderBy(col("csim").desc, col("cell").asc)
       df.select(col("id").as(idAs), col("vec").as(vecAs),
           VectorOps.fnorm(col("vec")).as(normAs))
-        .join(broadcast(cents))
+        .join(cents)
         .withColumn("csim",
-          VectorOps.cosinePre(col(vecAs), col("centvec"), col(normAs), col("centnorm")))
+          VectorOps.dot(col(vecAs), col("centvec")) / (col(normAs) * col("centnorm")))
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= n)
         .drop("centvec", "centnorm", "csim", "crank")

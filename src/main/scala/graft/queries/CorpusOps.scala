@@ -127,6 +127,45 @@ object CorpusOps {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // LSH thresholded kNN graph: every vector's top-5 neighbors with
+    // cosine ≥ 0.45, via the d5 bucket self-join. (planes=6,
+    // tables=48, seed=42) is tuned to recall 1.0 at τ=0.45 on all
+    // three fixtures (tools/TuneAnn.scala: candidates are 40–53% of
+    // all-pairs, so the index genuinely prunes), which makes the
+    // approximate graph EQUAL the brute-force thresholded graph —
+    // hence the same exact DuckDB oracle as a brute-force query.
+    "a2_ann_lsh_knn" -> { (s, d) =>
+      Ann.cosineKnnGraphLSH(
+          t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+          minCos = 0.45, k = 5, dim = 64, planes = 6, tables = 48, seed = 42L)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IVF top-k with label-mean centroids, nprobe=2. IVF recall is
+    // structural (a probed-cell miss is a miss), so the oracle
+    // replicates the INDEX itself — the d4 pattern: DuckDB recomputes
+    // the same rounded centroids, the same argmax cell assignment,
+    // the same top-2 probe set, and ranks within probed cells —
+    // verifying the operator's semantics end-to-end. Centroids are
+    // rounded to 6 decimals so both engines quantize from identical
+    // values (round-6 absorbs float partial-sum order, as v1 proves).
+    "a3_ann_ivf" -> { (s, d) =>
+      val all = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      val cents = all
+        .select(col("label").as("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x").cast(DoubleType)), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
+      val vecs = all.select(col("id"), col("vec"))
+      Ann.ivfTopK(vecs, vecs.filter(col("id") < 20), cents, k = 5, nprobe = 2)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // ---- text analysis ----
     "t1_text_stats" -> { (s, d) =>
       val doc = t(s, d, "documents")
@@ -566,6 +605,67 @@ object CorpusOps {
          |scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosineExpr AS sim
          |  FROM v a JOIN v b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT query_id, nbr_id, round(sim, 6) AS sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, nbr_id, sim, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // brute-force thresholded kNN graph — the LSH config is tuned to
+    // recall 1.0 at τ, so the approximate query must equal this
+    "a2_ann_lsh_knn" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosineExpr AS sim
+         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+         |  WHERE $cosineExpr >= 0.45),
+         |ranked AS (
+         |  SELECT query_id, nbr_id, round(sim, 6) AS sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, nbr_id, sim, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // replicates the IVF index structure: rounded label-mean
+    // centroids → argmax cell per corpus vector → top-2 probed cells
+    // per query → rank within probed cells
+    "a3_ann_ivf" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS cell, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+         |  GROUP BY label, i),
+         |cvecs AS (
+         |  SELECT cell, list(m ORDER BY pos) AS cvec FROM cent GROUP BY cell),
+         |cn AS (
+         |  SELECT cell, cvec,
+         |    sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+         |  FROM cvecs),
+         |csims AS (
+         |  SELECT v.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_sum(list_transform(list_zip(v.embedding, c.cvec),
+         |        x -> CAST(x[1] AS DOUBLE) * x[2])) / (v.nrm * c.cnrm) DESC,
+         |      c.cell ASC) AS crank
+         |  FROM v CROSS JOIN cn c),
+         |assigned AS (SELECT vec_id, cell FROM csims WHERE crank = 1),
+         |probed AS (SELECT vec_id, cell FROM csims WHERE crank <= 2 AND vec_id < 20),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosineExpr AS sim
+         |  FROM probed p
+         |  JOIN assigned asg ON asg.cell = p.cell
+         |  JOIN v a ON a.vec_id = p.vec_id
+         |  JOIN v b ON b.vec_id = asg.vec_id
+         |  WHERE a.vec_id <> b.vec_id),
          |ranked AS (
          |  SELECT query_id, nbr_id, round(sim, 6) AS sim,
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rank

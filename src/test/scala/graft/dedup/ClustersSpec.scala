@@ -28,4 +28,33 @@ final class ClustersSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.values.forall(_ == 1L))
   }
+
+  test("large-star/small-star: same components as min-label on a mixed graph") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L), (31L, 32L), (30L, 33L), (33L, 34L) // tree
+    ).toDF("a", "b")
+    val label = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stars = Clusters.connectedComponentsStars(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == label)
+  }
+
+  test("large-star/small-star: 10k-node adversarial path graph in O(log n) rounds") {
+    // a 10_000-node chain is the worst case for plain propagation
+    // (diameter = n); the star rounds must close it within the
+    // default 50-round cap (theory: O(log n) ≈ 14)
+    val pairs = spark.range(1L, 10000L).selectExpr("id AS a", "id + 1 AS b")
+    val comp = Clusters.connectedComponentsStars(pairs)
+    import org.apache.spark.sql.functions._
+    val agg = comp.agg(count(lit(1)), countDistinct(col("cluster_rep")),
+      min(col("cluster_rep")), min(col("id")), max(col("id"))).head()
+    assert(agg.getLong(0) == 10000L, "every chain node labeled")
+    assert(agg.getLong(1) == 1L, "one component")
+    assert(agg.getLong(2) == 1L, "rep is the chain minimum")
+    assert(agg.getLong(3) == 1L && agg.getLong(4) == 10000L)
+  }
 }

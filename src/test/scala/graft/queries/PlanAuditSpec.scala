@@ -21,8 +21,11 @@ final class PlanAuditSpec extends SparkTestBase {
   //   - brute-force ANN, where "score the broadcast query batch
   //     against every corpus row" IS the operator — the corpus side
   //     never shuffles and each partition scans independently: a1
+  //   - IVF's coarse quantizer: every vector scores against the
+  //     broadcast |cells|-row centroid table (a3)
   private val scalarBroadcastOk =
-    Set("t6_tfidf_top_terms", "t11_unigram_logprob", "q23_correlated_subquery", "a1_ann_topk")
+    Set("t6_tfidf_top_terms", "t11_unigram_logprob", "q23_correlated_subquery",
+      "a1_ann_topk", "a3_ann_ivf")
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
