@@ -13,9 +13,14 @@ import org.apache.spark.sql.SparkSession
   *     TIMESTAMP(NANOS), which Spark 4 otherwise refuses; reading the
   *     nanos as longs lets [[graft.queries.Tables.events]] convert
   *     them explicitly (truncating, matching DuckDB).
-  *   - RocksDB state store: `transformWithState` needs multi-column-
-  *     family state, which only the RocksDB provider supports — also
-  *     the recommended provider for any large-state production job.
+  *   - State store provider: left at Spark's default (HDFS-backed,
+  *     in-memory maps) — the right store for bounded watermark-sized
+  *     state like windowed counts, with none of RocksDB's per-batch
+  *     open/commit overhead. `transformWithState` needs multi-column-
+  *     family state, which only the RocksDB provider supports, so
+  *     [[graft.streaming.EventsPipeline.runningTotalsV2]] switches
+  *     the session to RocksDB itself; a production job holding
+  *     larger-than-heap state would likewise opt in per job.
   */
 object GraftSession {
 
@@ -34,8 +39,6 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -145,9 +145,17 @@ object Clusters {
     }
     // at fixpoint every non-rep node has exactly one star edge to its
     // rep; the min-agg also yields the best-known rep if maxIter cut
-    // the loop short on a pathological graph
+    // the loop short on a pathological graph. Identity rows from the
+    // RAW pair list keep nodes whose only edges were self-loops
+    // (canon() drops (a,a), so they never enter the star rounds) —
+    // the min-label engine returns them with themselves as rep, and
+    // the two engines must stay interchangeable on that input too.
+    val nodes = pairs.select(col("a").cast("long").as("id"))
+      .union(pairs.select(col("b").cast("long").as("id")))
+      .distinct()
     edges.select(col("src").as("id"), col("dst").as("label"))
       .union(edges.select(col("dst").as("id"), col("dst").as("label")))
+      .union(nodes.select(col("id"), col("id").as("label")))
       .groupBy(col("id"))
       .agg(min(col("label")).as("cluster_rep"))
   }

@@ -110,19 +110,25 @@ object NgramJaccard {
     * shuffles are on keys (shingle, id, pair); the threshold test
     * stays exact integer arithmetic.
     *
-    * The (id, shs) shingle projection is `localCheckpoint`ed so the
-    * candidate generator and the verifier read ONE materialization of
-    * the shingling work (tokenize + n-gram set per doc) instead of
-    * each re-deriving the whole subtree; blocks live in executor
-    * memory and spill to local disk, and are freed when the plan is
-    * garbage-collected — nothing is pinned across queries.
+    * The (id, shs) shingle projection is `localCheckpoint`ed LAZILY
+    * (eager = false) so the candidate generator and the verifier read
+    * ONE materialization of the shingling work (tokenize + n-gram set
+    * per doc) instead of each re-deriving the whole subtree — while
+    * building this DataFrame stays a pure plan-construction step (no
+    * Spark job until an action fires, and plan audits still see the
+    * subtree). Blocks live in executor memory and spill to local
+    * disk, and are freed when the plan is garbage-collected — nothing
+    * is pinned across queries. Trade-off (documented, accepted):
+    * checkpoint blocks are non-recomputable if an executor is lost
+    * under dynamic allocation — acceptable for a bounded two-reader
+    * subplan; a resilient alternative is persist(DISK_ONLY) + unpersist.
     */
   def pairs(df: DataFrame, idCol: String, textCol: String, n: Int,
             minJaccard: Double): DataFrame = {
     val num   = math.round(minJaccard * 1e6)
     val denom = 1000000L
     val shSets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val melted = prefixCandidatesOfSets(shSets, minJaccard)
       .select(col("a"), col("b"),
         explode(array(

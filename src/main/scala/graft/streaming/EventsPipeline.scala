@@ -170,8 +170,12 @@ object EventsPipeline {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     // transformWithState needs multi-column-family state, which only
-    // the RocksDB provider supports. GraftSession sets it at build
-    // time; idempotent fallback for foreign sessions.
+    // the RocksDB provider supports — the ONE streaming op here that
+    // does. The session default stays HDFS-backed (GraftSession):
+    // plain windowed aggs carry bounded watermark-sized state and
+    // RocksDB's per-batch open/commit overhead buys them nothing.
+    // (Session-mutating, read at query start: later streams in this
+    // session also get RocksDB — a perf, never correctness, matter.)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     events

@@ -78,12 +78,44 @@ object TuneAnn {
       println(s"== ${f.name}: n=${f.n} queries=${queryIdx.size} " +
         s"tau=$TAU kept=${topK.valuesIterator.map(_.length).sum}")
 
+      // ---- gate-fixture safety margins ----
+      // The a2/a3 gates rank by UNROUNDED sims and apply τ BEFORE the
+      // 6-decimal round, so a fixture pair with cosine within ~1e-6
+      // of τ, or two neighbors of one query tied finer than the
+      // cross-engine float agreement, could filter/rank differently
+      // in Spark vs DuckDB and flip the hash gate. Assert the margins
+      // HERE so a fixture regeneration fails loudly in this tool
+      // instead of as an inscrutable oracle mismatch.
+      val EpsTau  = 1e-4
+      val EpsRank = 1e-6
+      val tauViolations = for {
+        q <- f.ids.indices; j <- f.ids.indices if j > q
+        s = cos(q, j) if math.abs(s - TAU) < EpsTau
+      } yield f"pair (${f.ids(q)},${f.ids(j)}) cos=$s%.8f is within $EpsTau of tau=$TAU"
+      require(tauViolations.isEmpty,
+        s"fixture ${f.name} breaks the threshold margin:\n${tauViolations.mkString("\n")}")
+      val rankViolations = queryIdx.flatMap { q =>
+        val ranked = f.ids.indices.filter(_ != q).map(j => (j, cos(q, j)))
+          .filter(_._2 >= TAU - EpsTau)
+          .sortBy { case (j, s) => (-s, f.ids(j)) }
+        ranked.sliding(2).toSeq.collect {
+          case Seq((j1, s1), (j2, s2)) if s1 - s2 < EpsRank =>
+            f"query ${f.ids(q)}: nbrs ${f.ids(j1)}@$s1%.8f / ${f.ids(j2)}@$s2%.8f tie finer than $EpsRank"
+        }
+      }
+      require(rankViolations.isEmpty,
+        s"fixture ${f.name} breaks the rank-tie margin:\n${rankViolations.mkString("\n")}")
+      println(s"  margins OK: no pair within $EpsTau of tau, no rank tie finer than $EpsRank")
+
       // ---- IVF: label-mean centroids ----
+      // rounded to 6 decimals like the a3 gate's index, so the
+      // margin checks below measure the exact values both engines
+      // quantize from
       val cells = (0 to f.labels.max).map { l =>
         val members = f.vecs.indices.filter(f.labels(_) == l)
         val c = new Array[Double](dim)
         members.foreach(i => (0 until dim).foreach(k => c(k) += f.vecs(i)(k)))
-        (0 until dim).foreach(k => c(k) /= members.size)
+        (0 until dim).foreach(k => c(k) = math.rint(c(k) / members.size * 1e6) / 1e6)
         c
       }.toArray
       val cellNorms = cells.map(c => math.sqrt(c.map(x => x * x).sum))
@@ -105,6 +137,39 @@ object TuneAnn {
         case Some(np) => println(s"  IVF exact at nprobe=$np (of ${cells.length} cells)")
         case None     => println(s"  IVF: not exact even probing all cells?!")
       }
+
+      // a3 gate margins (nprobe=2, queries id<20, k=5): the gate's
+      // oracle replicates the IVF index, so the cross-engine hazards
+      // are (1) a corpus vector whose nearest-cell argmax is nearly
+      // tied (assignment could flip), (2) a query's probe boundary
+      // (2nd vs 3rd cell) nearly tied (probe set could differ), and
+      // (3) an in-probe rank tie at/above the k-boundary. All three
+      // must clear the margin or regeneration fails here.
+      val GateNprobe = 2
+      val GateK = 5
+      val ivfViolations = Seq.newBuilder[String]
+      f.vecs.indices.foreach { i =>
+        val r = cells.indices.map(c => (c, cellSim(i, c))).sortBy { case (c, s) => (-s, c) }
+        if (r(0)._2 - r(1)._2 < EpsRank)
+          ivfViolations += f"vec ${f.ids(i)}: cell argmax tie ${r(0)._1}@${r(0)._2}%.8f vs ${r(1)._1}@${r(1)._2}%.8f"
+      }
+      f.ids.indices.filter(f.ids(_) < QUERY_MAX_ID).foreach { q =>
+        val r = cells.indices.map(c => (c, cellSim(q, c))).sortBy { case (c, s) => (-s, c) }
+        if (r(GateNprobe - 1)._2 - r(GateNprobe)._2 < EpsRank)
+          ivfViolations += f"query ${f.ids(q)}: probe boundary tie at nprobe=$GateNprobe"
+        val probed = r.take(GateNprobe).map(_._1).toSet
+        val cand = f.ids.indices.filter(j => j != q && probed(assigned(j)))
+          .map(j => (j, cos(q, j))).sortBy { case (j, s) => (-s, f.ids(j)) }
+        cand.take(GateK + 1).sliding(2).foreach {
+          case Seq((j1, s1), (j2, s2)) if s1 - s2 < EpsRank =>
+            ivfViolations += f"query ${f.ids(q)}: in-probe rank tie ${f.ids(j1)}@$s1%.8f / ${f.ids(j2)}@$s2%.8f"
+          case _ => ()
+        }
+      }
+      val ivfBad = ivfViolations.result()
+      require(ivfBad.isEmpty,
+        s"fixture ${f.name} breaks the a3 IVF margins:\n${ivfBad.mkString("\n")}")
+      println(s"  a3 IVF margins OK (argmax, probe boundary, in-probe ranks all > $EpsRank)")
 
       // ---- LSH: hyperplane sketches ----
       val maxTables = 64

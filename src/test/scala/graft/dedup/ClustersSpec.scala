@@ -34,13 +34,15 @@ final class ClustersSpec extends SparkTestBase {
       (1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L),
-      (30L, 31L), (31L, 32L), (30L, 33L), (33L, 34L) // tree
+      (30L, 31L), (31L, 32L), (30L, 33L), (33L, 34L), // tree
+      (40L, 40L) // self-loop-only node: both engines must emit (40, 40)
     ).toDF("a", "b")
     val label = Clusters.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val stars = Clusters.connectedComponentsStars(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stars == label)
+    assert(stars(40L) == 40L, "self-loop-only node keeps itself as rep")
   }
 
   test("large-star/small-star: 10k-node adversarial path graph in O(log n) rounds") {
