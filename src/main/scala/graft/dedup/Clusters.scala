@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: near-dup *pairs* (from
@@ -158,5 +158,37 @@ object Clusters {
       .union(nodes.select(col("id"), col("id").as("label")))
       .groupBy(col("id"))
       .agg(min(col("label")).as("cluster_rep"))
+  }
+
+  /** Canonical-document selection — the step that turns near-dup
+    * detection into an actual smaller corpus. Given the full document
+    * table and the near-dup pair list, resolve the pairs to duplicate
+    * clusters and keep exactly ONE document per cluster: the highest-
+    * scoring one (ties to the lowest id). Documents in no pair are
+    * their own singleton cluster and always survive.
+    *
+    * Returns every input document as
+    * `(id, cluster_rep, score, kept)` — the full audit trail a data
+    * lineage system wants (what was dropped and in favor of what),
+    * from which `filter(kept)` is the deduplicated corpus.
+    *
+    * Scale shape: the cluster resolution is [[connectedComponents]]
+    * (O(log d) keyed-shuffle rounds); the docs⟕clusters join is an
+    * equi-join on id; the argmax is one window over `cluster_rep` —
+    * a single shuffle whose groups are duplicate clusters (small by
+    * construction; singletons dominate). Nothing is quadratic in the
+    * corpus and no driver-side data movement occurs.
+    */
+  def keepBest(docs: DataFrame, idCol: String, scoreCol: Column,
+               pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = connectedComponents(pairs)
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("score").desc, col("id").asc)
+    docs.select(col(idCol).cast("long").as("id"), scoreCol.as("score"))
+      .join(comps, Seq("id"), "left_outer")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("id")))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("id"), col("cluster_rep"), col("score"), col("kept"))
   }
 }

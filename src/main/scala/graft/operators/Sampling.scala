@@ -55,4 +55,54 @@ object Sampling {
 
   /** Threshold literal for oracle SQL. */
   def oracleThreshold(rate: Double): String = threshold(rate).toString
+
+  /** Greedy per-stratum token budgeting — the "sample this source
+    * down to N tokens" step of training-mix curation. Rows are laid
+    * out in a deterministic pseudo-random order (the same md5 bucket
+    * as [[hashSample]], so the order is engine- and rerun-stable),
+    * the per-stratum running token total is computed along it, and a
+    * row is kept iff its running total fits the budget — a stable
+    * prefix: re-running with a bigger budget only ADDS documents.
+    *
+    * Scale shape: a naive `sum over (partition by stratum order by
+    * h)` serializes each stratum through ONE task — a few strata at
+    * 100 TB means a few working cores. Instead the cumsum is
+    * two-level: the hash's high bits split each stratum into
+    * `rangeBuckets` contiguous hash ranges; within-range cumsums run
+    * in parallel on (stratum, range) keys, per-range subtotals form a
+    * tiny (|strata| × rangeBuckets) relation whose exclusive prefix
+    * sums become per-range offsets, and offset + within-range cumsum
+    * is exactly the global running total. Both shuffles are keyed;
+    * nothing is single-partition.
+    *
+    * Output: the input columns plus `cum_tokens` (running total
+    * including this row) and `kept`.
+    */
+  def tokenBudget(df: DataFrame, keyCol: Column, strataCol: Column,
+                  nTokensCol: Column, budget: Long,
+                  salt: String = "graft", rangeBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rangeBuckets > 0 && (rangeBuckets & (rangeBuckets - 1)) == 0,
+      "rangeBuckets must be a power of two")
+    val shift = 60 - Integer.numberOfTrailingZeros(rangeBuckets)
+    val based = df
+      .withColumn("__stratum", strataCol)
+      .withColumn("__h", bucket(keyCol, salt))
+      .withColumn("__bkt", shiftright(col("__h"), shift))
+    val wIn = Window.partitionBy(col("__stratum"), col("__bkt"))
+      .orderBy(col("__h"), keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = based.withColumn("__cum_in", sum(nTokensCol).over(wIn))
+    val offsets = based.groupBy(col("__stratum"), col("__bkt"))
+      .agg(sum(nTokensCol).as("__tot"))
+      .withColumn("__off", coalesce(
+        sum(col("__tot")).over(Window.partitionBy(col("__stratum"))
+          .orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__stratum"), col("__bkt"), col("__off"))
+    withIn.join(offsets, Seq("__stratum", "__bkt"))
+      .withColumn("cum_tokens", (col("__off") + col("__cum_in")).cast("long"))
+      .withColumn("kept", col("cum_tokens") <= lit(budget))
+      .drop("__stratum", "__h", "__bkt", "__cum_in", "__off")
+  }
 }

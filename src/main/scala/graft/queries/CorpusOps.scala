@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
-import graft.ann.Ann
+import graft.ann.{Ann, Quantize}
 import graft.dedup.{Dedup, MinHashLSH, NgramJaccard, SimHash}
 import graft.multimodal.Multimodal
 import graft.streaming.EventsPipeline
@@ -53,6 +53,24 @@ object CorpusOps {
     "d6_dedup_clusters" -> { (s, d) =>
       val pairs = NgramJaccard.pairs(t(s, d, "documents"), "doc_id", "text", 3, 0.8)
       graft.dedup.Clusters.connectedComponents(pairs)
+        .orderBy(col("id"))
+    },
+
+    // Canonical selection: near-dup clusters (d6's pair machinery) ×
+    // quality scores (t2's metric) → exactly one survivor per
+    // cluster, best quality first, ties to the lowest doc_id. The
+    // full audit trail (every doc, kept or dropped) is what hashes,
+    // so the drop set is pinned — not just the survivor count.
+    // Ranking uses the UNROUNDED quality: t2 proves the expression is
+    // bit-identical across engines, so the rank order can't drift.
+    "d9_keep_best" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = NgramJaccard.pairs(docs, "doc_id", "text", 3, 0.8)
+      graft.dedup.Clusters.keepBest(
+          docs.withColumn("q", TextOps.qualityScore(col("text"))),
+          "doc_id", col("q"), pairs)
+        .select(col("id"), col("cluster_rep"),
+          round(col("score"), 6).as("quality"), col("kept"))
         .orderBy(col("id"))
     },
 
@@ -117,6 +135,23 @@ object CorpusOps {
         .groupBy(col("label"), col("pos"))
         .agg(round(avg(col("x").cast(DoubleType)), 6).as("mean_x"))
         .orderBy(col("label"), col("pos"))
+    },
+
+    // Int8 embedding quantization: per-vector scale + quantized
+    // values + reconstruction error. The gate hashes scalar digests
+    // (sum / L1 of the quantized ints, the scale, the L2 error) so
+    // every element of every qvec is pinned without relying on
+    // array-typed compare in the harness.
+    "v2_embed_quantize" -> { (s, d) =>
+      Quantize.int8(
+          t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")))
+        .select(
+          col("id").as("vec_id"),
+          round(col("scale"), 9).as("scale"),
+          expr("aggregate(qvec, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("aggregate(qvec, 0L, (a, x) -> a + abs(x))").as("q_l1"),
+          round(col("recon_err"), 6).as("recon_err"))
+        .orderBy(col("vec_id"))
     },
 
     // ---- similarity search ----
@@ -392,6 +427,22 @@ object CorpusOps {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // Per-source token budgeting: deterministic hash-ordered greedy
+    // prefix, kept iff the running token total fits 3000 tokens. The
+    // two-level cumsum (within-hash-range + tiny offset table) is the
+    // scale answer to "a running sum serializes the stratum"; its
+    // output is identical to the naive window the oracle runs.
+    "c4_token_budget" -> { (s, d) =>
+      import graft.operators.Sampling
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", TextOps.nTokens(col("text")).cast("long"))
+      Sampling.tokenBudget(docs, col("doc_id"), col("source"),
+          col("n_tokens"), budget = 3000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"), col("kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // Sliding-window document chunking (training-data / RAG prep):
     // 50-token chunks with 10-token overlap, one row per chunk.
     "t7_chunking" -> { (s, d) =>
@@ -473,6 +524,20 @@ object CorpusOps {
           queryName = s"s2_sessions_${System.nanoTime()}",
           glob = "events.parquet")
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Stream-stream inner join (click attribution): a self-join of
+    // the event stream — clicks pair with same-user views from the
+    // preceding 2 hours, state bounded by watermarks on BOTH
+    // sides. Run to completion in append mode (join rows emit as
+    // matched) and gated against the equivalent batch join.
+    "s3_stream_stream_join" -> { (s, d) =>
+      EventsPipeline.runToCompletion(
+          s, d, st => EventsPipeline.attributionJoin(st, st),
+          queryName = s"s3_attrib_${System.nanoTime()}",
+          glob = "events.parquet",
+          outputMode = "append")
+        .orderBy(col("view_id"), col("click_id"))
     }
   )
 
@@ -579,6 +644,57 @@ object CorpusOps {
          |SELECT src AS id, min(dst) AS cluster_rep
          |FROM reach GROUP BY src ORDER BY id""".stripMargin,
 
+    // d6's recursive closure + t2's quality metric + a per-cluster
+    // argmax: singleton docs (no pair) coalesce to themselves
+    "d9_keep_best" -> {
+      val allStop = TextOps.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(len(toks)-2,0)+1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM toks),
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1000000 >=
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 800000),
+         |edges AS (
+         |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+         |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (
+         |  SELECT src AS id, min(dst) AS cluster_rep FROM reach GROUP BY src),
+         |dq AS (
+         |  SELECT doc_id, text,
+         |    list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS ltoks,
+         |    len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS ndist,
+         |    len(string_split_regex(trim(text), '\\s+')) AS ntok
+         |  FROM documents),
+         |mq AS (
+         |  SELECT doc_id,
+         |    (least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+         |     + least(CAST(len(list_intersect(ltoks, $allStop)) AS DOUBLE)
+         |             / greatest(ndist, 1) * 4.0, 1.0)
+         |     + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |                    / greatest(ntok, 1), 1.0))) / 3.0 AS q
+         |  FROM dq),
+         |j AS (
+         |  SELECT m.doc_id AS id, coalesce(c.cluster_rep, m.doc_id) AS cluster_rep, m.q
+         |  FROM mq m LEFT JOIN comp c ON c.id = m.doc_id),
+         |r AS (
+         |  SELECT id, cluster_rep, q,
+         |    row_number() OVER (PARTITION BY cluster_rep ORDER BY q DESC, id ASC) AS rn
+         |  FROM j)
+         |SELECT id, cluster_rep, round(q, 6) AS quality, rn = 1 AS kept
+         |FROM r ORDER BY id""".stripMargin
+    },
+
     "d5_embed_neardup" ->
       s"""WITH v AS (
          |  SELECT vec_id, embedding,
@@ -595,6 +711,31 @@ object CorpusOps {
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_x
         |FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    // mirrors Quantize.int8 element-for-element: same scale op, same
+    // half-away round, same array-order error accumulation
+    "v2_embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN mx = 0 THEN 0.0 ELSE mx / 127.0 END AS scale
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, scale, embedding,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END AS qvec
+        |  FROM s)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |  CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  round(sqrt(coalesce(list_sum(list_transform(list_zip(embedding, qvec),
+        |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)
+        |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale))), 0.0)), 6) AS recon_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "a1_ann_topk" ->
       s"""WITH v AS (
@@ -871,6 +1012,25 @@ object CorpusOps {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // the naive per-stratum running sum — the Spark side's two-level
+    // cumsum must reproduce it exactly
+    "c4_token_budget" -> {
+      import graft.operators.Sampling
+      val b = Sampling.oracleBucketSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    $b AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens, cum_tokens, cum_tokens <= 3000 AS kept
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
     "c1_clean_pipeline" -> {
       val allStop = TextOps.stopwords.values.flatten.toSeq.distinct
         .map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1017,6 +1177,21 @@ object CorpusOps {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM i GROUP BY user_id, grp
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // the batch form of the streaming attribution join — inner
+    // stream-stream joins must emit exactly the batch join's rows
+    "s3_stream_stream_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.view_id, c.click_id, v.user_id, v.view_ts, c.click_ts
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.click_ts >= v.view_ts
+        |  AND c.click_ts <= v.view_ts + INTERVAL 2 HOUR
+        |ORDER BY view_id, click_id""".stripMargin
   )
 }

@@ -79,6 +79,35 @@ object EventsPipeline {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream inner join (click attribution): each click pairs
+    * with every view by the same user in the 2 hours before it.
+    * Both sides carry watermarks, which is what lets Spark BOUND the
+    * join state: a buffered view can stop waiting once the click
+    * watermark passes `view_ts + 2 h`, so state is
+    * watermark-sized, not stream-sized — the property that keeps a
+    * forever-running attribution job at a fixed memory footprint.
+    * The join itself shuffles both sides on `user_id` (a keyed
+    * equi-join with a range residual, never a cross product).
+    *
+    * Works as a self-join of one source stream: the two sides are
+    * derived by filtering the same input.
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "4 hours")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "4 hours")
+    v.join(c,
+        col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Exactly-once event stream: watermarked dedup on event_id. */
   def dedupedStream(events: DataFrame): DataFrame =
     events
@@ -195,10 +224,11 @@ object EventsPipeline {
   def runToCompletion(spark: SparkSession, dir: String,
                       agg: DataFrame => DataFrame,
                       queryName: String,
-                      glob: String = "*.parquet"): DataFrame = {
+                      glob: String = "*.parquet",
+                      outputMode: String = "complete"): DataFrame = {
     val q = agg(readStream(spark, dir, glob))
       .writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())

@@ -45,6 +45,26 @@ final class ClustersSpec extends SparkTestBase {
     assert(stars(40L) == 40L, "self-loop-only node keeps itself as rep")
   }
 
+  test("keepBest: one survivor per cluster by score, singletons always survive") {
+    import org.apache.spark.sql.functions._
+    // clusters: {1,2,3} and {10,11}; 20 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // tie at 0.9 → lowest id (2) wins
+      (10L, 0.5), (11L, 0.4),
+      (20L, 0.1)
+    ).toDF("doc_id", "score")
+    val out = Clusters.keepBest(docs, "doc_id", col("score"), pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out.size == 6)
+    assert(out(2L) == (1L, true) && !out(1L)._2 && !out(3L)._2, "quality argmax, tie to low id")
+    assert(out(10L) == (10L, true) && !out(11L)._2)
+    assert(out(20L) == (20L, true), "singleton is its own cluster and survives")
+    // exactly one survivor per cluster
+    val perCluster = out.values.groupBy(_._1).map { case (c, vs) => c -> vs.count(_._2) }
+    assert(perCluster.values.forall(_ == 1), perCluster.toString)
+  }
+
   test("large-star/small-star: 10k-node adversarial path graph in O(log n) rounds") {
     // a 10_000-node chain is the worst case for plain propagation
     // (diameter = n); the star rounds must close it within the

@@ -45,4 +45,36 @@ final class SamplingSpec extends SparkTestBase {
     val large = Sampling.hashSample(rows, col("id"), 0.4).select("id").collect().map(_.getLong(0)).toSet
     assert(small.subsetOf(large))
   }
+
+  private lazy val sized = rows.withColumn("n_tokens", (col("id") % 7 + 1).cast("long"))
+
+  test("token budget: two-level cumsum equals the naive per-stratum window") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Sampling.tokenBudget(sized, col("id"), col("stratum"),
+        col("n_tokens"), budget = 500L)
+      .select("id", "cum_tokens", "kept").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // naive reference: ONE window per stratum over the same hash order
+    val h = graft.functions.Md5Bucket60(concat_ws("|", col("id").cast("string"), lit("graft")))
+    val w = Window.partitionBy(col("stratum")).orderBy(h, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = sized.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(1) <= 500L)).toMap
+    assert(got == want)
+  }
+
+  test("token budget keeps a stable prefix: a bigger budget only adds documents") {
+    def keptAt(b: Long): Set[Long] =
+      Sampling.tokenBudget(sized, col("id"), col("stratum"), col("n_tokens"), b)
+        .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+    val small = keptAt(300L)
+    val large = keptAt(900L)
+    assert(small.subsetOf(large) && small.nonEmpty && large.size > small.size)
+    // per-stratum totals of kept docs actually respect the budget
+    val sums = Sampling.tokenBudget(sized, col("id"), col("stratum"), col("n_tokens"), 300L)
+      .filter(col("kept")).groupBy("stratum").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.values.forall(_ <= 300L), s"budget exceeded: $sums")
+  }
 }

@@ -23,6 +23,20 @@ final class EventsPipelineSpec extends SparkTestBase {
     assert(s == b)
   }
 
+  test("stream-stream attribution join equals the batch join") {
+    val streamed = EventsPipeline.runToCompletion(
+      spark, sfDir, st => EventsPipeline.attributionJoin(st, st),
+      queryName = "spec_attrib", glob = "events.parquet",
+      outputMode = "append")
+
+    val ev = Tables.events(spark, sfDir)
+    val batch = EventsPipeline.attributionJoin(ev, ev)
+
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.nonEmpty)
+  }
+
   test("watermarked dedup drops duplicate event ids") {
     // duplicate the stream: the same raw file twice under one dir
     // (the file-stream source lists plain files, not parquet dirs)
