@@ -504,6 +504,15 @@ object CorpusOps {
         .orderBy(col("event_type"))
     },
 
+    // Ordered conversion funnel: first view, first click at/after
+    // it, first purchase after that — per-step keyed aggregations
+    // joined on user_id, no full-stream window or sort.
+    "e3_funnel" -> { (s, d) =>
+      graft.operators.Funnel.ordered(
+          t(s, d, "events"), Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- streaming: availableNow tumbling aggregation ----
     "s1_stream_tumbling" -> { (s, d) =>
       EventsPipeline.runToCompletion(
@@ -1154,6 +1163,26 @@ object CorpusOps {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM runs r WHERE r.run_key = e.event_id AND r.run_ts > e.ts)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e3_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS step_ts_0
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS step_ts_1
+        |  FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.step_ts_0
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS step_ts_2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.step_ts_1
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT s0.user_id, s0.step_ts_0, s1.step_ts_1, s2.step_ts_2,
+        |  CAST(1 + CAST(s1.step_ts_1 IS NOT NULL AS INT)
+        |         + CAST(s2.step_ts_2 IS NOT NULL AS INT) AS INT) AS stages
+        |FROM s0
+        |LEFT JOIN s1 ON s1.user_id = s0.user_id
+        |LEFT JOIN s2 ON s2.user_id = s0.user_id
+        |ORDER BY s0.user_id""".stripMargin,
 
     "s1_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts, event_type,
