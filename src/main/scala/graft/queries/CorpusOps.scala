@@ -323,6 +323,33 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     },
 
+    // N-gram novelty (RefinedWeb-style corpus-internal duplication
+    // signal): per doc, how many of its distinct 5-grams appear in
+    // at least one OTHER document. Two keyed shuffles (gram, doc) —
+    // the gram-frequency join is deliberately un-hinted (unbounded
+    // aggregate, the t11 rule); short docs with no 5-grams report
+    // zeros rather than vanishing.
+    "t12_ngram_novelty" -> { (s, d) =>
+      val docs  = t(s, d, "documents")
+      val grams = docs.select(col("doc_id"),
+        explode(NgramJaccard.shingles(col("text"), 5)).as("g"))
+      val gdf = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("gdf"))
+      val agg = grams.join(gdf, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          round(coalesce(col("n_dup"), lit(0L)).cast(DoubleType) /
+            greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus vocabulary: global term frequencies + document
     // frequencies — exact integer aggregation, one shuffle on term.
     "t5_vocabulary" -> { (s, d) =>
@@ -615,6 +642,29 @@ object CorpusOps {
         |FROM sh s LEFT JOIN mx m USING (doc_id)
         |WHERE s.doc_id % 50 <> 0
         |ORDER BY s.doc_id""".stripMargin,
+
+    // same 5-gram construction as d8; gram df counted over distinct
+    // per-doc grams, so df>=2 means "appears in another document"
+    "t12_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-3,1)),
+        |    i -> array_to_string(t[i:i+4], ' '))) AS s
+        |  FROM toks),
+        |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |gdf AS (SELECT g, count(DISTINCT doc_id) AS gdf FROM g GROUP BY g),
+        |agg AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN gdf.gdf >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM g JOIN gdf USING (g) GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup,
+        |  round(CAST(coalesce(a.n_dup, 0) AS DOUBLE)
+        |    / greatest(coalesce(a.n_grams, 0), 1), 6) AS dup_frac
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // d3's exact-pair oracle restricted to pairs touching the new
     // batch (b >= 250 ⇔ at least one side is new, since new ids sort
