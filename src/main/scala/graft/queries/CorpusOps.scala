@@ -531,6 +531,25 @@ object CorpusOps {
         .orderBy(col("event_type"))
     },
 
+    // Event-time RANGE window frame: per user, count + exact sum of
+    // events in the trailing hour — the frame is defined by the
+    // TIMESTAMP VALUE (micros), not row position, so simultaneous
+    // events share a frame; a distinct window capability from q12's
+    // ROWS frames. Partitioned by user: group width scales with
+    // per-user activity, not corpus size.
+    "q37_range_frame" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          sum(graft.queries.Num.dec2(col("value"))).over(w)
+            .cast(DoubleType).as("sum_last_hour"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+
     // Ordered conversion funnel: first view, first click at/after
     // it, first purchase after that — per-step keyed aggregations
     // joined on user_id, no full-stream window or sort.
@@ -1213,6 +1232,15 @@ object CorpusOps {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM runs r WHERE r.run_key = e.event_id AND r.run_ts > e.ts)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q37_range_frame" ->
+      """SELECT user_id, event_id, ts,
+        |  count(*) OVER w AS n_last_hour,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
 
     "e3_funnel" ->
       """WITH s0 AS (

@@ -40,4 +40,29 @@ final class SinksSpec extends SparkTestBase {
     assert(Files.exists(Paths.get(out, "ancestry=AF")))
     assert(spark.read.parquet(out).count() == 2)
   }
+
+  test("rangeClusteredParquet: files cover disjoint key ranges (min/max prunes)") {
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("sink-range") + "/out"
+    val df = spark.range(0L, 10000L).select(
+      col("id"), (col("id") % 97).as("payload"))
+    Sinks.rangeClusteredParquet(df, out, nFiles = 4, col("id"))
+
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+    assert(parts.length == 4)
+    val ranges = parts.map { p =>
+      val r = spark.read.parquet(p).agg(min("id"), max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // every file's range is internally consistent and disjoint from the next
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi >= $lo2")
+      case _ => ()
+    }
+    // nothing lost in the re-layout
+    assert(spark.read.parquet(out).count() == 10000L)
+  }
 }
