@@ -564,7 +564,8 @@ object CorpusOps {
       EventsPipeline.runToCompletion(
           s, d, EventsPipeline.tumblingCounts,
           queryName = s"s1_tumbling_${System.nanoTime()}",
-          glob = "events.parquet")
+          glob = "events.parquet",
+          stateShufflePartitions = Some(8))
         .orderBy(col("bucket_ts"), col("event_type"))
     },
 
@@ -577,7 +578,8 @@ object CorpusOps {
       EventsPipeline.runToCompletion(
           s, d, EventsPipeline.sessionCounts,
           queryName = s"s2_sessions_${System.nanoTime()}",
-          glob = "events.parquet")
+          glob = "events.parquet",
+          stateShufflePartitions = Some(8))
         .orderBy(col("user_id"), col("session_start"))
     },
 
@@ -591,7 +593,8 @@ object CorpusOps {
           s, d, st => EventsPipeline.attributionJoin(st, st),
           queryName = s"s3_attrib_${System.nanoTime()}",
           glob = "events.parquet",
-          outputMode = "append")
+          outputMode = "append",
+          stateShufflePartitions = Some(8))
         .orderBy(col("view_id"), col("click_id"))
     }
   )
