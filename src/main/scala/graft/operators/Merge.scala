@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot evolution: the relational MERGE INTO / diff pair
+  * for immutable-file corpora (the corpus-scale analogue of
+  * `runs.ParquetTable.upsert`, which does the same anti-join ∪
+  * incoming dance for the KB-scale runs ledger — and of the MERGE a
+  * Delta/Iceberg table format would run transactionally).
+  *
+  * Scale shape: `upsert` is one keyed anti-join (target rows not
+  * replaced) plus a union — the target never shuffles more than
+  * once, and with both sides bucketed on the key it plans
+  * shuffle-free. `diff` is one full-outer equi-join on the key.
+  * Nothing driver-side at any size.
+  */
+object Merge {
+
+  /** MERGE semantics by key: matched target rows take the source
+    * version, unmatched target rows carry over, source-only rows
+    * insert. Schemas must align by name.
+    */
+  def upsert(target: DataFrame, source: DataFrame, keyCols: Seq[String]): DataFrame =
+    target.join(source, keyCols, "left_anti").unionByName(source)
+
+  /** Snapshot diff by key: one row per key in either snapshot with
+    * `status` ∈ added | removed | changed | unchanged, where
+    * changed/unchanged compares `contentCol` null-safely.
+    */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, keyCols: Seq[String],
+           contentCol: String): DataFrame = {
+    // explicit presence flags: a null CONTENT value must not read as
+    // an absent ROW (they'd be indistinguishable from join nullness)
+    val o = oldSnap.select(
+      keyCols.map(col) :+ col(contentCol).as("__old") :+ lit(true).as("__in_old"): _*)
+    val n = newSnap.select(
+      keyCols.map(col) :+ col(contentCol).as("__new") :+ lit(true).as("__in_new"): _*)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("status",
+        when(col("__in_new").isNull, "removed")
+          .when(col("__in_old").isNull, "added")
+          .when(col("__old") <=> col("__new"), "unchanged")
+          .otherwise("changed"))
+      .select(keyCols.map(col) :+ col("status"): _*)
+  }
+}

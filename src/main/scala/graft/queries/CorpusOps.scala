@@ -454,6 +454,38 @@ object CorpusOps {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // Corpus MERGE (upsert by key): a revision batch (every 10th doc
+    // re-edited, 20 brand-new ids) merges into the corpus — matched
+    // docs take the batch version, the rest carry over. One keyed
+    // anti-join ∪ batch; hashed via per-doc content digests.
+    "c5_corpus_merge" -> { (s, d) =>
+      import graft.operators.Merge
+      val docs = t(s, d, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Merge.upsert(docs, batch, Seq("doc_id"))
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"),
+          col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Snapshot diff by key: old = ids < 450, new = ids >= 20 with
+    // every 7th doc re-edited → added / removed / changed / unchanged
+    // per key from one full-outer equi-join.
+    "c6_snapshot_diff" -> { (s, d) =>
+      import graft.operators.Merge
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.filter(col("doc_id") < 450)
+      val newSnap = docs.filter(col("doc_id") >= 20)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Merge.diff(oldSnap, newSnap, Seq("doc_id"), "text")
+        .orderBy(col("doc_id"))
+    },
+
     // Per-source token budgeting: deterministic hash-ordered greedy
     // prefix, kept iff the running token total fits 3000 tokens. The
     // two-level cumsum (within-hash-range + tiny offset table) is the
@@ -1092,6 +1124,35 @@ object CorpusOps {
          |  ELSE ${Sampling.oracleThreshold(0.1)} END
          |ORDER BY doc_id""".stripMargin
     },
+
+    "c5_corpus_merge" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text || ' [rev2]' AS text, lang, source
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, lang, source
+        |  FROM documents WHERE doc_id < 20),
+        |merged AS (
+        |  SELECT doc_id, text, lang, source FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.doc_id = d.doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source FROM batch)
+        |SELECT doc_id, md5(text) AS content_hash, lang, source
+        |FROM merged ORDER BY doc_id""".stripMargin,
+
+    "c6_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id < 450),
+        |n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id >= 20)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // the naive per-stratum running sum — the Spark side's two-level
     // cumsum must reproduce it exactly

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+final class MergeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val target = Seq(
+    (1L, "alpha"), (2L, "beta"), (3L, "gamma")
+  ).toDF("id", "body")
+
+  test("upsert: matched keys take the source version, others carry over, new keys insert") {
+    val source = Seq((2L, "BETA*"), (9L, "new")).toDF("id", "body")
+    val out = Merge.upsert(target, source, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "alpha", 2L -> "BETA*", 3L -> "gamma", 9L -> "new"))
+  }
+
+  test("diff classifies added/removed/changed/unchanged; null content is not row absence") {
+    val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+      (4L, Some("d"))).toDF("id", "body")
+    val newSnap = Seq((2L, Some("B")), (3L, None: Option[String]),
+      (4L, Some("d")), (5L, None: Option[String])).toDF("id", "body")
+    val out = Merge.diff(oldSnap, newSnap, Seq("id"), "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "removed",
+      2L -> "changed",
+      3L -> "unchanged", // null == null content, row present both sides
+      4L -> "unchanged",
+      5L -> "added"      // present-with-null-content is still PRESENT
+    ))
+  }
+
+  test("upsert then diff round-trip: the diff of target vs upserted is exactly the batch") {
+    val source = Seq((2L, "BETA*"), (9L, "new")).toDF("id", "body")
+    val merged = Merge.upsert(target, source, Seq("id"))
+    val out = Merge.diff(target, merged, Seq("id"), "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged", 9L -> "added"))
+  }
+}
