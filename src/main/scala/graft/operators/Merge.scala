@@ -44,4 +44,27 @@ object Merge {
           .otherwise("changed"))
       .select(keyCols.map(col) :+ col("status"): _*)
   }
+
+  /** Upsert a batch into a parquet path: read-if-exists ∪ merge,
+    * MATERIALIZE to a fresh temp path (so the plan never reads the
+    * path it is about to replace), then swap. The corpus-scale
+    * mutable-table primitive behind the streaming MERGE sink; the
+    * same documented caveat as `ParquetTable.writeAtomic` applies —
+    * on raw object storage the swap wants a table format's atomic
+    * commit (Delta/Iceberg MERGE is this function transactionally).
+    */
+  def upsertParquet(batch: DataFrame, tablePath: String, keyCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path  = new org.apache.hadoop.fs.Path(tablePath)
+    val fs    = path.getFileSystem(hconf)
+    val merged =
+      if (fs.exists(path)) upsert(spark.read.parquet(tablePath), batch, keyCols)
+      else batch
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + s".tmp-${System.nanoTime()}")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"rename $tmp -> $path failed")
+  }
 }

@@ -216,6 +216,43 @@ object EventsPipeline {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming MERGE sink — the "stream maintains a serving table"
+    * pattern: per-user totals aggregate in update mode, and each
+    * micro-batch's delta (the keys whose aggregate changed, at their
+    * new values) upserts into a parquet table via `foreachBatch` +
+    * [[graft.operators.Merge.upsertParquet]]. Upsert REPLACES a key
+    * with its newest aggregate, so each run's table reflects that
+    * run's input; pass a persistent `checkpoint` to make successive
+    * runs incremental over only-new files while the aggregation
+    * state carries forward (the runs-table semantics, on streams).
+    * Returns the table's current contents.
+    */
+  def runUpsertSink(spark: SparkSession, dir: String, tablePath: String,
+                    glob: String = "*.parquet",
+                    stateShufflePartitions: Option[Int] = None,
+                    checkpoint: Option[String] = None): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    stateShufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val agg = readStream(spark, dir, glob)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      val writer = agg.writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Merge.upsertParquet(batch, tablePath, Seq("user_id"))
+        }
+      checkpoint.foreach(writer.option("checkpointLocation", _))
+      val q = writer.start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(tablePath)
+  }
+
   /** Run a streaming aggregation to completion over the files that
     * exist now (`Trigger.AvailableNow` + memory sink, complete mode)
     * and return the result table — the streaming analogue of the

@@ -37,6 +37,42 @@ final class EventsPipelineSpec extends SparkTestBase {
     assert(s == b && s.nonEmpty)
   }
 
+  test("foreachBatch upsert sink maintains a parquet serving table across runs") {
+    val tmp = tmpDir("stream-upsert")
+    val table = s"$tmp/totals"
+    // raw file (ts as nanos longs) — the stream source's wire schema
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+
+    // single PLAIN files — the file-stream source lists files, not
+    // parquet directories
+    def writeRawFile(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val stage = dest + ".stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
+    }
+
+    // run 1: only half the users have arrived
+    writeRawFile(raw.filter(col("user_id") < 75), s"$tmp/in1/events.parquet")
+    val after1 = EventsPipeline.runUpsertSink(spark, s"$tmp/in1", table,
+      stateShufflePartitions = Some(4))
+    assert(after1.select("user_id").distinct().count() ==
+      raw.filter(col("user_id") < 75).select("user_id").distinct().count())
+
+    // run 2: the full stream — existing keys REPLACED with new
+    // totals, new keys inserted; final table equals the batch agg
+    writeRawFile(raw, s"$tmp/in2/events.parquet")
+    val after2 = EventsPipeline.runUpsertSink(spark, s"$tmp/in2", table,
+      stateShufflePartitions = Some(4))
+    val want = raw.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    assert(after2.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
+  }
+
   test("watermarked dedup drops duplicate event ids") {
     // duplicate the stream: the same raw file twice under one dir
     // (the file-stream source lists plain files, not parquet dirs)
