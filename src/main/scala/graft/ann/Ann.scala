@@ -110,7 +110,12 @@ object Ann {
   def cosineKnnGraphLSH(df: DataFrame, minCos: Double, k: Int, dim: Int,
                         planes: Int = 10, tables: Int = 8,
                         seed: Long = 42L): DataFrame = {
+    // the pair plan (48-table bucket join + verify) feeds BOTH union
+    // branches; checkpoint the tiny thresholded pair set so the LSH
+    // pipeline executes once, not once per direction (exchange reuse
+    // does not cover the post-shuffle verify operators)
     val undirected = cosineNearDupPairsLSH(df, minCos, dim, planes, tables, seed)
+      .localCheckpoint(eager = false)
     val directed = undirected
       .select(col("a").as("query_id"), col("b").as("nbr_id"), col("sim"))
       .unionByName(undirected

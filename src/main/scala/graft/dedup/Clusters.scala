@@ -26,12 +26,14 @@ object Clusters {
     * pair, where cluster_rep is the minimum node id of its component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // materialize the edge list once — `pairs` may itself be an
-    // expensive plan (e.g. a similarity join), and the loop below
-    // would otherwise re-execute it every round
+    // materialize the edge list BEFORE the symmetrizing self-union —
+    // `pairs` may itself be an expensive plan (e.g. a similarity
+    // join), and both union branches would otherwise execute it
+    // (exchange reuse does not cover post-shuffle operators); the
+    // loop below then reads one cheap checkpointed relation per round
     val base = pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-    val sym = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    val sym = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
 
     // localCheckpoint (not persist): iterative algorithms must
     // truncate lineage every iteration or the logical plan deepens
