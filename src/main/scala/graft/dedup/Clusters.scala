@@ -113,9 +113,13 @@ object Clusters {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var edges = canon(pairs.select(col("a").cast("long").as("src"),
-        col("b").cast("long").as("dst")))
+    // materialize the raw pair list once: it feeds canon() AND the
+    // identity-row node set at the end, and may itself be an
+    // expensive similarity-join plan
+    val raw = pairs.select(col("a").cast("long").as("src"),
+        col("b").cast("long").as("dst"))
       .localCheckpoint(true)
+    var edges = canon(raw).localCheckpoint(true)
     var sig  = signature(edges)
     var iter = 0
     var done = false
@@ -152,8 +156,8 @@ object Clusters {
     // (canon() drops (a,a), so they never enter the star rounds) —
     // the min-label engine returns them with themselves as rep, and
     // the two engines must stay interchangeable on that input too.
-    val nodes = pairs.select(col("a").cast("long").as("id"))
-      .union(pairs.select(col("b").cast("long").as("id")))
+    val nodes = raw.select(col("src").as("id"))
+      .union(raw.select(col("dst").as("id")))
       .distinct()
     edges.select(col("src").as("id"), col("dst").as("label"))
       .union(edges.select(col("dst").as("id"), col("dst").as("label")))
