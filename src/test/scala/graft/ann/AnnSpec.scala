@@ -24,6 +24,20 @@ final class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("quantized two-stage search equals brute force, with rerank slack") {
+    val queries = vecs.filter(col("id") < 20)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("nbr_id"), round(col("sim"), 9).as("sim"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val exact = canon(Ann.bruteForceTopK(vecs, queries, k = 5))
+    // the gate's configuration must hold...
+    assert(canon(Ann.quantizedTopK(vecs, queries, k = 5, rerank = 64)) == exact)
+    // ...with slack: half the candidate budget still recovers the
+    // exact top-k, so a fixture drift toward the margin fails HERE
+    // (loudly) before it can flip the oracle gate
+    assert(canon(Ann.quantizedTopK(vecs, queries, k = 5, rerank = 32)) == exact)
+  }
+
   test("LSH top-k achieves high recall on clustered vectors") {
     // planted clusters: 40 centroids × 10 members with small noise —
     // the workload LSH is designed for (uniform random vectors have
