@@ -349,6 +349,29 @@ object Relational {
           |GROUP BY p_type ORDER BY p_type""".stripMargin)
     },
 
+    // The NOT IN null trap, pinned cross-engine: one NULL in the
+    // subquery list makes `NOT IN` three-valued (never TRUE → zero
+    // rows), while NOT EXISTS is the null-safe anti-join users
+    // almost always meant. Same membership list both times (urgent
+    // orders), but one injected NULL zeroes the NOT IN count while
+    // NOT EXISTS reports the real complement — the DIFFERENCE is
+    // what hashes.
+    "q39_not_in_nulls" -> { (s, d) =>
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT
+          |  (SELECT count(*) FROM customer_v
+          |   WHERE c_custkey NOT IN
+          |     (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+          |                  ELSE o_custkey END
+          |      FROM orders_v WHERE o_orderpriority = '1-URGENT')) AS n_not_in,
+          |  (SELECT count(*) FROM customer_v c
+          |   WHERE NOT EXISTS
+          |     (SELECT 1 FROM orders_v o WHERE o.o_custkey = c.c_custkey
+          |        AND o.o_orderpriority = '1-URGENT')) AS n_not_exists""".stripMargin)
+    },
+
     // TPC-H Q13 shape: customer order-count histogram via outer join
     // then count-of-counts.
     "q24_histogram" -> { (s, d) =>
@@ -687,6 +710,17 @@ object Relational {
         |WHERE p_retailprice > (SELECT avg(p2.p_retailprice)
         |                       FROM part p2 WHERE p2.p_type = p.p_type)
         |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q39_not_in_nulls" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |                  ELSE o_custkey END
+        |      FROM orders WHERE o_orderpriority = '1-URGENT')) AS n_not_in,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_orderpriority = '1-URGENT')) AS n_not_exists""".stripMargin,
     "q24_histogram" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
