@@ -594,6 +594,31 @@ object CorpusOps {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     },
 
+    // Time-series densify + forward fill: each user's daily activity
+    // on a gap-free calendar (sequence/explode generates the missing
+    // days — rows scale with users × span, keyed by user), counts
+    // zero-filled, the daily sum carried forward over gaps with
+    // last(IGNORE NULLS). The standard resample-and-ffill shape.
+    "q40_gap_fill" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .withColumn("day", date_trunc("DAY", col("ts")))
+      val daily = ev.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.queries.Num.dec2(col("value"))).cast(DoubleType).as("day_value"))
+      val days = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(daily, Seq("user_id", "day"), "left_outer")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("carried_value"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
     // Ordered conversion funnel: first view, first click at/after
     // it, first purchase after that — per-step keyed aggregations
     // joined on user_id, no full-stream window or sort.
@@ -1326,6 +1351,24 @@ object CorpusOps {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM runs r WHERE r.run_key = e.event_id AND r.run_ts > e.ts)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q40_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT c.user_id, c.day,
+        |  CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+        |  last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY c.user_id ORDER BY c.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+        |FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+        |ORDER BY c.user_id, c.day""".stripMargin,
 
     "q37_range_frame" ->
       """SELECT user_id, event_id, ts,
