@@ -192,6 +192,28 @@ object Ann {
     *
     * @param centroids (cell, vec) rows — must be broadcast-sized
     */
+  /** Nearest-cell assignment: (id, vec) rows × (cell, vec) centroids
+    * → (id, cell, ccos), each vector's argmax cell (ties to the
+    * lowest cell id) and its cosine to that centroid. The coarse-
+    * quantizer step shared by [[ivfTopK]] and SemDeDup-style
+    * semantic dedup; the centroid table is tiny and broadcast, the
+    * argmax is one window over narrow (id, cell, csim) rows.
+    */
+  def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col("cell"), col("vec").as("centvec"),
+      sqrt(VectorOps.dot(col("vec"), col("vec"))).as("centnorm")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    vecs.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
+      .join(cents)
+      .withColumn("csim",
+        VectorOps.dot(col("vec"), col("centvec")) / (col("nrm") * col("centnorm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("id"), col("cell"), col("csim").as("ccos"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2): DataFrame = {
     // centroid sims use the HOF dot (casts every element to double),

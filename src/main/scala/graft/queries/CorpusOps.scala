@@ -125,6 +125,45 @@ object CorpusOps {
         .orderBy(col("a"), col("b"))
     },
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup over embeddings.
+    // Vectors quantize to coarse cells (a3's rounded label-mean
+    // centroids + argmax assignment — pairwise work is bounded per
+    // cell, never corpus²), within-cell pairs with cosine ≥ τ form
+    // duplicate groups (connected components), and each group keeps
+    // the member FARTHEST from its cell centroid (the paper's best
+    // retention rule) — via keepBest with score = −centroid-cosine.
+    // Every value hashes: the oracle replays cells, assignment,
+    // pairs, the recursive closure, and the argmin ranking.
+    "d10_semdedup" -> { (s, d) =>
+      val all = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      val cents = all
+        .select(col("label").as("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x").cast(DoubleType)), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
+      val vecs = all.select(col("id"), col("vec"))
+      val assigned = Ann.assignCells(vecs, cents)       // (id, cell, ccos)
+      val withVec = assigned.join(vecs, Seq("id"))
+      val a = withVec.select(col("id").as("a"), col("cell"), col("vec").as("va"),
+        graft.functions.VectorOps.fnorm(col("vec")).as("na"))
+      val b = withVec.select(col("id").as("b"), col("cell"), col("vec").as("vb"),
+        graft.functions.VectorOps.fnorm(col("vec")).as("nb"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("a") < col("b"))
+        .filter(graft.functions.VectorOps.cosinePre(
+          col("va"), col("vb"), col("na"), col("nb")) >= 0.45)
+        .select(col("a"), col("b"))
+      graft.dedup.Clusters.keepBest(
+          assigned.withColumn("negccos", -col("ccos")), "id", col("negccos"), pairs)
+        .join(assigned.select(col("id"), col("cell"), col("ccos")), Seq("id"))
+        .select(col("id"), col("cell"), col("cluster_rep"),
+          round(col("ccos"), 6).as("centroid_cos"), col("kept"))
+        .orderBy(col("id"))
+    },
+
     // Embedding analytics: per-label centroids, element-wise — the
     // relational form (posexplode → groupBy (label, pos)) shuffles
     // (label, pos) keyed partials, scaling with labels × dims, not
@@ -855,6 +894,62 @@ object CorpusOps {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE $cosineExpr >= 0.45
          |ORDER BY a, b""".stripMargin,
+
+    // replays the whole SemDeDup structure: a3's cells + argmax
+    // assignment, within-cell τ-pairs, d6's recursive closure, and
+    // the farthest-from-centroid retention rank (ccos ASC, id ASC)
+    "d10_semdedup" ->
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS cell, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+         |  GROUP BY label, i),
+         |cvecs AS (
+         |  SELECT cell, list(m ORDER BY pos) AS cvec FROM cent GROUP BY cell),
+         |cn AS (
+         |  SELECT cell, cvec,
+         |    sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+         |  FROM cvecs),
+         |csims AS (
+         |  SELECT v.vec_id, c.cell,
+         |    list_sum(list_transform(list_zip(v.embedding, c.cvec),
+         |      x -> CAST(x[1] AS DOUBLE) * x[2])) / (v.nrm * c.cnrm) AS csim,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_sum(list_transform(list_zip(v.embedding, c.cvec),
+         |        x -> CAST(x[1] AS DOUBLE) * x[2])) / (v.nrm * c.cnrm) DESC,
+         |      c.cell ASC) AS crank
+         |  FROM v CROSS JOIN cn c),
+         |assigned AS (SELECT vec_id, cell, csim AS ccos FROM csims WHERE crank = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM assigned aa
+         |  JOIN assigned ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+         |  JOIN v a ON a.vec_id = aa.vec_id
+         |  JOIN v b ON b.vec_id = ab.vec_id
+         |  WHERE $cosineExpr >= 0.45),
+         |edges AS (
+         |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+         |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS id, min(dst) AS cluster_rep FROM reach GROUP BY src),
+         |j AS (
+         |  SELECT asg.vec_id AS id, asg.cell,
+         |    coalesce(c.cluster_rep, asg.vec_id) AS cluster_rep, asg.ccos
+         |  FROM assigned asg LEFT JOIN comp c ON c.id = asg.vec_id),
+         |r AS (
+         |  SELECT id, cell, cluster_rep, ccos,
+         |    row_number() OVER (PARTITION BY cluster_rep
+         |      ORDER BY ccos ASC, id ASC) AS rn
+         |  FROM j)
+         |SELECT id, cell, cluster_rep, round(ccos, 6) AS centroid_cos, rn = 1 AS kept
+         |FROM r ORDER BY id""".stripMargin,
 
     "v1_label_centroids" ->
       """SELECT label, i - 1 AS pos,

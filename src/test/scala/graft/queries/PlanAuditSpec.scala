@@ -25,7 +25,7 @@ final class PlanAuditSpec extends SparkTestBase {
   //     broadcast |cells|-row centroid table (a3)
   private val scalarBroadcastOk =
     Set("t6_tfidf_top_terms", "t11_unigram_logprob", "q23_correlated_subquery",
-      "a1_ann_topk", "a3_ann_ivf", "a4_ann_quantized")
+      "a1_ann_topk", "a3_ann_ivf", "a4_ann_quantized", "d10_semdedup")
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
