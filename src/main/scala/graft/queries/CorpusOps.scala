@@ -633,6 +633,23 @@ object CorpusOps {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     },
 
+    // Retention cohorts: users grouped by first-activity week, then
+    // for each (cohort, weeks-since) cell the distinct users still
+    // active — the standard retention matrix. Two keyed aggregations
+    // and one user-keyed join; weeks are exact date_trunc multiples
+    // so the week arithmetic is integer-exact in both engines.
+    "q41_retention_cohorts" -> { (s, d) =>
+      val uw = t(s, d, "events")
+        .select(col("user_id"), date_trunc("WEEK", col("ts")).as("week"))
+        .distinct()
+      val first = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      uw.join(first, Seq("user_id"))
+        .withColumn("k", (datediff(col("week"), col("cohort")) / 7).cast(LongType))
+        .groupBy(col("cohort"), col("k"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort"), col("k"))
+    },
+
     // Time-series densify + forward fill: each user's daily activity
     // on a gap-free calendar (sequence/explode generates the missing
     // days — rows scale with users × span, keyed by user), counts
@@ -1446,6 +1463,16 @@ object CorpusOps {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM runs r WHERE r.run_key = e.event_id AND r.run_ts > e.ts)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q41_retention_cohorts" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        |first AS (
+        |  SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id)
+        |SELECT f.cohort, date_diff('day', f.cohort, uw.week) // 7 AS k,
+        |  CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_active
+        |FROM uw JOIN first f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, k""".stripMargin,
 
     "q40_gap_fill" ->
       """WITH daily AS (
