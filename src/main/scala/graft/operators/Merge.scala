@@ -19,7 +19,10 @@ object Merge {
 
   /** MERGE semantics by key: matched target rows take the source
     * version, unmatched target rows carry over, source-only rows
-    * insert. Schemas must align by name.
+    * insert. Schemas must align by name. The source must be
+    * key-unique (dedupe first if not) — duplicate source keys all
+    * insert, which is the same contract SQL MERGE enforces with an
+    * error.
     */
   def upsert(target: DataFrame, source: DataFrame, keyCols: Seq[String]): DataFrame =
     target.join(source, keyCols, "left_anti").unionByName(source)

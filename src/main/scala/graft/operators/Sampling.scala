@@ -76,7 +76,10 @@ object Sampling {
     * nothing is single-partition.
     *
     * Output: the input columns plus `cum_tokens` (running total
-    * including this row) and `kept`.
+    * including this row) and `kept`. Rows with a NULL stratum are
+    * dropped by the offset equi-join (standard null-key join
+    * semantics) — pre-bucket unknown strata with `coalesce` if they
+    * must participate.
     */
   def tokenBudget(df: DataFrame, keyCol: Column, strataCol: Column,
                   nTokensCol: Column, budget: Long,
