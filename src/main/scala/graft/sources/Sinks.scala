@@ -49,6 +49,17 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Format-agnostic columnar write: parquet and ORC are both
+    * first-class — same predicate pushdown and column pruning story
+    * at the scan (`PushedFilters` reaches the ORC reader exactly as
+    * it does parquet), so the storage format is a configuration
+    * choice, not a code change. (Avro would slot in the same way;
+    * its DataSource module is not on this classpath.)
+    */
+  def columnarWrite(df: DataFrame, path: String,
+                    format: String = "parquet"): Unit =
+    df.write.mode("overwrite").format(format).save(path)
+
   /** Range-clustered write: `repartitionByRange` + in-partition sort
     * on the cluster keys, so each output file covers a narrow,
     * DISJOINT key range and its parquet footer min/max statistics

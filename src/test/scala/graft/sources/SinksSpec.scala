@@ -41,6 +41,25 @@ final class SinksSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("ORC round-trips with the same pushdown story as parquet") {
+    import org.apache.spark.sql.functions._
+    val base = tmpDir("sink-orc")
+    val df = spark.range(0L, 5000L).select(
+      col("id"), (col("id") % 13).as("k"), concat(lit("row-"), col("id")).as("s"))
+    Sinks.columnarWrite(df, s"$base/orc", format = "orc")
+    Sinks.columnarWrite(df, s"$base/parquet", format = "parquet")
+
+    val orc = spark.read.orc(s"$base/orc")
+    val pq  = spark.read.parquet(s"$base/parquet")
+    assert(orc.count() == 5000L)
+    assert(orc.collect().map(_.toSeq).toSet == pq.collect().map(_.toSeq).toSet)
+
+    // the filter must reach the ORC scan, not evaluate post-scan only
+    val plan = orc.filter(col("k") === 3).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,3"),
+      s"ORC scan must receive the pushed filter:\n$plan")
+  }
+
   test("rangeClusteredParquet: files cover disjoint key ranges (min/max prunes)") {
     import org.apache.spark.sql.functions._
     val out = tmpDir("sink-range") + "/out"
