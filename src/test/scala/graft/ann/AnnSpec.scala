@@ -24,6 +24,24 @@ final class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("assignCells: argmax cell with deterministic tie-break to the lowest cell id") {
+    import spark.implicits._
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)) // duplicate of cell 0: forces an exact tie
+    ).toDF("cell", "vec")
+    val vs = Seq(
+      (10L, Array(2.0f, 0.1f)),  // → cell 0 (ties with 2, lowest wins)
+      (11L, Array(0.1f, 3.0f)),  // → cell 1
+      (12L, Array(1.0f, 1.0f))   // equidistant from 0/2 vs 1 → cos equal → cell 0
+    ).toDF("id", "vec")
+    val got = Ann.assignCells(vs, cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(10L)._1 == 0L && got(11L)._1 == 1L && got(12L)._1 == 0L)
+    assert(math.abs(got(11L)._2 - 3.0 / math.sqrt(0.01 + 9.0)) < 1e-9)
+  }
+
   test("quantized two-stage search equals brute force, with rerank slack") {
     val queries = vecs.filter(col("id") < 20)
     def canon(df: org.apache.spark.sql.DataFrame) = df
