@@ -93,7 +93,9 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: custom functions + the
+  * planner strategy for the native AS-OF operator.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
@@ -103,5 +105,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder
       ))
     }
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -404,6 +404,27 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // The SAME as-of semantics through the custom-operator path:
+    // AsofJoinPlan → AsofJoinStrategy → AsofJoinExec (co-partitioned
+    // sorted streaming merge, O(1) state per partition) — gated by
+    // the identical DuckDB ASOF JOIN oracle, so the custom physical
+    // operator is hash-verified end-to-end, not just spec'd.
+    "q42_asof_native" -> { (s, d) =>
+      import graft.plans.AsofJoin
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ords = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ots"))
+        .agg(max(struct(col("o_orderkey").as("o_key"),
+          Num.dec2(col("o_totalprice")).as("p"))).as("m"))
+        .select(col("user_id"), col("ots"),
+          col("m.o_key").as("o_key"),
+          col("m.p").cast(DoubleType).as("o_price"))
+      AsofJoin.asOf(ev, ords, "user_id", "ts", "ots", Seq("o_key", "o_price"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("o_key"), col("o_price"))
+        .orderBy(col("event_id"))
+    },
+
     // Range join via bucket-and-residual (equi-join shuffle, not a
     // nested loop): follow-up events by the same user within the hour
     // after each anchor event. A self range join — both sides corpus-
@@ -728,6 +749,19 @@ object Relational {
         |  GROUP BY c_custkey)
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q25_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS ots,
+        |    CAST(max(o_orderkey) AS BIGINT) AS o_key,
+        |    CAST(arg_max(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS DOUBLE) AS o_price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+        |  o.o_key, o.o_price
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.ts >= o.ots
+        |ORDER BY e.event_id""".stripMargin,
+
+    // same oracle as q25: the custom exec must be value-identical
+    "q42_asof_native" ->
       """WITH o AS (
         |  SELECT o_custkey AS user_id, o_orderdate AS ots,
         |    CAST(max(o_orderkey) AS BIGINT) AS o_key,

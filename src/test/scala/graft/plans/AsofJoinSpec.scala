@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.TemporalJoins
+
+final class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("native as-of equals the declarative form on a hand fixture (ties, gaps, no-match)") {
+    val left = Seq(
+      (1L, 10L, "l-a"), (1L, 20L, "l-b"), (1L, 5L, "l-pre"), // 5 precedes any right row
+      (2L, 100L, "l-c"),
+      (3L, 7L, "l-lonely") // key with no right rows at all
+    ).toDF("k", "t", "lval")
+    val right = Seq(
+      (1L, 10L, "r-x"),  // tie: t == left t counts (<=)
+      (1L, 15L, "r-y"),
+      (2L, 1L, "r-z")
+    ).toDF("k", "t", "payload")
+
+    val native = AsofJoin.asOf(left, right, "k", "t", "t", Seq("payload"))
+    val window = TemporalJoins.asOf(left, right, "k", "t", "t", Seq("payload"))
+    assert(canon(native) == canon(window))
+
+    val byRow = native.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(3))).toMap
+    assert(byRow((1L, 5L)).isEmpty, "row before any right row gets null")
+    assert(byRow((1L, 10L)).contains("r-x"), "equal timestamps match (<=)")
+    assert(byRow((1L, 20L)).contains("r-y"))
+    assert(byRow((2L, 100L)).contains("r-z"))
+    assert(byRow((3L, 7L)).isEmpty, "key absent from right gets null")
+  }
+
+  test("native as-of equals the declarative form on the events/orders fixture") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ords = graft.queries.Tables(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ots"))
+      .agg(max(col("o_orderkey")).as("o_key"))
+    val native = AsofJoin.asOf(ev, ords, "user_id", "ts", "ots", Seq("o_key"))
+    val window = TemporalJoins.asOf(ev, ords, "user_id", "ts", "ots", Seq("o_key"))
+    assert(canon(native) == canon(window) && native.count() == ev.count())
+  }
+
+  test("the plan is the custom exec: clustered exchanges + sorts + merge, no window") {
+    val left  = Seq((1L, 10L, "a")).toDF("k", "t", "lval")
+    val right = Seq((1L, 5L, "p")).toDF("k", "t", "payload")
+    val plan = AsofJoin.asOf(left, right, "k", "t", "t", Seq("payload"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"expected AsofJoinExec in:\n$plan")
+    assert(!plan.contains("Window"), "the native operator must not fall back to a window")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+}
