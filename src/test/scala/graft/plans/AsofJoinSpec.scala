@@ -48,6 +48,32 @@ final class AsofJoinSpec extends SparkTestBase {
     assert(canon(native) == canon(window) && native.count() == ev.count())
   }
 
+  test("co-bucketed inputs plan the native as-of with ZERO exchanges") {
+    // the structural advantage over the union-carry-forward form:
+    // a union of two tables is never bucketed, so the window form
+    // ALWAYS shuffles — the custom exec inherits its children's
+    // clustering and merges in place
+    import graft.sources.Sinks
+    val left = (1L to 500L).map(k => (k % 50, k, s"l$k")).toDF("k", "t", "lval")
+    val right = (1L to 200L).map(k => (k % 50, k, s"r$k")).toDF("k", "t", "payload")
+    Sinks.bucketedTable(left, "b_asof_l", "k", 8)
+    Sinks.bucketedTable(right, "b_asof_r", "k", 8)
+    try {
+      val native = AsofJoin.asOf(
+        spark.table("b_asof_l"), spark.table("b_asof_r"), "k", "t", "t", Seq("payload"))
+      val plan = native.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"co-bucketed as-of must not shuffle:\n$plan")
+      assert(native.count() == 500)
+      // and it still computes the right answer on this layout
+      val window = TemporalJoins.asOf(
+        spark.table("b_asof_l"), spark.table("b_asof_r"), "k", "t", "t", Seq("payload"))
+      assert(canon(native) == canon(window))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_asof_l")
+      spark.sql("DROP TABLE IF EXISTS b_asof_r")
+    }
+  }
+
   test("the plan is the custom exec: clustered exchanges + sorts + merge, no window") {
     val left  = Seq((1L, 10L, "a")).toDF("k", "t", "lval")
     val right = Seq((1L, 5L, "p")).toDF("k", "t", "payload")
