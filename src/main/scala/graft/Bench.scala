@@ -73,8 +73,18 @@ object Bench {
     def sec3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
 
+    // per-query values at 2 decimals with trailing zeros stripped:
+    // the query set has grown past 80 entries and the whole line must
+    // stay well inside the driver's output-tail capture window (the
+    // round-2 parse failure was this line crossing ~2 KB)
+    def sec2(v: Double): String = {
+      val bd = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros
+      if (bd.scale <= 0) bd.toBigInteger.toString else bd.toPlainString
+    }
+
     val qs = results.map {
-      case (k, Right(v)) => "\"" + k + "\":" + sec3(v)
+      case (k, Right(v)) => "\"" + k + "\":" + sec2(v)
       case (k, Left(_))  => "\"" + k + "\":-1"
     }.mkString("{", ",", "}")
     val errEntries = results.collect { case (k, Left(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
@@ -85,9 +95,12 @@ object Bench {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val line =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$errors,"sf":$sf}"""
-    println(line)
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    // stop BEFORE printing: any shutdown warnings land above the JSON
+    // line, so only sbt's one success line can follow it inside the
+    // driver's tail window
     spark.stop()
+    println(line)
     val nFailed = results.count(_._2.isLeft)
     if (nFailed > 0) {
       System.err.println(s"bench: $nFailed quer${if (nFailed == 1) "y" else "ies"} FAILED")
