@@ -16,7 +16,8 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "q5_join_broadcast", "q7_anti_join_theta",
         "q17_snowflake_join", "e2_incremental_antijoin", "d2_ngram_jaccard",
-        "a1_ann_topk")
+        "a1_ann_topk", "a4_ann_quantized", "c4_token_budget", "d10_semdedup",
+        "q42_asof_native")
     val spark = GraftSession.build("graft-explain")
     try {
       names.foreach { name =>
