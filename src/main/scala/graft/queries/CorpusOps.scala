@@ -721,6 +721,20 @@ object CorpusOps {
           outputMode = "append",
           stateShufflePartitions = Some(8))
         .orderBy(col("view_id"), col("click_id"))
+    },
+
+    // Stream-stream LEFT OUTER join: unmatched views must ALSO emit
+    // (null click columns) once the click watermark clears their
+    // window — AvailableNow's terminal watermark advance flushes
+    // them, so the completed run equals the batch left join exactly.
+    "s4_stream_outer_join" -> { (s, d) =>
+      EventsPipeline.runToCompletion(
+          s, d, st => EventsPipeline.attributionJoin(st, st, joinType = "left_outer"),
+          queryName = s"s4_attrib_outer_${System.nanoTime()}",
+          glob = "events.parquet",
+          outputMode = "append",
+          stateShufflePartitions = Some(8))
+        .orderBy(col("view_id"), col("click_id"))
     }
   )
 
@@ -1558,6 +1572,28 @@ object CorpusOps {
         |FROM v JOIN c ON v.user_id = c.user_id
         |  AND c.click_ts >= v.view_ts
         |  AND c.click_ts <= v.view_ts + INTERVAL 2 HOUR
+        |ORDER BY view_id, click_id""".stripMargin,
+
+    // the WHERE mirrors streaming outer-join finalization: the query
+    // watermark is the MIN across both watermark operators (each
+    // sees only its own filtered side), so a null row exists iff
+    // least(max view_ts, max click_ts) - 4h strictly passed the
+    // view's join window
+    "s4_stream_outer_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(view_ts) FROM v),
+        |                    (SELECT max(click_ts) FROM c)) - INTERVAL 4 HOUR AS w)
+        |SELECT v.view_id, c.click_id, v.user_id, v.view_ts, c.click_ts
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  AND c.click_ts >= v.view_ts
+        |  AND c.click_ts <= v.view_ts + INTERVAL 2 HOUR
+        |WHERE c.click_id IS NOT NULL
+        |   OR v.view_ts + INTERVAL 2 HOUR < (SELECT w FROM wm)
         |ORDER BY view_id, click_id""".stripMargin
   )
 }

@@ -90,9 +90,14 @@ object EventsPipeline {
     * equi-join with a range residual, never a cross product).
     *
     * Works as a self-join of one source stream: the two sides are
-    * derived by filtering the same input.
+    * derived by filtering the same input. `joinType` may be
+    * "left_outer": unmatched views emit with null click columns once
+    * the click watermark passes their join window — under
+    * `AvailableNow` the terminal watermark advance flushes them all,
+    * so the run-to-completion result equals the batch left join.
     */
-  def attributionJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+                      joinType: String = "inner"): DataFrame = {
     val v = views.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "4 hours")
@@ -103,7 +108,8 @@ object EventsPipeline {
     v.join(c,
         col("user_id") === col("click_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"))
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"),
+        joinType)
       .select(col("view_id"), col("click_id"), col("user_id"),
         col("view_ts"), col("click_ts"))
   }

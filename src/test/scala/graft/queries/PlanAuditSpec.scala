@@ -30,7 +30,7 @@ final class PlanAuditSpec extends SparkTestBase {
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
   private val skipped = Set("s1_stream_tumbling", "s2_stream_sessions",
-    "s3_stream_stream_join")
+    "s3_stream_stream_join", "s4_stream_outer_join")
 
   test("filters and pruning reach the parquet scan (q1)") {
     val plan = graft.SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
