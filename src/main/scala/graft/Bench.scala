@@ -83,10 +83,28 @@ object Bench {
       if (bd.scale <= 0) bd.toBigInteger.toString else bd.toPlainString
     }
 
-    val qs = results.map {
-      case (k, Right(v)) => "\"" + k + "\":" + sec2(v)
-      case (k, Left(_))  => "\"" + k + "\":-1"
-    }.mkString("{", ",", "}")
+    // stdout carries the HEADLINE set (every LLM-data-family query +
+    // the flagship relational ones); the full 84-entry map lives in
+    // BENCH.out at 3 decimals. The driver's tail-capture window is
+    // 2000 bytes (measured: BENCH_r0{1,2,3}.json all failed to parse
+    // with the full line just past it; r04 fit) and the whole line
+    // must survive it with sbt's success line appended — "nq" makes
+    // the omission explicit rather than silent.
+    val flagshipQ = Set("q1_pricing_summary", "q5_join_broadcast",
+      "q7_anti_join_theta", "q17_snowflake_join", "q23_correlated_subquery",
+      "q24_histogram", "q25_asof_join", "q26_range_join",
+      "q35_topk_per_group", "q42_asof_native")
+    def headline(name: String): Boolean = !name.startsWith("q") || flagshipQ(name)
+
+    def qJson(entries: Seq[(String, Either[String, Double])],
+              fmt: Double => String): String =
+      entries.map {
+        case (k, Right(v)) => "\"" + k + "\":" + fmt(v)
+        case (k, Left(_))  => "\"" + k + "\":-1"
+      }.mkString("{", ",", "}")
+
+    val qs     = qJson(results.filter(r => headline(r._1)), sec2)
+    val qsFull = qJson(results, sec3)
     val errEntries = results.collect { case (k, Left(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
     val errors =
       if (errEntries.isEmpty) "" else errEntries.mkString(""","errors":{""", ",", "}")
@@ -94,8 +112,10 @@ object Bench {
     // numeric scale factor parsed from the directory name (sf0.1 -> 0.1)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$errors,"sf":$sf}"""
-    Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.length},"queries":$qs$errors,"sf":$sf}"""
+    val fullLine =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.length},"queries":$qsFull$errors,"sf":$sf}"""
+    Files.write(Paths.get(outPath), (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
     // stop BEFORE printing: any shutdown warnings land above the JSON
     // line, so only sbt's one success line can follow it inside the
     // driver's tail window
