@@ -32,6 +32,18 @@ final class MergeSpec extends SparkTestBase {
     ))
   }
 
+  test("upsertParquet: creates on first write, merges thereafter, leaves no temp dirs") {
+    val dir = tmpDir("merge-upsert")
+    val path = s"$dir/table"
+    Merge.upsertParquet(Seq((1L, "a"), (2L, "b")).toDF("id", "body"), path, Seq("id"))
+    Merge.upsertParquet(Seq((2L, "B2"), (5L, "e")).toDF("id", "body"), path, Seq("id"))
+    val got = spark.read.parquet(path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 5L -> "e"))
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName).filter(_.contains(".tmp-"))
+    assert(leftovers.isEmpty, s"temp staging dirs not cleaned: ${leftovers.mkString(",")}")
+  }
+
   test("upsert then diff round-trip: the diff of target vs upserted is exactly the batch") {
     val source = Seq((2L, "BETA*"), (9L, "new")).toDF("id", "body")
     val merged = Merge.upsert(target, source, Seq("id"))
