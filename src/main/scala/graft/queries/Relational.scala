@@ -445,16 +445,69 @@ object Relational {
         .orderBy(col("anchor_id"))
     },
 
-    // Sketch aggregates (HLL++ approx distinct, approx percentile):
-    // engine-specific sketches → no cross-engine oracle; deterministic
-    // rows-only output plus an error-bound spec (RelationalSketchSpec).
+    // Sketch aggregates, made cross-engine deterministic (the d4/a3
+    // md5-bridge pattern): a hand-rolled HyperLogLog over Md5Bucket60
+    // hashes (m=64 registers: bucket = top 6 bits, rank = leading
+    // zeros of the 54-bit suffix + 1) whose registers, zero count,
+    // and estimate the DuckDB oracle replays exactly — the harmonic
+    // sum is kept in INTEGER arithmetic (Σ 2^(55-reg) ≤ 64·2^55 <
+    // 2^63, exact in BIGINT on both engines) so no float fold order
+    // can diverge. Alongside it, a deterministic sampled-quantile
+    // sketch: an md5-threshold sample (bounded size — the rate is
+    // the scale knob) + a manual order-statistic median, avoiding
+    // engine-specific interpolation. Spark's built-in HLL++ sketches
+    // stay covered by SketchSpec's error-bound check.
     "q28_sketches" -> { (s, d) =>
-      t(s, d, "lineitem")
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Md5Bucket60
+      val li = t(s, d, "lineitem")
+      // --- deterministic HLL on l_partkey, grouped by returnflag ---
+      val mask54 = (1L << 54) - 1
+      val hashed = li.select(
+        col("l_returnflag"),
+        Md5Bucket60(concat_ws("|", lit("q28hll"), col("l_partkey").cast("string"))).as("h"))
+      val suffix = col("h").bitwiseAND(lit(mask54))
+      val regs = hashed
+        .select(col("l_returnflag"), shiftright(col("h"), 54).as("bucket"),
+          when(suffix === 0L, lit(55))
+            .otherwise(lit(55) - length(bin(suffix))).cast("int").as("rank"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(max(col("rank")).as("reg"))
+      val hll = regs.groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+          count(lit(1)).as("nb"),
+          sum(expr("shiftleft(1L, 55 - reg)")).as("s_present"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("bucket"), col("reg")))),
+            x => concat(x.getField("bucket").cast("string"), lit(":"),
+              x.getField("reg").cast("string"))), ",")).as("hll_digest"))
+      val est = lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+        (col("s_present") + (lit(64L) - col("nb")) * lit(1L << 55)).cast("double")
+      val hllOut = hll.select(col("l_returnflag"),
+        est.cast("decimal(28,4)").cast(DoubleType).as("est_parts"),
+        (lit(64L) - col("nb")).as("hll_zeros"),
+        col("hll_digest"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      // --- deterministic sampled median of l_extendedprice ---
+      val smp = li.select(
+          col("l_returnflag"), Num.dec2(col("l_extendedprice")).as("price"),
+          Md5Bucket60(concat_ws("|", lit("q28smp"),
+            col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"))).as("hs"))
+        .filter(col("hs") < lit(1L << 57)) // keep ~1/8, deterministic
+      val w = Window.partitionBy("l_returnflag").orderBy(col("price"), col("hs"))
+      val cw = Window.partitionBy("l_returnflag")
+      val med = smp
+        .select(col("l_returnflag"), col("price"),
+          row_number().over(w).as("rn"), count(lit(1)).over(cw).as("n"))
+        .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("sample_n"),
+          (sum(col("price")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+            .as("median_price"))
+      hllOut.join(exact, Seq("l_returnflag")).join(med, Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
     },
 
     // Pivot: per returnflag, quantity sums pivoted by linestatus.
@@ -840,6 +893,46 @@ object Relational {
         |  round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q75_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q28_sketches" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    (CAST('0x' || substr(md5('q28hll|' || CAST(l_partkey AS VARCHAR)), 1, 15) AS UBIGINT))::BIGINT AS h
+        |  FROM lineitem
+        |), br AS (
+        |  SELECT l_returnflag, h >> 54 AS bucket,
+        |    MAX(CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+        |             ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1))) END) AS reg
+        |  FROM h GROUP BY 1, 2
+        |), hll AS (
+        |  SELECT l_returnflag, count(*) AS nb,
+        |    SUM(1::BIGINT << (55 - reg)) AS s_present,
+        |    md5(string_agg(bucket || ':' || reg, ',' ORDER BY bucket)) AS hll_digest
+        |  FROM br GROUP BY 1
+        |), ex AS (
+        |  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+        |  FROM lineitem GROUP BY 1
+        |), smp AS (
+        |  SELECT * FROM (
+        |    SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |      (CAST('0x' || substr(md5('q28smp|' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS UBIGINT))::BIGINT AS hs
+        |    FROM lineitem)
+        |  WHERE hs < (1::BIGINT << 57)
+        |), rn AS (
+        |  SELECT l_returnflag, price,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY price, hs) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM smp
+        |), med AS (
+        |  SELECT l_returnflag, CAST(max(n) AS BIGINT) AS sample_n,
+        |    CAST(SUM(price) AS DOUBLE) / count(*) AS median_price
+        |  FROM rn WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1
+        |)
+        |SELECT hll.l_returnflag,
+        |  CAST(CAST(0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
+        |    / CAST(s_present + (64 - nb) * (1::BIGINT << 55) AS DOUBLE) AS DECIMAL(28,4)) AS DOUBLE) AS est_parts,
+        |  CAST(64 - nb AS BIGINT) AS hll_zeros, hll_digest, exact_parts, sample_n, median_price
+        |FROM hll JOIN ex USING (l_returnflag) JOIN med USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin
   )
 }
