@@ -66,8 +66,20 @@ object Merge {
       else batch
     val tmp = new org.apache.hadoop.fs.Path(tablePath + s".tmp-${System.nanoTime()}")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    if (!fs.rename(tmp, path))
+    // Swap via rename-aside, never delete-then-rename: a crash between
+    // a delete and the rename-in would lose the table outright (old
+    // data gone, only the .tmp dir left). Renaming the live dir aside
+    // first means every failure point leaves a recoverable copy, and
+    // the unreadable window shrinks to the instant between the two
+    // renames.
+    val bak = new org.apache.hadoop.fs.Path(tablePath + s".bak-${System.nanoTime()}")
+    val hadOld = fs.exists(path)
+    if (hadOld && !fs.rename(path, bak))
+      throw new java.io.IOException(s"rename $path -> $bak failed")
+    if (!fs.rename(tmp, path)) {
+      if (hadOld) fs.rename(bak, path) // best-effort restore of the old table
       throw new java.io.IOException(s"rename $tmp -> $path failed")
+    }
+    if (hadOld) fs.delete(bak, true)
   }
 }

@@ -148,15 +148,61 @@ object AsofJoin {
     val spark = left.sparkSession
     register(spark)
     val lPlan = Bridge.analyzed(left)
-    val rPlan = Bridge.analyzed(right)
-    def attr(p: LogicalPlan, n: String): Attribute =
+    // Self-join safety: a right side sharing exprIds with the left
+    // (same DataFrame / shared subplan on both sides) would make the
+    // output projection bind payload attributes to LEFT columns —
+    // joins built through the normal DSL get DeduplicateRelations
+    // from the analyzer, but this constructor bypasses it. Re-alias
+    // every right column so its attributes get fresh exprIds.
+    val rightSafe =
+      if (Bridge.analyzed(right).outputSet.intersect(lPlan.outputSet).nonEmpty)
+        right.select(right.columns.toSeq.map(n => right.col(n).alias(n)): _*)
+      else right
+    // The exec compares right rows under orderings built from the
+    // LEFT attributes' types (AsofJoinExec.doExecute) — a type
+    // mismatch would read UnsafeRow fields under the wrong type and
+    // merge silently wrong. Coerce the right side where the cast is
+    // lossless and order-preserving (integral widening, date→ts,
+    // ts↔ts_ntz in the pinned-UTC session); anything else fails fast.
+    // (The declarative TemporalJoins.asOf tolerates mismatches via
+    // unionByName coercion; this path must be explicit.)
+    def losslessTo(from: org.apache.spark.sql.types.DataType,
+                   to: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      (from, to) match {
+        case (TimestampNTZType, TimestampType) => true
+        case (TimestampType, TimestampNTZType) => true
+        case (DateType, TimestampType | TimestampNTZType) => true
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+    }
+    def lookup(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
+    def coerced(rdf: DataFrame, rightCol: String, what: String,
+                lType: org.apache.spark.sql.types.DataType): DataFrame = {
+      val rType = lookup(Bridge.analyzed(rdf), rightCol).dataType
+      if (rType == lType) rdf
+      else if (losslessTo(rType, lType))
+        rdf.withColumn(rightCol, rdf.col(rightCol).cast(lType))
+      else throw new IllegalArgumentException(
+        s"as-of $what type mismatch: left is ${lType.simpleString}, right " +
+          s"'$rightCol' is ${rType.simpleString} and cannot be cast losslessly " +
+          "— cast one side explicitly first")
+    }
+    val lk0 = lookup(lPlan, key)
+    val lt0 = lookup(lPlan, leftTime)
+    val rCoerced = coerced(coerced(rightSafe, key, "key", lk0.dataType),
+      rightTime, "time", lt0.dataType)
+    val rPlan = Bridge.analyzed(rCoerced)
     Bridge.ofRows(spark, AsofJoinPlan(
       lPlan, rPlan,
-      Seq(attr(lPlan, key)), Seq(attr(rPlan, key)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime),
-      payload.map(attr(rPlan, _))))
+      Seq(lk0), Seq(lookup(rPlan, key)), lt0, lookup(rPlan, rightTime),
+      payload.map(lookup(rPlan, _))))
   }
 }

@@ -240,12 +240,12 @@ object EventsPipeline {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     stateShufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    val agg = readStream(spark, dir, glob)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
     try {
-      val agg = readStream(spark, dir, glob)
-        .groupBy(col("user_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
       val writer = agg.writeStream
         .outputMode("update")
         .trigger(Trigger.AvailableNow())
@@ -256,7 +256,14 @@ object EventsPipeline {
       val q = writer.start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.read.parquet(tablePath)
+    // An input dir matching no files completes the stream without any
+    // foreachBatch invocation, so the table path was never created —
+    // return an empty result with the aggregate schema rather than
+    // throwing path-not-found.
+    val p  = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(tablePath)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), agg.schema)
   }
 
   /** Run a streaming aggregation to completion over the files that

@@ -40,8 +40,9 @@ final class MergeSpec extends SparkTestBase {
     val got = spark.read.parquet(path)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a", 2L -> "B2", 5L -> "e"))
-    val leftovers = new java.io.File(dir).listFiles().map(_.getName).filter(_.contains(".tmp-"))
-    assert(leftovers.isEmpty, s"temp staging dirs not cleaned: ${leftovers.mkString(",")}")
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.contains(".tmp-") || n.contains(".bak-"))
+    assert(leftovers.isEmpty, s"staging/backup dirs not cleaned: ${leftovers.mkString(",")}")
   }
 
   test("upsert then diff round-trip: the diff of target vs upserted is exactly the batch") {

@@ -83,4 +83,48 @@ final class AsofJoinSpec extends SparkTestBase {
     assert(!plan.contains("Window"), "the native operator must not fall back to a window")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
+
+  test("key/time type mismatch: lossless widening coerces, lossy mismatch fails fast") {
+    // the exec compares right rows under orderings built from the LEFT
+    // attributes' types — mismatched types would read UnsafeRow fields
+    // under the wrong type, so the constructor coerces only lossless
+    // order-preserving casts and rejects everything else
+    val left = Seq((1L, 10L, "a"), (1L, 3L, "pre")).toDF("k", "t", "lval")
+
+    // Int right side widens to the left's Long losslessly
+    val intRight = Seq((1, 5, "p")).toDF("k", "t", "payload")
+    val got = AsofJoin.asOf(left, intRight, "k", "t", "t", Seq("payload"))
+      .collect().map(r => r.getLong(1) -> Option(r.getString(3))).toMap
+    assert(got(10L).contains("p") && got(3L).isEmpty)
+
+    // String time cannot be cast losslessly — must throw, not merge wrong
+    val strRight = Seq((1L, "5", "p")).toDF("k", "t", "payload")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asOf(left, strRight, "k", "t", "t", Seq("payload"))
+    }
+    assert(e.getMessage.contains("type mismatch"))
+
+    // Long right key against an Int left key would narrow — reject
+    val intLeft = Seq((1, 10, "a")).toDF("k", "t", "lval")
+    val longRight = Seq((1L, 5, "p")).toDF("k", "t", "payload")
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.asOf(intLeft, longRight, "k", "t", "t", Seq("payload"))
+    }
+    assert(e2.getMessage.contains("type mismatch"))
+  }
+
+  test("shared-subplan right side (self-join shape) binds payload to the RIGHT rows") {
+    // df.filter shares exprIds with df; without re-aliasing, the output
+    // projection would bind the payload attribute to the LEFT column
+    // and return each left row's own value
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "payload")
+    val native = AsofJoin.asOf(df, df.filter(col("t") < 15), "k", "t", "t", Seq("payload"))
+    val got = native.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(3))).toMap
+    assert(got((1L, 10L)).contains("a"))
+    assert(got((1L, 20L)).contains("a"),
+      "payload must come from the right side's t=10 row, not the left row's own column")
+    assert(got((2L, 5L)).contains("c"))
+  }
 }

@@ -73,6 +73,16 @@ final class EventsPipelineSpec extends SparkTestBase {
     assert(after2.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
   }
 
+  test("upsert sink over an input dir with no matching files returns an empty frame") {
+    val tmp = tmpDir("stream-upsert-empty")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    // no foreachBatch ever fires, so the table path is never created —
+    // the sink must hand back an empty aggregate-shaped frame, not throw
+    val out = EventsPipeline.runUpsertSink(spark, s"$tmp/in", s"$tmp/totals")
+    assert(out.columns.toSeq == Seq("user_id", "n_events", "sum_value"))
+    assert(out.count() == 0)
+  }
+
   test("watermarked dedup drops duplicate event ids") {
     // duplicate the stream: the same raw file twice under one dir
     // (the file-stream source lists plain files, not parquet dirs)
