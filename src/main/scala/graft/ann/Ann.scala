@@ -279,9 +279,17 @@ object Ann {
       .filter(col("a") < col("b"))
       .select("a", "b")
       .distinct()
-    // verify: melt pairs to (pair, id) so the vector table is joined
-    // once (not once per side), reassemble per pair, score exactly
-    val vecs = df.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
+    verifyCandidates(cands, df, minCos)
+  }
+
+  /** Exact-score candidate (a, b) pairs against the vector table and
+    * threshold: pairs melt to (pair, id) rows so the corpus-sized
+    * vector table is joined once (not once per side), then each pair
+    * reassembles in a group-by.
+    */
+  private def verifyCandidates(cands: DataFrame, vecSource: DataFrame,
+                               minCos: Double): DataFrame = {
+    val vecs = vecSource.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
     val melted = cands.select(col("a"), col("b"),
         explode(array(
           struct(col("a").as("id"), lit(0).as("side")),
@@ -305,39 +313,81 @@ object Ann {
     * runs, which is what makes re-checking a growing corpus per
     * batch affordable. New ids must sort after existing ids; every
     * output pair's `b` is a new vector. Same tuned (planes, tables,
-    * seed) semantics as [[cosineNearDupPairsLSH]].
+    * seed) semantics as [[cosineNearDupPairsLSH]]. This form
+    * re-sketches the existing side each call; the production loop
+    * uses [[cosineNearDupPairsLSHIndexed]] with a stored
+    * [[sketchIndex]] so existing vectors are sketched once, ever.
     */
   def cosineNearDupPairsLSHIncremental(existing: DataFrame, incoming: DataFrame,
                                        minCos: Double, dim: Int,
                                        planes: Int = 10, tables: Int = 8,
                                        seed: Long = 42L): DataFrame = {
-    def sketched(df: DataFrame) = df.select(col("id"),
-      posexplode(graft.functions.HyperplaneSketches(col("vec"), dim, planes, tables, seed))
-        .as(Seq("table", "bucket")))
     val all = existing.select(col("id"), col("vec"))
       .unionByName(incoming.select(col("id"), col("vec")))
-    val cands = sketched(all).select(col("table"), col("bucket"), col("id").as("a"))
-      .join(sketched(incoming).select(col("table"), col("bucket"), col("id").as("b")),
+    val cands = sketchIndex(all, dim, planes, tables, seed)
+      .select(col("table"), col("bucket"), col("id").as("a"))
+      .join(sketchIndex(incoming, dim, planes, tables, seed)
+        .select(col("table"), col("bucket"), col("id").as("b")),
         Seq("table", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b")
       .distinct()
-    val vecs = all.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
-    val melted = cands.select(col("a"), col("b"),
-        explode(array(
-          struct(col("a").as("id"), lit(0).as("side")),
-          struct(col("b").as("id"), lit(1).as("side")))).as("m"))
-      .select(col("a"), col("b"), col("m.id").as("id"), col("m.side").as("side"))
-    melted.join(vecs, Seq("id"))
-      .groupBy(col("a"), col("b"))
-      .agg(
-        first(when(col("side") === 0, col("vec")), ignoreNulls = true).as("va"),
-        first(when(col("side") === 0, col("nrm")), ignoreNulls = true).as("na"),
-        first(when(col("side") === 1, col("vec")), ignoreNulls = true).as("vb"),
-        first(when(col("side") === 1, col("nrm")), ignoreNulls = true).as("nb"))
-      .withColumn("sim", VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
-      .filter(col("sim") >= minCos)
-      .select("a", "b", "sim")
+    verifyCandidates(cands, all, minCos)
+  }
+
+  /** The persistent hyperplane-LSH index: exploded (id, table,
+    * bucket) rows — what [[cosineNearDupPairsLSHIndexed]] consumes
+    * for the existing side so a growing corpus is sketched ONCE.
+    * Deterministic given (dim, planes, tables, seed): an index row
+    * equals what a recompute would produce.
+    */
+  def sketchIndex(df: DataFrame, dim: Int, planes: Int = 10,
+                  tables: Int = 8, seed: Long = 42L): DataFrame =
+    df.select(col("id"),
+      posexplode(graft.functions.HyperplaneSketches(col("vec"), dim, planes, tables, seed))
+        .as(Seq("table", "bucket")))
+
+  /** Store a sketch index as a bucketed catalog table (hash-clustered
+    * on `bucket`, a subset of the candidate join key (table, bucket),
+    * so the stored side joins without shuffling). `append = true`
+    * adds a processed batch — the per-batch maintenance step.
+    */
+  def saveSketchIndex(index: DataFrame, table: String, nBuckets: Int = 32,
+                      append: Boolean = false): Unit =
+    index.write.mode(if (append) "append" else "overwrite")
+      .bucketBy(nBuckets, "bucket")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** [[cosineNearDupPairsLSHIncremental]] against a PRECOMPUTED
+    * index: the existing side arrives as stored (id, table, bucket)
+    * rows plus the vector table — nothing existing is re-sketched,
+    * and only existing vectors that appear in a candidate pair are
+    * read for exact scoring. Semantics identical to the recompute
+    * form (equivalence-spec'd); new ids sort after existing ids.
+    */
+  def cosineNearDupPairsLSHIndexed(existingIndex: DataFrame,
+                                   existingVecs: DataFrame,
+                                   incoming: DataFrame,
+                                   minCos: Double, dim: Int,
+                                   planes: Int = 10, tables: Int = 8,
+                                   seed: Long = 42L): DataFrame = {
+    val newSketches = sketchIndex(incoming, dim, planes, tables, seed)
+    val allSketches = existingIndex.select(col("id"), col("table"), col("bucket"))
+      .unionByName(newSketches)
+    val cands = allSketches.select(col("table"), col("bucket"), col("id").as("a"))
+      .join(newSketches.select(col("table"), col("bucket"), col("id").as("b")),
+        Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val candIds = cands.select(col("a").as("id"))
+      .unionByName(cands.select(col("b").as("id")))
+      .distinct()
+    val vecsNeeded = existingVecs.select(col("id"), col("vec"))
+      .join(candIds, Seq("id"), "left_semi")
+      .unionByName(incoming.select(col("id"), col("vec")))
+    verifyCandidates(cands, vecsNeeded, minCos)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).

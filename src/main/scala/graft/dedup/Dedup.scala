@@ -236,10 +236,11 @@ object MinHashLSH {
     * grows by batches, where re-checking existing×existing every day
     * is the dominant wasted cost. Candidates come from banding the
     * new batch against (existing ∪ new) band buckets, so the
-    * existing×existing join never happens; at scale the existing
-    * side's signatures/bands load from a stored table instead of
-    * recomputing (the operator only needs (id, bands) for the
-    * existing side and raw text for verification).
+    * existing×existing join never happens. This form re-signs the
+    * existing corpus each call — convenient for one-off runs; the
+    * production loop over a growing corpus uses
+    * [[nearDuplicatesIncrementalIndexed]] with a stored
+    * [[bandIndex]] so existing docs are signed once, ever.
     *
     * Requires new ids to sort after existing ids (any batch id
     * scheme does this); output is (a, b, jaccard) with a < b and b
@@ -266,6 +267,66 @@ object MinHashLSH {
       .select("a", "b")
       .distinct()
     verifyPairs(cands, allDocs, idCol, textCol, n, minJaccard)
+      .select(col("a"), col("b"), (col("i").cast("double") / col("u")).as("jaccard"))
+  }
+
+  /** The persistent LSH index: exploded (id, band, bucket) rows for a
+    * corpus — what [[nearDuplicatesIncrementalIndexed]] consumes for
+    * the existing side so a growing corpus is signed ONCE, not once
+    * per batch. Deterministic (xxhash64 seeds, no stored permutation
+    * table), so an index row equals what a recompute would produce.
+    */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                numHashes: Int = 16, bands: Int = 4, n: Int = 1): DataFrame =
+    signatures(df, idCol, textCol, numHashes, bands, n)
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+
+  /** Store a band index as a bucketed catalog table (hash-clustered
+    * on `bucket`, which is a subset of the candidate join key
+    * (band, bucket) — so the stored side joins WITHOUT shuffling).
+    * `append = true` adds a processed batch's rows to the same table,
+    * the per-batch maintenance step of the growing-corpus loop.
+    */
+  def saveBandIndex(index: DataFrame, table: String, nBuckets: Int = 32,
+                    append: Boolean = false): Unit =
+    index.write.mode(if (append) "append" else "overwrite")
+      .bucketBy(nBuckets, "bucket")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** [[nearDuplicatesIncremental]] against a PRECOMPUTED index: the
+    * existing side arrives as stored (id, band, bucket) rows plus the
+    * raw docs table, so nothing existing is re-signed — per batch the
+    * existing corpus costs one index scan for candidate generation
+    * and a semi-joined text lookup for only the docs that actually
+    * appear in candidate pairs. Semantics identical to the recompute
+    * form (equivalence-spec'd); same contract: new ids sort after
+    * existing ids, every output pair's `b` is new.
+    */
+  def nearDuplicatesIncrementalIndexed(existingIndex: DataFrame,
+                                       existingDocs: DataFrame,
+                                       incoming: DataFrame,
+                                       idCol: String, textCol: String,
+                                       numHashes: Int = 16, bands: Int = 4, n: Int = 1,
+                                       minJaccard: Double = 0.8): DataFrame = {
+    val newBands = bandIndex(incoming, idCol, textCol, numHashes, bands, n)
+    val allBands = existingIndex.select(col("id"), col("band"), col("bucket"))
+      .unionByName(newBands)
+    val cands = allBands.select(col("band"), col("bucket"), col("id").as("a"))
+      .join(newBands.select(col("band"), col("bucket"), col("id").as("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    // verification shingles ONLY the existing docs named in some
+    // candidate pair (plus the batch) — not the whole corpus
+    val candIds = cands.select(col("a").as(idCol))
+      .unionByName(cands.select(col("b").as(idCol)))
+      .distinct()
+    val docsNeeded = existingDocs.select(col(idCol), col(textCol))
+      .join(candIds, Seq(idCol), "left_semi")
+      .unionByName(incoming.select(col(idCol), col(textCol)))
+    verifyPairs(cands, docsNeeded, idCol, textCol, n, minJaccard)
       .select(col("a"), col("b"), (col("i").cast("double") / col("u")).as("jaccard"))
   }
 

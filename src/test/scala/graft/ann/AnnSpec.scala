@@ -144,6 +144,58 @@ final class AnnSpec extends SparkTestBase {
     assert(incr.forall { case (_, b) => b >= split })
   }
 
+  test("stored sketch index path equals the recompute path, without re-sketching existing vecs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val dim = 32
+    val base = (0 until 120).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val dups = base.filter(_._1 % 4 == 0).map { case (i, v) =>
+      (1000L + i) -> v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+    }
+    val df = (base ++ dups).toDF("id", "vec")
+    val split = 60L
+    val existing = df.filter(col("id") < split)
+    val incoming = df.filter(col("id") >= split)
+    val table = "sketch_index_spec"
+    try {
+      Ann.saveSketchIndex(Ann.sketchIndex(existing, dim), table, nBuckets = 8)
+      val indexed = Ann.cosineNearDupPairsLSHIndexed(
+          spark.table(table), existing, incoming, minCos = 0.9, dim = dim)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recompute = Ann.cosineNearDupPairsLSHIncremental(
+          existing, incoming, minCos = 0.9, dim = dim)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(indexed == recompute && indexed.nonEmpty)
+
+      // the indexed plan sketches ONLY the incoming batch — in the
+      // ANALYZED plan (before optimizer subtree duplication), no
+      // HyperplaneSketches computation may sit above the existing-side
+      // filter; the existing buckets come from the stored table
+      import org.apache.spark.sql.catalyst.plans.logical.Filter
+      def sketchedOverExisting(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.analyzed.collect {
+          case p if p.expressions.exists(_.exists(
+                _.isInstanceOf[graft.functions.HyperplaneSketches])) &&
+              p.collect { case f: Filter
+                if f.condition.toString.contains(s"< $split") => f }.nonEmpty => p
+        }.nonEmpty
+      val indexedDf = Ann.cosineNearDupPairsLSHIndexed(
+        spark.table(table), existing, incoming, minCos = 0.9, dim = dim)
+      assert(!sketchedOverExisting(indexedDf), "existing side must not be re-sketched")
+      assert(indexedDf.queryExecution.analyzed.toString.contains(table))
+      // positive control: the recompute form DOES sketch the existing side
+      assert(sketchedOverExisting(Ann.cosineNearDupPairsLSHIncremental(
+        existing, incoming, minCos = 0.9, dim = dim)))
+
+      // append maintenance keeps the stored index equal to a recompute
+      Ann.saveSketchIndex(Ann.sketchIndex(incoming, dim), table, nBuckets = 8, append = true)
+      val stored = spark.table(table)
+      val fresh = Ann.sketchIndex(df, dim)
+      assert(stored.count() == fresh.count())
+      assert(stored.exceptAll(fresh).isEmpty && fresh.exceptAll(stored).isEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("cosine near-dup pairs are symmetric-free and thresholded") {
     val pairs = Ann.cosineNearDupPairs(vecs, minCos = 0.4).collect()
     assert(pairs.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))

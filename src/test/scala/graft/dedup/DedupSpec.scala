@@ -89,6 +89,57 @@ final class DedupSpec extends SparkTestBase {
     assert(incr.nonEmpty)
   }
 
+  test("stored band index path equals the recompute path, without re-signing existing docs") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = 250L
+    val existing = docs01.filter(col("doc_id") < split)
+    val incoming = docs01.filter(col("doc_id") >= split)
+    val table = "band_index_spec"
+    try {
+      MinHashLSH.saveBandIndex(
+        MinHashLSH.bandIndex(existing, "doc_id", "text", 24, 8, 3), table, nBuckets = 8)
+      val indexed = MinHashLSH.nearDuplicatesIncrementalIndexed(
+          spark.table(table), existing, incoming, "doc_id", "text", 24, 8, 3, 0.8)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recompute = MinHashLSH.nearDuplicatesIncremental(
+          existing, incoming, "doc_id", "text", 24, 8, 3, 0.8)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(indexed == recompute && indexed.nonEmpty)
+
+      // the whole point: the indexed plan signs ONLY the incoming batch —
+      // in the ANALYZED plan (what the operator declares, before the
+      // optimizer duplicates subtrees with pushed-down predicates), no
+      // MinHashSignature computation may sit above the existing-side
+      // filter (doc_id < split); existing bands come from the stored table
+      import org.apache.spark.sql.catalyst.plans.logical.Filter
+      def signedOverExisting(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.analyzed.collect {
+          case p if p.expressions.exists(_.exists(
+                _.isInstanceOf[graft.functions.MinHashSignature])) &&
+              p.collect { case f: Filter
+                if f.condition.toString.contains(s"< $split") => f }.nonEmpty => p
+        }.nonEmpty
+      val indexedDf = MinHashLSH.nearDuplicatesIncrementalIndexed(
+        spark.table(table), existing, incoming, "doc_id", "text", 24, 8, 3, 0.8)
+      assert(!signedOverExisting(indexedDf), "existing side must not be re-signed")
+      assert(indexedDf.queryExecution.analyzed.toString.contains(table),
+        "existing bands must come from the stored index table")
+      // positive control: the recompute form DOES sign the existing side
+      assert(signedOverExisting(MinHashLSH.nearDuplicatesIncremental(
+        existing, incoming, "doc_id", "text", 24, 8, 3, 0.8)))
+
+      // append maintenance: after folding the batch in, the index serves
+      // the NEXT batch — equivalence holds against a full recompute
+      MinHashLSH.saveBandIndex(
+        MinHashLSH.bandIndex(incoming, "doc_id", "text", 24, 8, 3), table,
+        nBuckets = 8, append = true)
+      val stored = spark.table(table)
+      val fresh = MinHashLSH.bandIndex(docs01, "doc_id", "text", 24, 8, 3)
+      assert(stored.count() == fresh.count())
+      assert(stored.exceptAll(fresh).isEmpty && fresh.exceptAll(stored).isEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("prefix filtering prunes a universal hot shingle without losing pairs") {
     // 40 docs, each with its own distinct vocabulary, all sharing one
     // universal phrase ("common shared filler words appear in every
