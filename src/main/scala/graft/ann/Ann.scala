@@ -192,6 +192,51 @@ object Ann {
     *
     * @param centroids (cell, vec) rows — must be broadcast-sized
     */
+  /** Distributed fixed-iteration spherical k-means — the coarse
+    * quantizer builder for [[ivfTopK]] and SemDeDup-style semantic
+    * dedup, so cell count is a real scale knob (thousands of cells
+    * on a real corpus) instead of whatever labels happen to exist.
+    *
+    * Deterministic and cross-engine replayable by construction (the
+    * v1/a3 recipe): seeds are the `k` vectors with the smallest
+    * md5(id) (hash-sampled, any engine recomputes the same set),
+    * assignment is [[assignCells]]' argmax cosine with ties to the
+    * lowest cell, the update is the per-(cell, pos) double mean
+    * ROUNDED to 6 decimals (round-6 absorbs float partial-sum
+    * order), and the iteration count is FIXED — no convergence test,
+    * so the recursion unrolls identically everywhere. A cell that
+    * loses all members disappears (standard k-means behavior, same
+    * on every engine).
+    *
+    * Scale shape: per iteration, one broadcast join against the
+    * k×dim centroid table (vectors never shuffle for assignment) and
+    * one (cell, pos)-keyed aggregate whose width is cells × dims,
+    * not corpus size. Each round's centroids are lazily
+    * localCheckpointed so the lineage stays flat across iterations.
+    */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val hashed = vecs.select(col("id"), col("vec"),
+      graft.functions.Md5Bucket60(
+        concat_ws("|", lit("km"), col("id").cast("string"))).as("hkey"))
+    val seedW = Window.orderBy(col("hkey"), col("id"))
+    var cents = hashed.orderBy(col("hkey"), col("id")).limit(k)
+      .withColumn("cell", (row_number().over(seedW) - 1).cast("long"))
+      .select(col("cell"),
+        transform(col("vec"), x => round(x.cast("double"), 6)).as("vec"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(vecs, cents).select(col("id"), col("cell"))
+      cents = vecs.join(assigned, Seq("id"))
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
+        .localCheckpoint(false)
+    }
+    cents
+  }
+
   /** Nearest-cell assignment: (id, vec) rows × (cell, vec) centroids
     * → (id, cell, ccos), each vector's argmax cell (ties to the
     * lowest cell id) and its cosine to that centroid. The coarse-

@@ -145,22 +145,9 @@ object CorpusOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
       val vecs = all.select(col("id"), col("vec"))
-      val assigned = Ann.assignCells(vecs, cents)       // (id, cell, ccos)
-      val withVec = assigned.join(vecs, Seq("id"))
-      val a = withVec.select(col("id").as("a"), col("cell"), col("vec").as("va"),
-        graft.functions.VectorOps.fnorm(col("vec")).as("na"))
-      val b = withVec.select(col("id").as("b"), col("cell"), col("vec").as("vb"),
-        graft.functions.VectorOps.fnorm(col("vec")).as("nb"))
-      val pairs = a.join(b, Seq("cell"))
-        .filter(col("a") < col("b"))
-        .filter(graft.functions.VectorOps.cosinePre(
-          col("va"), col("vb"), col("na"), col("nb")) >= 0.45)
-        .select(col("a"), col("b"))
-      graft.dedup.Clusters.keepBest(
-          assigned.withColumn("negccos", -col("ccos")), "id", col("negccos"), pairs)
-        .join(assigned.select(col("id"), col("cell"), col("ccos")), Seq("id"))
+      graft.dedup.SemDeDup.run(vecs, cents, minCos = 0.45)
         .select(col("id"), col("cell"), col("cluster_rep"),
-          round(col("ccos"), 6).as("centroid_cos"), col("kept"))
+          round(col("centroid_cos"), 6).as("centroid_cos"), col("kept"))
         .orderBy(col("id"))
     },
 
@@ -209,6 +196,21 @@ object CorpusOps {
     "a4_ann_quantized" -> { (s, d) =>
       val all = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ann.quantizedTopK(all, all.filter(col("id") < 20), k = 5, rerank = 64)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IVF with a LEARNED coarse quantizer: distributed fixed-iteration
+    // k-means (hash-sampled seeds, argmax-cosine assignment, round-6
+    // decimal means) instead of label means — cell count becomes a
+    // real scale knob. The oracle replays the ENTIRE recursion:
+    // same seeds, both assignment rounds, both centroid updates,
+    // then the a3-style probe/score/rank replay over the learned
+    // cells. k=8, iters=2 on the 500×64 fixture.
+    "a5_ivf_kmeans" -> { (s, d) =>
+      val all = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = Ann.kmeansCentroids(all, k = 8, iters = 2)
+      Ann.ivfTopK(all, all.filter(col("id") < 20), cents, k = 5, nprobe = 2)
         .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
@@ -1065,6 +1067,71 @@ object CorpusOps {
          |  FROM scored)
          |SELECT query_id, nbr_id, sim, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // replays the whole k-means recursion (seeds → assign → update,
+    // twice) and then the IVF probe/score/rank structure over the
+    // learned cells — nothing about the index is taken on faith
+    "a5_ivf_kmeans" -> {
+      def cn(i: Int) =
+        s"cn$i AS (SELECT cell, cvec, sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm FROM c$i)"
+      def assign(i: Int) =
+        s"""as$i AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, c.cell, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |      list_sum(list_transform(list_zip(v.embedding, c.cvec),
+           |        x -> CAST(x[1] AS DOUBLE) * x[2])) / (v.nrm * c.cnrm) DESC,
+           |      c.cell ASC) AS crank
+           |    FROM v CROSS JOIN cn${i - 1} c) WHERE crank = 1)""".stripMargin
+      def update(i: Int) =
+        s"""c$i AS (
+           |  SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+           |    SELECT a.cell, i AS pos, round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS m
+           |    FROM as$i a JOIN embeddings e USING (vec_id), (SELECT unnest(range(1, 65)) AS i)
+           |    GROUP BY a.cell, i) GROUP BY cell)""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY
+         |        (CAST('0x' || substr(md5('km|' || CAST(vec_id AS VARCHAR)), 1, 15) AS UBIGINT))::BIGINT ASC,
+         |        vec_id ASC) - 1 AS cell
+         |    FROM embeddings) WHERE cell < 8),
+         |c0 AS (
+         |  SELECT s.cell, list_transform(e.embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+         |  FROM seeds s JOIN embeddings e USING (vec_id)),
+         |${cn(0)},
+         |${assign(1)},
+         |${update(1)},
+         |${cn(1)},
+         |${assign(2)},
+         |${update(2)},
+         |${cn(2)},
+         |csims AS (
+         |  SELECT v.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_sum(list_transform(list_zip(v.embedding, c.cvec),
+         |        x -> CAST(x[1] AS DOUBLE) * x[2])) / (v.nrm * c.cnrm) DESC,
+         |      c.cell ASC) AS crank
+         |  FROM v CROSS JOIN cn2 c),
+         |assigned AS (SELECT vec_id, cell FROM csims WHERE crank = 1),
+         |probed AS (SELECT vec_id, cell FROM csims WHERE crank <= 2 AND vec_id < 20),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosineExpr AS sim
+         |  FROM probed p
+         |  JOIN assigned asg ON asg.cell = p.cell
+         |  JOIN v a ON a.vec_id = p.vec_id
+         |  JOIN v b ON b.vec_id = asg.vec_id
+         |  WHERE a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT query_id, nbr_id, round(sim, 6) AS sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, nbr_id, sim, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     // replicates the IVF index structure: rounded label-mean
     // centroids → argmax cell per corpus vector → top-2 probed cells

@@ -22,10 +22,12 @@ final class PlanAuditSpec extends SparkTestBase {
   //     against every corpus row" IS the operator — the corpus side
   //     never shuffles and each partition scans independently: a1
   //   - IVF's coarse quantizer: every vector scores against the
-  //     broadcast |cells|-row centroid table (a3)
+  //     broadcast |cells|-row centroid table (a3, a5 — a5's k-means
+  //     training assigns against the same broadcast centroids)
   private val scalarBroadcastOk =
     Set("t6_tfidf_top_terms", "t11_unigram_logprob", "q23_correlated_subquery",
-      "a1_ann_topk", "a3_ann_ivf", "a4_ann_quantized", "d10_semdedup")
+      "a1_ann_topk", "a3_ann_ivf", "a4_ann_quantized", "a5_ivf_kmeans",
+      "d10_semdedup")
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
