@@ -5,26 +5,42 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, Dataset, Encoder, SaveMode, SparkSession}
 
-/** A tiny MERGE-capable table stored as a parquet directory.
+/** A tiny MERGE-capable table stored as versioned parquet snapshots
+  * under a manifest log — a hand-rolled miniature of the commit
+  * protocol a table format (Delta / Iceberg) provides.
   *
   * Emulates `INSERT ... ON DUPLICATE KEY UPDATE` (reference:
   * Runs.scala:77-103, RunStatus.scala:63-85 via Quill/MySQL) with
   * pure DataFrame ops: `existing ANTI-JOIN incoming-keys UNION
-  * incoming`, written to a temp directory and atomically swapped in.
-  * On a transactional store (Delta / Iceberg) the same call maps to
-  * `MERGE INTO`; the swap is the plain-parquet fallback and is
-  * rename-atomic on HDFS/local (documented non-atomic on raw S3 —
-  * production deployments would point this at a table format).
+  * incoming`, written as a NEW immutable snapshot directory and
+  * committed by atomically creating the next numbered manifest file.
+  *
+  * Layout:
+  * {{{
+  *   <path>/_manifests/v0000000007   # text: name of the live snapshot dir
+  *   <path>/snap-1a2b3c4d/           # immutable parquet snapshots
+  * }}}
+  *
+  * The commit point is `fs.create(manifest, overwrite = false)` — an
+  * atomic create-if-absent everywhere (HDFS, local, S3 conditional
+  * put), so there is NO rename window at all: readers resolve the
+  * highest manifest and read an immutable snapshot directory that no
+  * writer ever mutates or swaps (snapshot isolation). A crash before
+  * the manifest create leaves only an unreferenced snapshot dir (GC'd
+  * by a later commit); a crash after it leaves a fully committed
+  * table. This removes the delete/rename data-loss and
+  * reader-blackout windows a directory swap has on raw object
+  * storage. Old snapshots are retained for the last `KeepManifests`
+  * commits so in-flight readers finish against their pinned version.
   *
   * Writer concurrency: every mutation runs under an exclusive
   * `<path>.lock` file taken with `fs.create(..., overwrite = false)`
-  * — an atomic create-if-absent on HDFS/local (and on S3 with
-  * conditional writes) — so two concurrent method processes cannot
-  * interleave their read-modify-write cycles and silently drop each
-  * other's rows (the reference gets the same guarantee per statement
-  * from MySQL transactions). Locks carry holder + timestamp; a crash
-  * leaves a lock that later writers break after `StaleLockMs`.
-  * Readers never lock: the rename swap keeps reads consistent.
+  * — so two concurrent writer processes cannot interleave their
+  * read-modify-write cycles and silently drop each other's rows (the
+  * reference gets the same guarantee per statement from MySQL
+  * transactions). Locks carry holder + timestamp; a crash leaves a
+  * lock that later writers break after `StaleLockMs`. Readers never
+  * lock or retry: manifests only ever appear.
   *
   * Rows are typed; keys are column names. The table is run-metadata
   * sized (thousands of rows), but every operation is expressed
@@ -41,7 +57,12 @@ final class ParquetTable[T: Encoder](
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists: Boolean = fs.exists(new Path(path))
+  private val manifestDir = new Path(path, "_manifests")
+
+  /** Committed snapshots retained (manifests + their data dirs). */
+  private val KeepManifests = 3
+
+  def exists: Boolean = currentManifest().isDefined
 
   private val lockPath = new Path(path + ".lock")
 
@@ -89,16 +110,41 @@ final class ParquetTable[T: Encoder](
     finally fs.delete(lockPath, false)
   }
 
+  /** (version, snapshot dir name) of the latest committed manifest. */
+  private def currentManifest(): Option[(Long, String)] = {
+    val f = fs
+    if (!f.exists(manifestDir)) return None
+    val versions = f.listStatus(manifestDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d{10}"))
+      .map(_.drop(1).toLong)
+    if (versions.isEmpty) None
+    else {
+      val v    = versions.max
+      val mf   = new Path(manifestDir, f"v$v%010d")
+      val in   = f.open(mf)
+      val snap =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some((v, snap))
+    }
+  }
+
   /** Idempotent create (reference `migrate()`: CREATE TABLE IF NOT
     * EXISTS, Runs.scala:36-45).
     */
   def migrate(): Unit = withWriterLock {
-    if (!exists) writeAtomic(spark.emptyDataset[T])
+    if (!exists) commitSnapshot(spark.emptyDataset[T])
   }
 
-  def ds: Dataset[T] =
-    if (exists) spark.read.parquet(path).as[T]
-    else spark.emptyDataset[T]
+  /** The table at its latest committed version. The returned Dataset
+    * is pinned to that snapshot's immutable directory — later commits
+    * do not disturb it (snapshot isolation for in-flight readers).
+    */
+  def ds: Dataset[T] = currentManifest() match {
+    case Some((_, snap)) => spark.read.parquet(new Path(path, snap).toString).as[T]
+    case None            => spark.emptyDataset[T]
+  }
 
   def all(): Seq[T] = ds.collect().toSeq
 
@@ -110,7 +156,7 @@ final class ParquetTable[T: Encoder](
     withWriterLock {
       val incoming = spark.createDataset(rows)
       val kept     = ds.join(incoming.select(keyCols.map(c => $"$c"): _*), keyCols, "left_anti").as[T]
-      writeAtomic(kept.unionByName(incoming))
+      commitSnapshot(kept.unionByName(incoming))
     }
   }
 
@@ -118,7 +164,7 @@ final class ParquetTable[T: Encoder](
     * predicate result keeps the row).
     */
   def delete(pred: Column): Unit = withWriterLock {
-    writeAtomic(ds.filter(!org.apache.spark.sql.functions.coalesce(
+    commitSnapshot(ds.filter(!org.apache.spark.sql.functions.coalesce(
       pred, org.apache.spark.sql.functions.lit(false))))
   }
 
@@ -127,28 +173,50 @@ final class ParquetTable[T: Encoder](
     val matched = ds.filter(pred).collect().toSeq.map(f)
     val rest    = ds.filter(!org.apache.spark.sql.functions.coalesce(
       pred, org.apache.spark.sql.functions.lit(false))).collect().toSeq
-    writeAtomic(spark.createDataset(rest ++ matched))
+    commitSnapshot(spark.createDataset(rest ++ matched))
   }
 
-  /** Write-to-temp then swap, so readers never see a half table and a
-    * failed write leaves the previous version intact.
+  /** Write `data` as a fresh immutable snapshot dir, then COMMIT by
+    * atomically creating the next numbered manifest — the only
+    * mutation the table's visible state ever sees. Must be called
+    * with the writer lock held. Retains the last [[KeepManifests]]
+    * versions and garbage-collects everything older.
     */
-  private def writeAtomic(data: Dataset[T]): Unit = {
-    val target = new Path(path)
-    val tmp    = new Path(path + ".tmp-" + UUID.randomUUID().toString.take(8))
-    val trash  = new Path(path + ".old-" + UUID.randomUUID().toString.take(8))
-    data.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val f = fs
-    if (f.exists(target) && !f.rename(target, trash)) {
-      f.delete(tmp, true)
-      throw new IllegalStateException(s"cannot swap out $path")
-    }
-    if (!f.rename(tmp, target)) {
-      // restore the previous version before failing
-      if (f.exists(trash)) f.rename(trash, target)
-      throw new IllegalStateException(s"cannot swap in $path")
-    }
-    f.delete(trash, true)
+  private def commitSnapshot(data: Dataset[T]): Unit = {
+    val f    = fs
+    val snap = "snap-" + UUID.randomUUID().toString.take(8)
+    data.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(path, snap).toString)
+    val ver      = currentManifest().map(_._1).getOrElse(0L) + 1L
+    val manifest = new Path(manifestDir, f"v$ver%010d")
+    f.mkdirs(manifestDir)
+    // atomic create-if-absent: under the writer lock this can only
+    // collide with a manifest left by a crashed PARTIAL gc — fail loud
+    val out = f.create(manifest, false)
+    try out.write(snap.getBytes("UTF-8"))
+    finally out.close()
+    gc(f, ver)
+  }
+
+  /** Drop manifests older than the retention window and any snapshot
+    * dir no retained manifest references. Failures here never affect
+    * the committed state — GC is advisory cleanup.
+    */
+  private def gc(f: FileSystem, latest: Long): Unit = {
+    val cutoff = latest - (KeepManifests - 1)
+    val stats  = f.listStatus(manifestDir).toSeq
+      .filter(_.getPath.getName.matches("v\\d{10}"))
+    val (old, keep) = stats.partition(_.getPath.getName.drop(1).toLong < cutoff)
+    val live = keep.map { st =>
+      val in = f.open(st.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }.toSet
+    old.foreach(st => f.delete(st.getPath, false))
+    f.listStatus(new Path(path)).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("snap-") && !live(p.getName))
+      .foreach(p => f.delete(p, true))
   }
 }
 

@@ -66,4 +66,44 @@ final class ParquetTableSpec extends SparkTestBase {
     assert(table.all().contains(("after-crash", 7L)))
     assert(!fs.exists(lock))
   }
+
+  test("readers pinned to a snapshot survive a concurrent commit (snapshot isolation)") {
+    val table = newTable("pt-isolation")
+    table.migrate()
+    table.upsert(Seq(("k", 1L)))
+    val pinned = table.ds // resolves the CURRENT manifest: an immutable snapshot dir
+    table.upsert(Seq(("k", 2L)))
+    // the pinned reader still sees its version; a fresh resolve sees the new one
+    assert(pinned.collect().toSet == Set(("k", 1L)))
+    assert(table.all().toSet == Set(("k", 2L)))
+  }
+
+  test("a crashed writer (snapshot written, manifest never committed) changes nothing and is GC'd") {
+    val table = newTable("pt-crash")
+    table.migrate()
+    table.upsert(Seq(("committed", 1L)))
+    val root = new Path(table.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash: an orphan snapshot directory with no manifest
+    val orphan = new Path(root, "snap-orphan01")
+    fs.mkdirs(orphan)
+    assert(table.all().toSet == Set(("committed", 1L)), "orphan must be invisible")
+    // the next successful commit garbage-collects it
+    table.upsert(Seq(("committed", 2L)))
+    assert(!fs.exists(orphan), "unreferenced snapshot dirs are GC'd on commit")
+    assert(table.all().toSet == Set(("committed", 2L)))
+  }
+
+  test("retention: only the last 3 manifests and their snapshots remain") {
+    val table = newTable("pt-retain")
+    table.migrate()
+    (1 to 6).foreach(i => table.upsert(Seq(("k", i.toLong))))
+    val root = new Path(table.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = fs.listStatus(new Path(root, "_manifests")).map(_.getPath.getName)
+    assert(manifests.length == 3, s"got ${manifests.mkString(",")}")
+    val snaps = fs.listStatus(root).map(_.getPath.getName).filter(_.startsWith("snap-"))
+    assert(snaps.length == 3, s"got ${snaps.mkString(",")}")
+    assert(table.all().toSet == Set(("k", 6L)))
+  }
 }
