@@ -18,9 +18,11 @@ import org.apache.spark.sql.SparkSession
   *     state like windowed counts, with none of RocksDB's per-batch
   *     open/commit overhead. `transformWithState` needs multi-column-
   *     family state, which only the RocksDB provider supports, so
-  *     [[graft.streaming.EventsPipeline.runningTotalsV2]] switches
-  *     the session to RocksDB itself; a production job holding
-  *     larger-than-heap state would likewise opt in per job.
+  *     those queries run under
+  *     [[graft.streaming.EventsPipeline.withRocksDBStateStore]],
+  *     which scopes the provider to the query and restores the
+  *     session default after; a production job holding larger-than-
+  *     heap state would likewise opt in per job.
   */
 object GraftSession {
 

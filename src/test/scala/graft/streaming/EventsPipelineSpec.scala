@@ -183,13 +183,13 @@ final class EventsPipelineSpec extends SparkTestBase {
   }
 
   test("transformWithState running totals match flatMapGroupsWithState") {
-    import org.apache.spark.sql.streaming.Trigger
-    val q = EventsPipeline.runningTotalsV2(
-        spark, EventsPipeline.readStream(spark, sfDir, glob = "events.parquet"))
-      .writeStream.outputMode("append").format("memory")
-      .queryName("spec_totals_v2").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val got = spark.table("spec_totals_v2")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val providerBefore = spark.conf.get(providerKey)
+    val got0 = EventsPipeline.runningTotalsV2ToCompletion(
+      spark, sfDir, queryName = "spec_totals_v2", glob = "events.parquet")
+    // RocksDB is scoped to the query: the session provider is restored
+    assert(spark.conf.get(providerKey) == providerBefore)
+    val got = got0
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n"), max(col("total_value")).as("total"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
@@ -202,6 +202,123 @@ final class EventsPipelineSpec extends SparkTestBase {
       assert(n == batch(u)._1)
       assert(math.abs(total - batch(u)._2) < 1e-6)
     }
+  }
+
+  test("transformWithState with a generous TTL equals the no-TTL totals") {
+    // exercises the TTLConfig codepath end-to-end; a TTL far longer
+    // than the run means no state expires, so results are identical
+    val got = EventsPipeline.runningTotalsV2ToCompletion(
+      spark, sfDir, queryName = "spec_totals_ttl", glob = "events.parquet",
+      ttl = Some(java.time.Duration.ofHours(1)))
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("total_value")).as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (u, (n, total)) =>
+      assert(n == batch(u)._1)
+      assert(math.abs(total - batch(u)._2) < 1e-6)
+    }
+  }
+
+  test("event-time timers close sessions when the watermark passes the gap") {
+    import spark.implicits._
+    val tmp = tmpDir("stream-timers")
+
+    // two micro-batches an hour apart: batch-2's events push the
+    // watermark past batch-1's session closes, firing their timers
+    def writeRaw(rows: Seq[(Long, String, Long, String, Double, String)], dest: String): Unit = {
+      val stage = dest + ".stage"
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .withColumn("ts", unix_timestamp(col("ts_s")).cast("long") * 1000000000L)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
+    }
+    writeRaw(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 10:10:00", 1L, "click", 2.5, "{}"),
+      (3L, "2024-01-01 10:05:00", 2L, "view", 4.0, "{}")),
+      s"$tmp/a_batch1.parquet")
+    writeRaw(Seq(
+      (4L, "2024-01-01 12:00:00", 3L, "click", 9.0, "{}")),
+      s"$tmp/b_batch2.parquet")
+
+    val got = EventsPipeline.sessionClosedTotals(
+      spark, tmp, gapMs = 30L * 60 * 1000, queryName = "spec_timer_sessions",
+      maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        col("session_end").cast("string"))
+      .collect().map(_.toSeq).toSet
+
+    // users 1 and 2 closed (watermark reached 12:00 > close times);
+    // user 3's session is still open at end-of-input and must NOT emit
+    assert(got == Set(
+      Seq(1L, 2L, 3.5, "2024-01-01 10:40:00"),
+      Seq(2L, 1L, 4.0, "2024-01-01 10:35:00")))
+  }
+
+  test("stream-stream join state plateaus: watermark cleanup evicts expired rows") {
+    import spark.implicits._
+    val tmp = tmpDir("stream-state-bound")
+
+    // 16 hourly files; watermark 4h + join window 2h means live state
+    // is a sliding ~6-7h band (eviction sees the watermark one batch
+    // late), while cumulative input grows linearly — state must
+    // plateau well below total input, and rows must be evicted along
+    // the way.
+    def writeRaw(hour: Int): Unit = {
+      val rows = (0 until 40).map { i =>
+        val typ = if (i % 2 == 0) "view" else "click"
+        (hour * 1000L + i, f"2024-01-01 $hour%02d:${i % 60}%02d:00", ((i / 2) % 8).toLong, typ, 1.0, "{}")
+      }
+      val dest  = f"$tmp/h$hour%02d.parquet"
+      val stage = dest + ".stage"
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .withColumn("ts", unix_timestamp(col("ts_s")).cast("long") * 1000000000L)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
+    }
+    (0 until 16).foreach(writeRaw)
+
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      val src = spark.readStream.schema(EventsPipeline.rawSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val joined = EventsPipeline.attributionJoin(src, src)
+      val query = joined.writeStream.outputMode("append").format("memory")
+        .queryName("spec_state_bound")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      query
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    val stateProgress = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(p => (p.numInputRows, p.stateOperators.map(_.numRowsTotal).sum,
+                 p.stateOperators.map(_.numRowsRemoved).sum))
+    val totalInput   = stateProgress.map(_._1).sum
+    val finalState   = stateProgress.last._2
+    val totalRemoved = stateProgress.map(_._3).sum
+    // cleanup actually fired, and live state is a bounded band, not
+    // the whole stream
+    assert(totalRemoved > 0, s"no state rows were ever evicted: $stateProgress")
+    assert(finalState < (totalInput * 7) / 10,
+      s"state ($finalState) tracks total input ($totalInput) — not bounded")
+    assert(spark.table("spec_state_bound").count() > 0)
   }
 
   test("stream-static enrichment join carries dimension values") {
