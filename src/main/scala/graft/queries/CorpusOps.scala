@@ -151,6 +151,27 @@ object CorpusOps {
         .orderBy(col("id"))
     },
 
+    // Duplicated-substring spans (Lee et al. 2022 recast to hashed
+    // rolling windows): maximal per-doc character spans covered by
+    // 40-char windows occurring >= 2 times corpus-wide, stride 10.
+    // Every stage is keyed (hash group-by, semi-join, per-doc island
+    // merge); the oracle replays windows, duplicate hashes, and the
+    // gaps-and-islands merge.
+    "d11_dup_spans" -> { (s, d) =>
+      graft.dedup.Spans.duplicatedSpans(
+          t(s, d, "documents"), "doc_id", "text", windowLen = 40, stride = 10)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // Per-document duplication accounting over d11's spans — every
+    // doc reports duplicated chars + fraction, zeros included, so the
+    // whole corpus hashes (the report a corpus build cuts against).
+    "d12_span_report" -> { (s, d) =>
+      graft.dedup.Spans.spanReport(
+          t(s, d, "documents"), "doc_id", "text", windowLen = 40, stride = 10)
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding analytics: per-label centroids, element-wise — the
     // relational form (posexplode → groupBy (label, pos)) shuffles
     // (label, pos) keyed partials, scaling with labels × dims, not
@@ -805,6 +826,66 @@ object CorpusOps {
         |FROM sh s LEFT JOIN mx m USING (doc_id)
         |WHERE s.doc_id % 50 <> 0
         |ORDER BY s.doc_id""".stripMargin,
+
+    // duplicated 40-char windows (stride 10) -> gaps-and-islands
+    // interval merge; replays d11's whole pipeline
+    "d11_dup_spans" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, trim(text) AS t FROM documents WHERE len(trim(text)) >= 40),
+        |w AS (
+        |  SELECT doc_id, unnest(range(0, len(t) - 40 + 1, 10)) AS pos, t FROM w0),
+        |h AS (
+        |  SELECT doc_id, pos, md5(substr(t, CAST(pos AS INT) + 1, 40)) AS h FROM w),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, pos FROM h SEMI JOIN dup USING (h)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 40) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+        |  FROM occ),
+        |grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM brk)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
+        |  count(*) AS n_windows
+        |FROM grp GROUP BY doc_id, g
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // d11's spans aggregated per document, zero-inclusive
+    "d12_span_report" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, trim(text) AS t FROM documents WHERE len(trim(text)) >= 40),
+        |w AS (
+        |  SELECT doc_id, unnest(range(0, len(t) - 40 + 1, 10)) AS pos, t FROM w0),
+        |h AS (
+        |  SELECT doc_id, pos, md5(substr(t, CAST(pos AS INT) + 1, 40)) AS h FROM w),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, pos FROM h SEMI JOIN dup USING (h)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 40) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+        |  FROM occ),
+        |grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM brk),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end
+        |  FROM grp GROUP BY doc_id, g),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    sum(span_end - span_start) AS dup_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(trim(d.text)) AS BIGINT) AS n_chars,
+        |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+        |  round(CAST(coalesce(a.dup_chars, 0) AS DOUBLE)
+        |    / greatest(len(trim(d.text)), 1), 6) AS dup_frac
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same 5-gram construction as d8; gram df counted over distinct
     // per-doc grams, so df>=2 means "appears in another document"
