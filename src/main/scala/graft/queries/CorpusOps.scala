@@ -436,6 +436,25 @@ object CorpusOps {
         .orderBy(col("term"))
     },
 
+    // Inverted index build: term → document frequency, total term
+    // frequency, and the sorted posting list (comma-joined so the
+    // harness hashes it as a scalar). One shuffle on term with
+    // map-side combine; posting lists are per-term state, bounded by
+    // df — the search-index primitive over a corpus.
+    "t13_inverted_index" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(
+          count(lit(1)).as("tf_total"),
+          countDistinct(col("doc_id")).as("df"),
+          collect_set(col("doc_id")).as("ids"))
+        .select(col("term"), col("tf_total"), col("df"),
+          array_join(transform(array_sort(col("ids")),
+            x => x.cast("string")), ",").as("postings"))
+        .orderBy(col("term"))
+    },
+
     // TF-IDF top terms per document: term frequency × inverse
     // document frequency, windowed top-3 per doc with deterministic
     // tie-breaks. DF/TF are exact ints; idf/score rounded to 6.
@@ -1421,6 +1440,19 @@ object CorpusOps {
         |SELECT term, count(*) AS tf_total,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM toks GROUP BY term ORDER BY term""".stripMargin,
+
+    "t13_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |pairs AS (SELECT DISTINCT term, doc_id FROM toks)
+        |SELECT t.term, t.tf_total, p.df, p.postings
+        |FROM (SELECT term, count(*) AS tf_total FROM toks GROUP BY term) t
+        |JOIN (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM pairs GROUP BY term) p USING (term)
+        |ORDER BY t.term""".stripMargin,
 
     "t6_tfidf_top_terms" ->
       """WITH toks AS (

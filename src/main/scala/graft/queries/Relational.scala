@@ -510,6 +510,103 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // KMV (k-minimum-values / bottom-k theta) distinct sketch — the
+    // MERGEABLE distinct-count structure: per returnflag the k=64
+    // smallest md5-60bit hashes of DISTINCT part keys give
+    // est = (k-1)·2^60 / h_k, and the "ALL" row is built from the
+    // per-flag sketches ALONE (union the k-min sets, re-take the k
+    // smallest) — the property that lets 1000 executors sketch
+    // partitions independently and a coordinator merge fixed-size
+    // state. Deterministic md5 hashing (the q28/d4 bridge) means the
+    // oracle replays every register; the kmin digest pins the whole
+    // sketch, not just the estimate. The merge window is global but
+    // runs over ≤ flags×k rows — sketch-sized, never corpus-sized.
+    "q43_kmv_distinct" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Md5Bucket60
+      val k  = 64
+      val li = t(s, d, "lineitem")
+      val hashed = li.select(
+          col("l_returnflag").as("scope"),
+          Md5Bucket60(concat_ws("|", lit("q43"),
+            col("l_partkey").cast("string"))).as("h"))
+        .distinct()
+      val byH = Window.partitionBy(col("scope")).orderBy(col("h"))
+      val mins = hashed
+        .withColumn("rn", row_number().over(byH))
+        .filter(col("rn") <= k)
+      val allMins = mins.select(col("h")).distinct()
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+        .filter(col("rn") <= k)
+        .select(lit("ALL").as("scope"), col("h"), col("rn"))
+      val sketches = mins.select(col("scope"), col("h"), col("rn"))
+        .unionByName(allMins)
+        .groupBy(col("scope"))
+        .agg(
+          count(lit(1)).as("n_mins"),
+          max(when(col("rn") === k, col("h"))).as("kth_hash"),
+          md5(array_join(transform(array_sort(collect_list(col("h"))),
+            x => x.cast("string")), ",").cast("binary")).as("kmin_digest"))
+      val twoPow60 = 1152921504606846976.0
+      val exact = li.groupBy(col("l_returnflag").as("scope"))
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+        .unionByName(li.agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+          .select(lit("ALL").as("scope"), col("exact_distinct")))
+      sketches.join(exact, Seq("scope"))
+        .select(col("scope"),
+          when(col("n_mins") < k, col("n_mins").cast(DoubleType))
+            .otherwise((lit((k - 1).toDouble) * lit(twoPow60) /
+              col("kth_hash").cast(DoubleType))
+              .cast("decimal(28,4)").cast(DoubleType)).as("est_distinct"),
+          col("exact_distinct"), col("kth_hash"), col("kmin_digest"))
+        .orderBy(col("scope"))
+    },
+
+    // Z-order (Morton) codes — the clustering key behind
+    // Sinks.zOrderedParquet's multi-dimensional layout: low 20 bits
+    // of (custkey, orderkey) interleave into one long, entirely in
+    // codegen'd shift/mask/or built-ins. Gated on the first 1000
+    // curve positions (zval ties broken by orderkey); the layout
+    // itself is exercised in ZOrderSpec with measured file-stats
+    // pruning boxes.
+    "q45_zorder" -> { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          graft.functions.ZOrder.bucketed(
+            Seq(col("o_custkey"), col("o_orderkey")), bits = 20).as("zval"))
+        .orderBy(col("zval"), col("o_orderkey"))
+        .limit(1000)
+    },
+
+    // SCD2 dimension history from a change feed: per customer, the
+    // order-priority attribute tracked over (o_orderdate, o_orderkey)
+    // sequence — consecutive no-change rows collapse, each surviving
+    // change opens a validity interval closed by the next change
+    // (null = current). Two window passes over the same
+    // (custkey-partitioned) sort — one shuffle, no self-join, the
+    // standard warehouse history-build at any scale.
+    "q44_scd2" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val chg = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderpriority"))
+        .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      chg
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to_ts", lead(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey"), col("version"),
+          col("o_orderpriority").as("priority"),
+          // o_orderdate is TIMESTAMP_NTZ; the session is pinned UTC,
+          // so the cast is an identity re-tag
+          unix_micros(col("o_orderdate").cast("timestamp")).as("valid_from_us"),
+          unix_micros(col("valid_to_ts").cast("timestamp")).as("valid_to_us"),
+          col("valid_to_ts").isNull.cast("int").as("is_current"))
+        .orderBy(col("o_custkey"), col("version"))
+    },
+
     // Pivot: per returnflag, quantity sums pivoted by linestatus.
     "q29_pivot" -> { (s, d) =>
       t(s, d, "lineitem")
@@ -933,6 +1030,63 @@ object Relational {
         |    / CAST(s_present + (64 - nb) * (1::BIGINT << 55) AS DOUBLE) AS DECIMAL(28,4)) AS DOUBLE) AS est_parts,
         |  CAST(64 - nb AS BIGINT) AS hll_zeros, hll_digest, exact_parts, sample_n, median_price
         |FROM hll JOIN ex USING (l_returnflag) JOIN med USING (l_returnflag)
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    "q43_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag AS scope,
+        |    (CAST('0x' || substr(md5('q43|' || CAST(l_partkey AS VARCHAR)), 1, 15) AS UBIGINT))::BIGINT AS h
+        |  FROM lineitem),
+        |rk AS (
+        |  SELECT scope, h, row_number() OVER (PARTITION BY scope ORDER BY h) AS rn
+        |  FROM h),
+        |mins AS (SELECT scope, h, rn FROM rk WHERE rn <= 64),
+        |allm AS (
+        |  SELECT 'ALL' AS scope, h, row_number() OVER (ORDER BY h) AS rn
+        |  FROM (SELECT DISTINCT h FROM mins)),
+        |sk AS (
+        |  SELECT * FROM mins
+        |  UNION ALL SELECT * FROM allm WHERE rn <= 64),
+        |agg AS (
+        |  SELECT scope, count(*) AS n_mins,
+        |    max(CASE WHEN rn = 64 THEN h END) AS kth_hash,
+        |    md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS kmin_digest
+        |  FROM sk GROUP BY scope),
+        |ex AS (
+        |  SELECT l_returnflag AS scope,
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+        |SELECT a.scope,
+        |  CASE WHEN n_mins < 64 THEN CAST(n_mins AS DOUBLE)
+        |       ELSE CAST(CAST(63.0::DOUBLE * 1152921504606846976.0::DOUBLE
+        |         / CAST(kth_hash AS DOUBLE) AS DECIMAL(28,4)) AS DOUBLE) END AS est_distinct,
+        |  exact_distinct, kth_hash, kmin_digest
+        |FROM agg a JOIN ex USING (scope) ORDER BY scope""".stripMargin,
+    "q45_zorder" -> {
+      val terms = graft.functions.ZOrder.zValueSql(Seq("k0", "k1"), bits = 20)
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    o_custkey % 1048576 AS k0, o_orderkey % 1048576 AS k1
+         |  FROM orders)
+         |SELECT o_orderkey, o_custkey, CAST($terms AS BIGINT) AS zval
+         |FROM b ORDER BY zval, o_orderkey LIMIT 1000""".stripMargin
+    },
+    "q44_scd2" ->
+      """WITH src AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |    lag(o_orderpriority) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |chg AS (SELECT * FROM src WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  o_orderpriority AS priority,
+        |  CAST(epoch_us(o_orderdate) AS BIGINT) AS valid_from_us,
+        |  CAST(epoch_us(lead(o_orderdate) OVER w) AS BIGINT) AS valid_to_us,
+        |  CAST(lead(o_orderdate) OVER w IS NULL AS INT) AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin
   )
 }

@@ -77,4 +77,23 @@ object Sinks {
     df.repartitionByRange(nFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(path)
+
+  /** Z-order-clustered write: range-partition + sort on the Morton
+    * code of the cluster keys ([[graft.functions.ZOrder.zValue]]), so
+    * every output file covers a narrow min/max BOX across ALL cluster
+    * dimensions at once — a multi-dimensional box predicate then
+    * prunes on every dimension's footer stats, where a plain range
+    * sort only prunes on its leading key. Same write-once,
+    * every-read-amortizes economics as [[rangeClusteredParquet]];
+    * `bits` bounds the per-dimension resolution (keys are pmod-
+    * reduced, preserving low-bit locality). ZOrderSpec quantifies the
+    * pruning-box difference against a single-key range layout.
+    */
+  def zOrderedParquet(df: DataFrame, path: String, nFiles: Int,
+                      bits: Int, keys: Column*): Unit =
+    df.withColumn("__z", graft.functions.ZOrder.bucketed(keys, bits))
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }
