@@ -578,6 +578,24 @@ object Relational {
         .limit(1000)
     },
 
+    // Bloom-filter join pruning with exact false-positive
+    // accounting: the dim side (suppliers of nations < 13) hashes
+    // into a 512-slot space with 4 seeded md5 hashes and only the
+    // occupied-slot set broadcasts; every distinct fact key reports
+    // its bloom verdict AND true membership, so the filter's exact
+    // collision set hashes — not just the final (always-exact) join.
+    // BloomPruneSpec proves no-false-negatives and pruned ≡ plain
+    // semi-join.
+    "q46_bloom_prune" -> { (s, d) =>
+      graft.operators.BloomPrune.candidacyReport(
+          fact = t(s, d, "lineitem"), dim = t(s, d, "supplier")
+            .filter(col("s_nationkey") < 13),
+          factKey = col("l_suppkey"), dimKey = col("s_suppkey"),
+          seedPrefix = "q46b", k = 4, m = 512)
+        .select(col("key").as("suppkey"), col("bloom_hit"), col("is_member"))
+        .orderBy(col("suppkey"))
+    },
+
     // SCD2 dimension history from a change feed: per customer, the
     // order-priority attribute tracked over (o_orderdate, o_orderkey)
     // sequence — consecutive no-change rows collapse, each surviving
@@ -1072,6 +1090,25 @@ object Relational {
          |SELECT o_orderkey, o_custkey, CAST($terms AS BIGINT) AS zval
          |FROM b ORDER BY zval, o_orderkey LIMIT 1000""".stripMargin
     },
+    "q46_bloom_prune" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_nationkey < 13),
+        |dpos AS (
+        |  SELECT DISTINCT
+        |    (CAST('0x' || substr(md5('q46b' || j || '|' || CAST(k AS VARCHAR)), 1, 15) AS UBIGINT))::BIGINT % 512 AS p
+        |  FROM dim, unnest([0, 1, 2, 3]) AS t(j)),
+        |facts AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+        |fpos AS (
+        |  SELECT k,
+        |    (CAST('0x' || substr(md5('q46b' || j || '|' || CAST(k AS VARCHAR)), 1, 15) AS UBIGINT))::BIGINT % 512 AS p
+        |  FROM facts, unnest([0, 1, 2, 3]) AS t(j)),
+        |hit AS (
+        |  SELECT k, CAST(min(CASE WHEN p IN (SELECT p FROM dpos) THEN 1 ELSE 0 END) AS INT) AS bloom_hit
+        |  FROM fpos GROUP BY k)
+        |SELECT f.k AS suppkey, h.bloom_hit,
+        |  CAST(f.k IN (SELECT k FROM dim) AS INT) AS is_member
+        |FROM facts f JOIN hit h ON f.k = h.k
+        |ORDER BY suppkey""".stripMargin,
     "q44_scd2" ->
       """WITH src AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,

@@ -24,10 +24,13 @@ final class PlanAuditSpec extends SparkTestBase {
   //   - IVF's coarse quantizer: every vector scores against the
   //     broadcast |cells|-row centroid table (a3, a5 — a5's k-means
   //     training assigns against the same broadcast centroids)
+  //   - the bloom filter: a 1-row occupied-slot array (≤ m ints)
+  //     broadcast to every fact partition — the filter being tiny
+  //     and shuffle-free is the operator's entire point: q46
   private val scalarBroadcastOk =
     Set("t6_tfidf_top_terms", "t11_unigram_logprob", "q23_correlated_subquery",
       "a1_ann_topk", "a3_ann_ivf", "a4_ann_quantized", "a5_ivf_kmeans",
-      "d10_semdedup")
+      "d10_semdedup", "q46_bloom_prune")
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
