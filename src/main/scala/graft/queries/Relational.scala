@@ -596,6 +596,40 @@ object Relational {
         .orderBy(col("suppkey"))
     },
 
+    // Count-Min sketch — the mergeable FREQUENCY structure (HLL
+    // counts distinct, KMV counts distinct mergeably, CM estimates
+    // per-key counts): d=3 seeded md5 hash rows × w=256 counter
+    // slots; a counter is a SUM, so partials merge associatively and
+    // order can't perturb anything — 1000 executors sketch
+    // partitions independently into 3×256 longs. Every distinct key
+    // then reports est = min over rows of its slot counter vs its
+    // exact count; overcount = est − exact ≥ 0 (CM never
+    // undercounts) and the full per-key error surface hashes.
+    "q47_countmin" -> { (s, d) =>
+      import graft.functions.Md5Bucket60
+      val dRows = 3
+      val w     = 256
+      val li = t(s, d, "lineitem").select(col("l_suppkey").as("key"))
+      def slot(j: Int, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        pmod(Md5Bucket60(concat_ws("|", lit(s"q47r$j"), c.cast("string"))), lit(w.toLong))
+      val counters = li
+        .select(posexplode(array((0 until dRows).map(j => slot(j, col("key"))): _*))
+          .as(Seq("row", "slot")))
+        .groupBy(col("row"), col("slot"))
+        .agg(count(lit(1)).as("c"))
+      val keys = li.groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+      val probes = keys
+        .select(col("key"), col("exact_n"),
+          posexplode(array((0 until dRows).map(j => slot(j, col("key"))): _*))
+            .as(Seq("row", "slot")))
+      probes.join(counters, Seq("row", "slot"))
+        .groupBy(col("key"), col("exact_n"))
+        .agg(min(col("c")).as("est_n"))
+        .select(col("key").as("suppkey"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("overcount"))
+        .orderBy(col("suppkey"))
+    },
+
     // SCD2 dimension history from a change feed: per customer, the
     // order-priority attribute tracked over (o_orderdate, o_orderkey)
     // sequence — consecutive no-change rows collapse, each surviving
@@ -1090,6 +1124,27 @@ object Relational {
          |SELECT o_orderkey, o_custkey, CAST($terms AS BIGINT) AS zval
          |FROM b ORDER BY zval, o_orderkey LIMIT 1000""".stripMargin
     },
+    "q47_countmin" ->
+      """WITH li AS (SELECT l_suppkey AS key FROM lineitem),
+        |pos AS (
+        |  SELECT key, j AS row,
+        |    (CAST('0x' || substr(md5('q47r' || j || '|' || CAST(key AS VARCHAR)), 1, 15) AS UBIGINT))::BIGINT % 256 AS slot
+        |  FROM li, unnest([0, 1, 2]) AS t(j)),
+        |counters AS (
+        |  SELECT row, slot, count(*) AS c FROM pos GROUP BY row, slot),
+        |keys AS (SELECT key, count(*) AS exact_n FROM li GROUP BY key),
+        |kpos AS (
+        |  SELECT key, j AS row,
+        |    (CAST('0x' || substr(md5('q47r' || j || '|' || CAST(key AS VARCHAR)), 1, 15) AS UBIGINT))::BIGINT % 256 AS slot
+        |  FROM keys, unnest([0, 1, 2]) AS t(j)),
+        |est AS (
+        |  SELECT kp.key, min(c.c) AS est_n
+        |  FROM kpos kp JOIN counters c ON kp.row = c.row AND kp.slot = c.slot
+        |  GROUP BY kp.key)
+        |SELECT k.key AS suppkey, k.exact_n, e.est_n,
+        |  e.est_n - k.exact_n AS overcount
+        |FROM keys k JOIN est e ON k.key = e.key
+        |ORDER BY suppkey""".stripMargin,
     "q46_bloom_prune" ->
       """WITH dim AS (
         |  SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_nationkey < 13),
