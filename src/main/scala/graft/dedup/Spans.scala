@@ -69,6 +69,56 @@ object Spans {
       .drop("grp")
   }
 
+  /** The transformation [[duplicatedSpans]] marks: cut every
+    * duplicated span out of each document and return the cleaned
+    * text (all docs, zero-inclusive — span-free docs pass through).
+    * Relational throughout so any engine replays it: keep-segments
+    * are the gaps between consecutive spans (lag window) plus the
+    * tail after the last span, each segment substrings out, and the
+    * doc reassembles with an order-pinned concat — no per-row UDF,
+    * and the only shuffles are the span pipeline's plus one window
+    * and one doc-keyed aggregation.
+    */
+  def cutSpans(df: DataFrame, idCol: String, textCol: String,
+               windowLen: Int = 40, stride: Int = 10): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), trim(col(textCol)).as("t"))
+    val spans = duplicatedSpans(df, idCol, textCol, windowLen, stride)
+    val byStart = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+    // gap before each span, then the tail after the last span
+    val gaps = spans
+      .withColumn("keep_start",
+        coalesce(lag(col("span_end"), 1).over(byStart), lit(0L)))
+      .select(col("doc_id"), col("keep_start"), col("span_start").as("keep_end"))
+    val tails = spans.groupBy(col("doc_id"))
+      .agg(max(col("span_end")).as("keep_start"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("keep_start"),
+        length(col("t")).cast("long").as("keep_end"))
+    val cleaned = gaps.unionByName(tails)
+      .filter(col("keep_end") > col("keep_start"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("keep_start"),
+        substr(col("t"), col("keep_start") + 1,
+          (col("keep_end") - col("keep_start")).cast("int")).as("seg"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("keep_start"), col("seg")))),
+        x => x.getField("seg"))).as("clean_text"))
+    // a doc whose every char sits in a span has spans but no
+    // segments — its clean text is empty, not the original
+    val hasSpans = spans.select(col("doc_id")).distinct()
+      .withColumn("has_spans", lit(1))
+    docs
+      .join(cleaned, Seq("doc_id"), "left_outer")
+      .join(hasSpans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("has_spans").isNotNull, coalesce(col("clean_text"), lit("")))
+          .otherwise(col("t")).as("clean_text"),
+        length(col("t")).cast("long").as("n_chars"))
+      .withColumn("clean_len", length(col("clean_text")).cast("long"))
+      .withColumn("n_cut", col("n_chars") - col("clean_len"))
+  }
+
   /** Per-document duplication accounting over [[duplicatedSpans]]:
     * every document reports its total duplicated character count and
     * fraction (zeros included, so the whole corpus hashes). The

@@ -172,6 +172,17 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     },
 
+    // The cut itself: duplicated spans excised, every doc's cleaned
+    // text pinned by hash (zero-inclusive — span-free docs pass
+    // through byte-identical).
+    "d13_span_cut" -> { (s, d) =>
+      graft.dedup.Spans.cutSpans(
+          t(s, d, "documents"), "doc_id", "text", windowLen = 40, stride = 10)
+        .select(col("doc_id"), col("n_chars"), col("clean_len"), col("n_cut"),
+          md5(col("clean_text").cast("binary")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding analytics: per-label centroids, element-wise — the
     // relational form (posexplode → groupBy (label, pos)) shuffles
     // (label, pos) keyed partials, scaling with labels × dims, not
@@ -904,6 +915,60 @@ object CorpusOps {
         |  round(CAST(coalesce(a.dup_chars, 0) AS DOUBLE)
         |    / greatest(len(trim(d.text)), 1), 6) AS dup_frac
         |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // d11's spans -> keep-segments (lag gaps + tail) -> ordered
+    // reassembly; empty-after-cut docs distinguished from span-free
+    "d13_span_cut" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, trim(text) AS t FROM documents WHERE len(trim(text)) >= 40),
+        |w AS (
+        |  SELECT doc_id, unnest(range(0, len(t) - 40 + 1, 10)) AS pos, t FROM w0),
+        |h AS (
+        |  SELECT doc_id, pos, md5(substr(t, CAST(pos AS INT) + 1, 40)) AS h FROM w),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, pos FROM h SEMI JOIN dup USING (h)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 40) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+        |  FROM occ),
+        |grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM brk),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end
+        |  FROM grp GROUP BY doc_id, g),
+        |gaps AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS keep_start,
+        |    span_start AS keep_end
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT s.doc_id, max(s.span_end) AS keep_start,
+        |    len(trim(d.text)) AS keep_end
+        |  FROM spans s JOIN documents d USING (doc_id)
+        |  GROUP BY s.doc_id, len(trim(d.text))),
+        |cleaned AS (
+        |  SELECT g.doc_id,
+        |    string_agg(substr(trim(d.text), CAST(g.keep_start AS INT) + 1,
+        |      CAST(g.keep_end - g.keep_start AS INT)), '' ORDER BY g.keep_start) AS clean_text
+        |  FROM gaps g JOIN documents d USING (doc_id)
+        |  WHERE g.keep_end > g.keep_start
+        |  GROUP BY g.doc_id),
+        |hs AS (SELECT DISTINCT doc_id FROM spans)
+        |SELECT d.doc_id,
+        |  CAST(len(trim(d.text)) AS BIGINT) AS n_chars,
+        |  CAST(len(CASE WHEN hs.doc_id IS NOT NULL THEN coalesce(c.clean_text, '')
+        |            ELSE trim(d.text) END) AS BIGINT) AS clean_len,
+        |  CAST(len(trim(d.text)) - len(CASE WHEN hs.doc_id IS NOT NULL
+        |    THEN coalesce(c.clean_text, '') ELSE trim(d.text) END) AS BIGINT) AS n_cut,
+        |  md5(CASE WHEN hs.doc_id IS NOT NULL THEN coalesce(c.clean_text, '')
+        |      ELSE trim(d.text) END) AS clean_hash
+        |FROM documents d
+        |LEFT JOIN cleaned c USING (doc_id)
+        |LEFT JOIN hs USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // same 5-gram construction as d8; gram df counted over distinct

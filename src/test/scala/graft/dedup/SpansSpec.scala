@@ -68,6 +68,37 @@ final class SpansSpec extends SparkTestBase {
     assert(rep.toSeq == Seq((1L, 0L, 0L, 0.0), (2L, 0L, 0L, 0.0)))
   }
 
+  test("cutSpans excises marked spans and passes clean docs through") {
+    val shared = "ABCDEFGHIJKLMNOPQRST"
+    val rows = Spans.cutSpans(
+        Seq((1L, s"${shared}uvwxyz._!?"), (2L, s"01234${shared}56789"),
+            (3L, "entirely unique text with no duplicate windows at all"),
+            (4L, "tiny"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", windowLen = 10, stride = 5)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    // doc 1 loses [0,20): tail survives; doc 2 loses [5,25): prefix+tail
+    assert(rows.toSeq == Seq(
+      (1L, "uvwxyz._!?", 20L),
+      (2L, "0123456789", 20L),
+      (3L, "entirely unique text with no duplicate windows at all", 0L),
+      (4L, "tiny", 0L)))
+  }
+
+  test("a doc fully covered by a span cuts to empty, not to the original") {
+    val w = "ABCDEFGHIJ"
+    val rows = Spans.cutSpans(
+        Seq((1L, s"$w$w"), (2L, s"zz$w${w}zz")).toDF("doc_id", "text"),
+        "doc_id", "text", windowLen = 10, stride = 5)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // doc 1 is exactly the duplicated region [0,20) -> empty; doc 2
+    // keeps its unique fringe... windows at 0,5,10 of doc2 differ from
+    // doc1's (offset 2), so only the doc1-internal repeat cuts
+    assert(rows.head == (1L -> ""))
+  }
+
   test("span report fractions account every doc, zeros included") {
     val shared = "ABCDEFGHIJKLMNOPQRST"
     val rep = Spans.spanReport(
