@@ -17,7 +17,8 @@ object Explain {
       else Seq("q1_pricing_summary", "q5_join_broadcast", "q7_anti_join_theta",
         "q17_snowflake_join", "e2_incremental_antijoin", "d2_ngram_jaccard",
         "a1_ann_topk", "a4_ann_quantized", "c4_token_budget", "d10_semdedup",
-        "q42_asof_native")
+        "q42_asof_native", "d11_dup_spans", "d13_span_cut", "q43_kmv_distinct",
+        "q46_bloom_prune", "q47_countmin")
     val spark = GraftSession.build("graft-explain")
     try {
       names.foreach { name =>
