@@ -596,6 +596,59 @@ object Relational {
         .orderBy(col("suppkey"))
     },
 
+    // Fixed-iteration PageRank over the customer↔supplier bipartite
+    // graph (symmetric edges from lineitem⋈orders) — the third
+    // iterative distributed algorithm (CC, k-means, PageRank), made
+    // cross-engine replayable by quantizing per-edge contributions
+    // to DECIMAL(24,12) before the order-independent sum and
+    // rounding each round's ranks to 9 decimals. The oracle unrolls
+    // the same two rounds.
+    "g1_pagerank" -> { (s, d) =>
+      val ed = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+          Seq("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+        .distinct()
+      val edges = ed.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(ed.select(col("p").as("src"), col("c").as("dst")))
+      graft.operators.PageRank.run(edges, iters = 2)
+        .orderBy(col("id"))
+    },
+
+    // Correlation / regression aggregates from exact decimal moment
+    // sums — corr(), covar, regr_slope are all order-dependent float
+    // folds engine-internally, so none hash cross-engine directly;
+    // the five raw moments (Σx, Σy, Σx², Σy², Σxy) in DECIMAL are
+    // exact and order-independent (the Num recipe), and one identical
+    // double-expression tree on top gives bit-stable statistics. One
+    // shuffle, mergeable partials — the distributed form of every
+    // two-variable statistic.
+    "q48_corr" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val x  = Num.dec2(col("l_quantity"))
+      val y  = Num.dec2(col("l_extendedprice"))
+      val agg = li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      def dd(c: String) = col(c).cast(DoubleType)
+      val n     = dd("n")
+      val covN  = n * dd("sxy") - dd("sx") * dd("sy")
+      val varxN = n * dd("sxx") - dd("sx") * dd("sx")
+      val varyN = n * dd("syy") - dd("sy") * dd("sy")
+      val slope = covN / varxN
+      agg.select(col("l_returnflag"), col("n"),
+          round(covN / sqrt(varxN * varyN), 6).as("corr_qty_price"),
+          round(covN / (n * n), 6).as("covar_pop"),
+          round(slope, 6).as("regr_slope"),
+          round((dd("sy") - slope * dd("sx")) / n, 6).as("regr_intercept"),
+          round(dd("sx") / n, 6).as("avg_qty"),
+          round(dd("sy") / n, 6).as("avg_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Count-Min sketch — the mergeable FREQUENCY structure (HLL
     // counts distinct, KMV counts distinct mergeably, CM estimates
     // per-key counts): d=3 seeded md5 hash rows × w=256 counter
@@ -1124,6 +1177,57 @@ object Relational {
          |SELECT o_orderkey, o_custkey, CAST($terms AS BIGINT) AS zval
          |FROM b ORDER BY zval, o_orderkey LIMIT 1000""".stripMargin
     },
+    "g1_pagerank" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, p AS dst FROM ed UNION ALL SELECT p, c FROM ed),
+        |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |pr0 AS (
+        |  SELECT id, round(1.0::DOUBLE / (SELECT n FROM nn), 9) AS pr FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS id,
+        |    sum(CAST(round(pr0.pr / deg.outdeg, 12) AS DECIMAL(24,12))) AS s
+        |  FROM e JOIN pr0 ON e.src = pr0.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |pr1 AS (
+        |  SELECT n.id, round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |    + 0.85::DOUBLE * CAST(coalesce(c1.s, 0) AS DOUBLE), 9) AS pr
+        |  FROM nodes n LEFT JOIN c1 ON n.id = c1.id),
+        |c2 AS (
+        |  SELECT e.dst AS id,
+        |    sum(CAST(round(pr1.pr / deg.outdeg, 12) AS DECIMAL(24,12))) AS s
+        |  FROM e JOIN pr1 ON e.src = pr1.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |pr2 AS (
+        |  SELECT n.id, round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |    + 0.85::DOUBLE * CAST(coalesce(c2.s, 0) AS DOUBLE), 9) AS pr
+        |  FROM nodes n LEFT JOIN c2 ON n.id = c2.id)
+        |SELECT id, pr FROM pr2 ORDER BY id""".stripMargin,
+    "q48_corr" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |    CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  round((nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS corr_qty_price,
+        |  round((nd * sxy - sx * sy) / (nd * nd), 6) AS covar_pop,
+        |  round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) AS regr_slope,
+        |  round((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd, 6) AS regr_intercept,
+        |  round(sx / nd, 6) AS avg_qty,
+        |  round(sy / nd, 6) AS avg_price
+        |FROM d ORDER BY l_returnflag""".stripMargin,
     "q47_countmin" ->
       """WITH li AS (SELECT l_suppkey AS key FROM lineitem),
         |pos AS (
