@@ -596,6 +596,35 @@ object Relational {
         .orderBy(col("suppkey"))
     },
 
+    // Declarative data-quality validation (the Deequ/expectations
+    // pattern): six scan-pass checks fold into ONE aggregation over
+    // lineitem (single scan + associative partials no matter how
+    // many checks), plus a key-uniqueness aggregate and an orders→
+    // customer referential anti-join, all unioned into one exact-
+    // integer report the oracle replays.
+    "q49_validation" -> { (s, d) =>
+      import graft.operators.Validate
+      import graft.operators.Validate.Check
+      val li = t(s, d, "lineitem")
+      val scanChecks = Validate.report(li, Seq(
+        Check("li_orderkey_not_null", col("l_orderkey").isNull),
+        Check("li_quantity_positive", col("l_quantity") <= 0),
+        Check("li_quantity_upper", col("l_quantity") > 50),
+        // tolerance check: violations exist and stay under budget, so
+        // the report's non-zero/non-trivial branches are exercised
+        Check("li_quantity_gt45", col("l_quantity") > 45, maxViolations = 1000000L),
+        Check("li_discount_range", col("l_discount") < 0 || col("l_discount") > 0.1),
+        Check("li_price_nonneg", col("l_extendedprice") < 0),
+        Check("li_flag_domain", !col("l_returnflag").isin("A", "N", "R"))))
+      val uniq = Validate.uniqueness(li, "li_key_unique",
+        Seq("l_orderkey", "l_linenumber"))
+      val ref = Validate.referential(
+        t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey",
+        "orders_custkey_ref")
+      scanChecks.unionByName(uniq).unionByName(ref)
+        .orderBy(col("check"))
+    },
+
     // Fixed-iteration PageRank over the customer↔supplier bipartite
     // graph (symmetric edges from lineitem⋈orders) — the third
     // iterative distributed algorithm (CC, k-means, PageRank), made
@@ -1177,6 +1206,41 @@ object Relational {
          |SELECT o_orderkey, o_custkey, CAST($terms AS BIGINT) AS zval
          |FROM b ORDER BY zval, o_orderkey LIMIT 1000""".stripMargin
     },
+    "q49_validation" ->
+      """WITH scan AS (
+        |  SELECT * FROM (VALUES
+        |    ('li_orderkey_not_null',
+        |      (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL), 0),
+        |    ('li_quantity_positive',
+        |      (SELECT count(*) FROM lineitem WHERE l_quantity <= 0), 0),
+        |    ('li_quantity_upper',
+        |      (SELECT count(*) FROM lineitem WHERE l_quantity > 50), 0),
+        |    ('li_quantity_gt45',
+        |      (SELECT count(*) FROM lineitem WHERE l_quantity > 45), 1000000),
+        |    ('li_discount_range',
+        |      (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1), 0),
+        |    ('li_price_nonneg',
+        |      (SELECT count(*) FROM lineitem WHERE l_extendedprice < 0), 0),
+        |    ('li_flag_domain',
+        |      (SELECT count(*) FROM lineitem WHERE l_returnflag NOT IN ('A', 'N', 'R')), 0)
+        |  ) AS v(check_name, observed, expected_max)),
+        |uniq AS (
+        |  SELECT 'li_key_unique' AS check_name,
+        |    (SELECT count(*) FROM (
+        |      SELECT l_orderkey, l_linenumber FROM lineitem
+        |      GROUP BY 1, 2 HAVING count(*) > 1)) AS observed, 0 AS expected_max),
+        |ref AS (
+        |  SELECT 'orders_custkey_ref' AS check_name,
+        |    (SELECT count(*) FROM (
+        |      SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))) AS observed,
+        |    0 AS expected_max),
+        |allc AS (
+        |  SELECT * FROM scan UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM ref)
+        |SELECT check_name AS "check", CAST(observed AS BIGINT) AS observed,
+        |  CAST(expected_max AS BIGINT) AS expected_max,
+        |  CAST(observed <= expected_max AS INT) AS passed
+        |FROM allc ORDER BY check_name""".stripMargin,
     "g1_pagerank" ->
       """WITH ed AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
