@@ -31,11 +31,14 @@ object BloomPrune {
     * `m`-slot space. `m` must be a power of two (pmod of the 60-bit
     * md5 value distributes uniformly).
     */
-  private def slots(key: Column, seedPrefix: String, k: Int, m: Int): Seq[Column] =
+  private def slots(key: Column, seedPrefix: String, k: Int, m: Int): Seq[Column] = {
+    require(k > 0 && m > 0 && (m & (m - 1)) == 0,
+      s"need k > 0 and m a power of two for uniform slots; got k=$k m=$m")
     (0 until k).map { j =>
       pmod(Md5Bucket60(concat_ws("|", lit(s"$seedPrefix$j"), key.cast("string"))),
         lit(m.toLong))
     }
+  }
 
   /** The broadcastable filter: ONE row holding the sorted occupied
     * slot array of `dim`'s distinct keys. Size is ≤ min(k·|dim|, m)

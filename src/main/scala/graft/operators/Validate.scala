@@ -24,6 +24,9 @@ object Validate {
 
   /** All scan-pass checks in one aggregation over `df`. */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "report needs at least one check")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "check names must be unique (they become report keys)")
     val aggs = checks.map(c =>
       sum(when(c.violation, 1L).otherwise(0L)).as(c.name))
     val wide = df.agg(aggs.head, aggs.tail: _*)

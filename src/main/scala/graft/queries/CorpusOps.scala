@@ -788,6 +788,19 @@ object CorpusOps {
           outputMode = "append",
           stateShufflePartitions = Some(8))
         .orderBy(col("view_id"), col("click_id"))
+    },
+
+    // Streaming MERGE sink end-to-end: update-mode per-user totals
+    // upsert into a parquet serving table via foreachBatch, and the
+    // TABLE'S final contents (not the stream output) gate against the
+    // batch aggregate — the serving-table maintenance loop, verified
+    // at its destination.
+    "s5_stream_upsert" -> { (s, d) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("s5-upsert").toFile.getAbsolutePath
+      EventsPipeline.runUpsertSink(s, d, s"$tmp/totals",
+          glob = "events.parquet", stateShufflePartitions = Some(8))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -1839,6 +1852,13 @@ object CorpusOps {
         |  AND c.click_ts <= v.view_ts + INTERVAL 2 HOUR
         |WHERE c.click_id IS NOT NULL
         |   OR v.view_ts + INTERVAL 2 HOUR < (SELECT w FROM wm)
-        |ORDER BY view_id, click_id""".stripMargin
+        |ORDER BY view_id, click_id""".stripMargin,
+
+    // the serving table the streaming MERGE sink maintains must equal
+    // the plain batch aggregate over the same events
+    "s5_stream_upsert" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
