@@ -46,6 +46,34 @@ object Sampling {
     df.filter(bucket(keyCol, salt) < rateThreshold)
   }
 
+  /** Deterministic WEIGHTED sampling (Efraimidis–Spirakis priority
+    * sampling, min-key form): each row draws a reproducible uniform
+    * u = (hash+1)/2^60 from its key and gets priority
+    * −ln(u)/weight; the k SMALLEST priorities are the sample, and
+    * inclusion probability is proportional to weight — the
+    * quality-weighted training-mix draw. Priorities round to 12
+    * decimals (pure double math over exact ints — engine-replayable,
+    * the t11 discipline) with key tie-breaks, so the selection is a
+    * pure function of (key, weight, salt): reruns, partitionings,
+    * and other engines pick the same rows. Priorities are a
+    * projection; the top-k is a TakeOrdered (per-partition heads +
+    * one k-row reduce), never a full sort.
+    */
+  def weightedPriority(keyCol: Column, weightCol: Column,
+                       salt: String = "graft"): Column =
+    round(-log((bucket(keyCol, salt) + 1).cast("double") /
+      lit(Md5Bucket60.Space.toDouble)) / weightCol.cast("double"), 12)
+
+  /** The k rows with smallest [[weightedPriority]] (weight-
+    * proportional sample without replacement), priority carried in
+    * column `priority`.
+    */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+                     k: Int, salt: String = "graft"): DataFrame =
+    df.withColumn("priority", weightedPriority(keyCol, weightCol, salt))
+      .orderBy(col("priority"), keyCol)
+      .limit(k)
+
   /** The DuckDB-side bucket expression for a key column, for oracle
     * SQL construction (kept next to the Spark definition so the two
     * can't drift).

@@ -466,6 +466,44 @@ object CorpusOps {
         .orderBy(col("term"))
     },
 
+    // BM25 retrieval (Robertson k1=1.2, b=0.75): score every doc
+    // against a fixed query term set from exact corpus statistics
+    // (tf, df, dl, avgdl) — the ranking function behind t13's index.
+    // Per-term scores are double math over exact integers with the
+    // SAME expression tree both engines evaluate, quantized to
+    // DECIMAL(24,9) before the order-independent per-doc sum (the
+    // t11 log recipe); ties in the rounded score break by doc_id.
+    // Only query-term postings join — the corpus-wide token table
+    // reduces to (doc, dl) + the 1-row stats scalar, nothing
+    // vocabulary-sized broadcasts.
+    "t14_bm25" -> { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType => Dec}
+      val qTerms = Seq("table", "query", "spark")
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = toks.filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+      val idf = log((D(col("n_docs")) - D(col("df")) + lit(0.5)) /
+        (D(col("df")) + lit(0.5)) + lit(1.0))
+      val denom = D(col("tf")) + lit(1.2) * (lit(0.25) + lit(0.75) *
+        (D(col("dl")) * D(col("n_docs"))) / D(col("sum_dl")))
+      tf.join(df, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(idf * (D(col("tf")) * lit(2.2)) / denom, 9)
+            .cast(Dec(24, 9)).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("s")).cast(DoubleType), 6).as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // TF-IDF top terms per document: term frequency × inverse
     // document frequency, windowed top-3 per doc with deterministic
     // tie-breaks. DF/TF are exact ints; idf/score rounded to 6.
@@ -556,6 +594,21 @@ object CorpusOps {
           TextOps.chunkText(col("text"), col("start"), 50).as("chunk"))
         .withColumn("n_tokens", TextOps.nTokens(col("chunk")).cast("long"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Weight-proportional sampling (Efraimidis–Spirakis priorities):
+    // the 50 documents with smallest −ln(u)/weight, u drawn
+    // reproducibly from each doc's hash, weight = n_chars — the
+    // quality-weighted training-mix draw, deterministic across
+    // reruns/partitionings/engines. Priorities are a projection;
+    // top-k is a TakeOrdered, never a full sort.
+    "c7_weighted_sample" -> { (s, d) =>
+      import graft.operators.Sampling
+      Sampling.weightedSample(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars"), col("lang")),
+          keyCol = col("doc_id"), weightCol = col("n_chars"), k = 50, salt = "c7")
+        .select(col("doc_id"), col("n_chars"), col("lang"), col("priority"))
+        .orderBy(col("priority"), col("doc_id"))
     },
 
     // Corpus MERGE (upsert by key): a revision batch (every 10th doc
@@ -788,6 +841,28 @@ object CorpusOps {
           outputMode = "append",
           stateShufflePartitions = Some(8))
         .orderBy(col("view_id"), col("click_id"))
+    },
+
+    // Markov transition matrix over event streams: per user, each
+    // event pairs with its successor (lead over one user-keyed sort)
+    // and the (from, to) counts row-normalize into transition
+    // probabilities — exact integer counts, one deterministic
+    // division. The behavioral model behind next-event prediction
+    // and journey analysis; one shuffle on user, one on (from, to).
+    "e4_markov_transitions" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("to_type").isNotNull)
+        .withColumnRenamed("event_type", "from_type")
+      pairs.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast(DoubleType) /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))).cast(DoubleType), 6))
+        .orderBy(col("from_type"), col("to_type"))
     },
 
     // Streaming MERGE sink end-to-end: update-mode per-user totals
@@ -1519,6 +1594,32 @@ object CorpusOps {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM toks GROUP BY term ORDER BY term""".stripMargin,
 
+    "t14_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('table', 'query', 'spark') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |per AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |         (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |         (CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(sum_dl AS DOUBLE))),
+        |      9) AS DECIMAL(24,9)) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN st)
+        |SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score,
+        |  count(*) AS n_terms
+        |FROM per GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "t13_inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
@@ -1563,6 +1664,15 @@ object CorpusOps {
          |  ELSE ${Sampling.oracleThreshold(0.1)} END
          |ORDER BY doc_id""".stripMargin
     },
+
+    // (h + 1) adds in INTEGER then casts — h is near 2^60, past
+    // double precision, so h::double + 1 would round differently
+    "c7_weighted_sample" ->
+      """SELECT doc_id, n_chars, lang,
+        |  round(-ln(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'c7'), 1, 15)) AS UBIGINT) + 1 AS DOUBLE)
+        |    / 1152921504606846976.0) / CAST(n_chars AS DOUBLE), 12) AS priority
+        |FROM documents
+        |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
 
     "c5_corpus_merge" ->
       """WITH batch AS (
@@ -1853,6 +1963,20 @@ object CorpusOps {
         |WHERE c.click_id IS NOT NULL
         |   OR v.view_ts + INTERVAL 2 HOUR < (SELECT w FROM wm)
         |ORDER BY view_id, click_id""".stripMargin,
+
+    "e4_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM cnt ORDER BY from_type, to_type""".stripMargin,
 
     // the serving table the streaming MERGE sink maintains must equal
     // the plain batch aggregate over the same events

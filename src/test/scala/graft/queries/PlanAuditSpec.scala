@@ -30,7 +30,8 @@ final class PlanAuditSpec extends SparkTestBase {
   private val scalarBroadcastOk =
     Set("t6_tfidf_top_terms", "t11_unigram_logprob", "q23_correlated_subquery",
       "a1_ann_topk", "a3_ann_ivf", "a4_ann_quantized", "a5_ivf_kmeans",
-      "d10_semdedup", "q46_bloom_prune")
+      "d10_semdedup", "q46_bloom_prune",
+      "t14_bm25") // 1-row (n_docs, sum_dl) corpus-stats scalar
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
