@@ -31,7 +31,10 @@ object PageRank {
     * redistributed).
     */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // the edge list is read by nodes, out-degrees, and every round's
+    // contribution join — one lazy materialization instead of
+    // re-deriving the (possibly expensive) upstream plan 2+iters times
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()

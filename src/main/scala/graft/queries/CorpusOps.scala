@@ -843,6 +843,19 @@ object CorpusOps {
         .orderBy(col("view_id"), col("click_id"))
     },
 
+    // Streaming sliding windows (1 h every 15 min): each event lands
+    // in exactly four overlapping windows; the oracle replays the
+    // window-assignment arithmetic (slide-aligned starts) and the
+    // per-window counts.
+    "s6_stream_sliding" -> { (s, d) =>
+      EventsPipeline.runToCompletion(
+          s, d, EventsPipeline.slidingCounts,
+          queryName = s"s6_sliding_${System.nanoTime()}",
+          glob = "events.parquet",
+          stateShufflePartitions = Some(8))
+        .orderBy(col("bucket_ts"), col("event_type"))
+    },
+
     // Markov transition matrix over event streams: per user, each
     // event pairs with its successor (lead over one user-keyed sort)
     // and the (from, to) counts row-normalize into transition
@@ -1963,6 +1976,17 @@ object CorpusOps {
         |WHERE c.click_id IS NOT NULL
         |   OR v.view_ts + INTERVAL 2 HOUR < (SELECT w FROM wm)
         |ORDER BY view_id, click_id""".stripMargin,
+
+    // each event belongs to the four slide-aligned windows covering
+    // its timestamp: starts time_bucket(15min, ts) − k·15min, k 0..3
+    "s6_stream_sliding" ->
+      """WITH wins AS (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS bucket_ts,
+        |    event_type
+        |  FROM events, unnest([0, 1, 2, 3]) AS t(k))
+        |SELECT bucket_ts, event_type, count(*) AS n
+        |FROM wins GROUP BY 1, 2
+        |ORDER BY bucket_ts, event_type""".stripMargin,
 
     "e4_markov_transitions" ->
       """WITH seq AS (
