@@ -685,6 +685,19 @@ object CorpusOps {
         .orderBy(col("media_id"))
     },
 
+    // Frame sampling over binary media payloads: every 4th 64-byte
+    // window becomes a frame row (the video-decoder fan-out shape,
+    // batched mapPartitions). Each frame's bytes are pinned by md5 —
+    // the corpus is ASCII so the oracle's VARCHAR windows are
+    // byte-identical to the binary frames.
+    "m2_frame_sample" -> { (s, d) =>
+      val media = Multimodal.synthesize(t(s, d, "documents"), "doc_id", "text")
+      graft.multimodal.MultimodalFrames.sampleFrames(s, media).toDF()
+        .select(col("media_id"), col("frame_idx"), col("offset_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
     // ---- events: batch sessionization (lag + cumulative sum) ----
     "e1_sessionize" -> { (s, d) =>
       val ev = t(s, d, "events")
@@ -1816,6 +1829,17 @@ object CorpusOps {
         |  CAST(len(list_slice(t.toks, c.n * 40 + 1, c.n * 40 + 50)) AS BIGINT) AS n_tokens
         |FROM chunks c JOIN toks t USING (doc_id)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "m2_frame_sample" ->
+      """WITH idx AS (
+        |  SELECT doc_id AS media_id,
+        |    unnest(range(0, greatest(len(text) // 64, 0), 4)) AS frame_idx,
+        |    text
+        |  FROM documents)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  frame_idx * 64 AS offset_bytes,
+        |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM idx ORDER BY media_id, frame_idx""".stripMargin,
 
     "m1_media_features" ->
       """SELECT doc_id AS media_id,
