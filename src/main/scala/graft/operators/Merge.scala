@@ -48,6 +48,45 @@ object Merge {
       .select(keyCols.map(col) :+ col("status"): _*)
   }
 
+  /** CDC changelog compaction: reduce an ordered stream of
+    * insert/update/delete entries to the final table state. Per key,
+    * the entry with the highest `seqCol` wins (the (key, seq) pair
+    * must be unique — the usual CDC LSN/offset contract); if that
+    * winning entry's `opCol` equals `deleteOp` the key is absent from
+    * the result, so a later re-insert after a delete resurrects the
+    * key naturally.
+    *
+    * Scale shape: one hash shuffle on the key feeding a partial
+    * TakeOrdered-style window (row_number, rn=1) — the standard
+    * "compact the changelog" reduction Debezium/Delta CDF consumers
+    * run; no driver-side state, AQE-skew-splittable.
+    */
+  def applyChangelog(changelog: DataFrame, keyCols: Seq[String],
+                     seqCol: String, opCol: String,
+                     deleteOp: String = "D"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn", opCol)
+  }
+
+  /** CDC apply over a base snapshot: base rows behave as seq = −∞
+    * inserts, so any changelog entry for a key supersedes the base
+    * row (including a delete, which removes it). Base keys never
+    * touched by the log carry over unchanged — one key-only
+    * anti-join; the log compacts exactly as [[applyChangelog]].
+    */
+  def applyChangelog(base: DataFrame, changelog: DataFrame, keyCols: Seq[String],
+                     seqCol: String, opCol: String, deleteOp: String): DataFrame = {
+    val touched = changelog.select(keyCols.map(col): _*).distinct()
+    val carried = base.join(touched, keyCols, "left_anti")
+    carried.unionByName(
+      applyChangelog(changelog, keyCols, seqCol, opCol, deleteOp)
+        .select(base.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Upsert a batch into a parquet path: read-if-exists ∪ merge,
     * MATERIALIZE to a fresh temp path (so the plan never reads the
     * path it is about to replace), then swap. The corpus-scale

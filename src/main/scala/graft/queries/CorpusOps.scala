@@ -643,6 +643,23 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     },
 
+    // CDC changelog apply: the orders stream read as a per-customer
+    // changelog (o_orderkey is the unique, monotone LSN; every 9th
+    // order is a tombstone) compacts to final state — highest seq per
+    // key wins, a winning delete drops the key. One hash shuffle on
+    // the key into a rn=1 window: the standard Debezium/changelog
+    // consumer reduction, no driver state at any scale.
+    "c8_cdc_apply" -> { (s, d) =>
+      import graft.operators.Merge
+      val log = t(s, d, "orders").select(
+        col("o_custkey").as("cust"), col("o_orderkey").as("seq"),
+        when(pmod(col("o_orderkey"), lit(9)) === 0, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("o_totalprice"), col("o_orderstatus"))
+      Merge.applyChangelog(log, Seq("cust"), "seq", "op")
+        .orderBy(col("cust"))
+    },
+
     // Per-source token budgeting: deterministic hash-ordered greedy
     // prefix, kept iff the running token total fits 3000 tokens. The
     // two-level cumsum (within-hash-range + tiny offset table) is the
@@ -889,6 +906,29 @@ object CorpusOps {
         .withColumn("p", round(col("n").cast(DoubleType) /
           sum(col("n")).over(Window.partitionBy(col("from_type"))).cast(DoubleType), 6))
         .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // z-score anomaly detection: per-event-type mean/σ from exact
+    // DECIMAL moment sums (the Num recipe — order-independent, so the
+    // derived doubles are bit-identical across engines), broadcast
+    // back onto the stream, flag |z| > 3. One keyed partial agg over
+    // the full table + one broadcast join: the events never shuffle,
+    // which is the only shape that survives 100 TB of telemetry.
+    "e5_anomaly" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val x  = Num.dec2(col("value"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      def dd(c: String) = col(c).cast(DoubleType)
+      val n    = dd("n")
+      val mean = dd("sx") / n
+      val sd   = sqrt(n * dd("sxx") - dd("sx") * dd("sx")) / n
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("value") - mean) / sd)
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 6).as("z"))
+        .orderBy(col("event_id"))
     },
 
     // Streaming MERGE sink end-to-end: update-mode per-user totals
@@ -1729,6 +1769,19 @@ object CorpusOps {
         |FROM o FULL JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    "c8_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice, o_orderstatus
+        |  FROM orders),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cust ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT cust, seq, o_totalprice, o_orderstatus
+        |FROM latest WHERE rn = 1 AND op <> 'D'
+        |ORDER BY cust""".stripMargin,
+
     // the naive per-stratum running sum — the Spark side's two-level
     // cumsum must reproduce it exactly
     "c4_token_budget" -> {
@@ -2025,6 +2078,23 @@ object CorpusOps {
         |  round(CAST(n AS DOUBLE) /
         |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM cnt ORDER BY from_type, to_type""".stripMargin,
+
+    "e5_anomaly" ->
+      """WITH stats AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)),
+        |    6) AS z
+        |FROM events e JOIN stats s USING (event_type)
+        |WHERE abs((e.value - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))) > 3
+        |ORDER BY e.event_id""".stripMargin,
 
     // the serving table the streaming MERGE sink maintains must equal
     // the plain batch aggregate over the same events

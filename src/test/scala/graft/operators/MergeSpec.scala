@@ -45,6 +45,41 @@ final class MergeSpec extends SparkTestBase {
     assert(leftovers.isEmpty, s"staging/backup dirs not cleaned: ${leftovers.mkString(",")}")
   }
 
+  test("applyChangelog: highest seq wins, deletes drop the key, re-insert resurrects") {
+    val log = Seq(
+      // key 1: insert then update — latest update wins
+      (1L, 1L, "I", "v1"), (1L, 2L, "U", "v2"),
+      // key 2: insert then delete — absent
+      (2L, 1L, "I", "x1"), (2L, 2L, "D", null.asInstanceOf[String]),
+      // key 3: insert, delete, re-insert — resurrected with the new value
+      (3L, 1L, "I", "y1"), (3L, 2L, "D", null.asInstanceOf[String]), (3L, 3L, "I", "y3"),
+      // key 4: single delete for a never-seen key — absent, no error
+      (4L, 1L, "D", null.asInstanceOf[String])
+    ).toDF("id", "seq", "op", "body")
+    val out = Merge.applyChangelog(log, Seq("id"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "v2", 3L -> "y3"))
+  }
+
+  test("applyChangelog over a base: base rows act as seq = -inf inserts") {
+    val base = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "body")
+    val log = Seq(
+      (2L, 1L, "U", "BETA*"),                    // update a base key
+      (3L, 1L, "D", null.asInstanceOf[String]),  // delete a base key
+      (9L, 1L, "I", "new")                       // insert a fresh key
+    ).toDF("id", "seq", "op", "body")
+    val out = Merge.applyChangelog(base, log, Seq("id"), "seq", "op", "D")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "alpha", 2L -> "BETA*", 9L -> "new"))
+
+    // equivalence: base+log == one log where base rows are min-seq inserts
+    val asLog = base.select($"id", org.apache.spark.sql.functions.lit(Long.MinValue).as("seq"),
+      org.apache.spark.sql.functions.lit("I").as("op"), $"body").unionByName(log)
+    val viaOneLog = Merge.applyChangelog(asLog, Seq("id"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(viaOneLog == out)
+  }
+
   test("upsert then diff round-trip: the diff of target vs upserted is exactly the batch") {
     val source = Seq((2L, "BETA*"), (9L, "new")).toDF("id", "body")
     val merged = Merge.upsert(target, source, Seq("id"))
