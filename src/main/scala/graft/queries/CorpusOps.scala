@@ -183,6 +183,22 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     },
 
+    // Fuzzy (edit-distance) similarity join — entity resolution over
+    // name-grade strings. SymSpell deletion-neighborhood blocking
+    // collapses the O(n²) all-pairs into one equi-join on short
+    // variant keys (complete: a lev≤k pair always shares a k-deletion
+    // variant), then exact levenshtein verifies. Distinct VALUES
+    // join, so row-level duplication never multiplies the join.
+    "d14_fuzzy_join" -> { (s, d) =>
+      import graft.operators.FuzzyJoin
+      val names = t(s, d, "part").select(col("p_name"))
+      FuzzyJoin.editDistanceJoin(names, "p_name", names, "p_name", k = 1)
+        .filter(col("left_val") < col("right_val"))
+        .select(col("left_val").as("name_a"), col("right_val").as("name_b"),
+          col("dist"))
+        .orderBy(col("name_a"), col("name_b"))
+    },
+
     // Embedding analytics: per-label centroids, element-wise — the
     // relational form (posexplode → groupBy (label, pos)) shuffles
     // (label, pos) keyed partials, scaling with labels × dims, not
@@ -1124,6 +1140,14 @@ object CorpusOps {
         |LEFT JOIN cleaned c USING (doc_id)
         |LEFT JOIN hs USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "d14_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM n a, n b
+        |WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
 
     // same 5-gram construction as d8; gram df counted over distinct
     // per-doc grams, so df>=2 means "appears in another document"
