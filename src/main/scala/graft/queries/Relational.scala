@@ -645,6 +645,26 @@ object Relational {
         .orderBy(col("id"))
     },
 
+    // Triangle counting over the part co-purchase graph (parts are
+    // adjacent when one order contains both): degree-ordered
+    // orientation bounds every node's wedge fan-out to O(√m), so the
+    // hub that breaks a naive neighborhood² join is exactly the node
+    // the orientation demotes — the Suri–Vassilvitskii scheme. The
+    // oracle replays the same triangle set via canonical a<b<c
+    // joins; counts agree because orientation only changes discovery
+    // order, never the triangle set.
+    "g2_triangles" -> { (s, d) =>
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a  = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b  = li.select(col("l_orderkey"), col("l_partkey").as("v"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v"))
+      graft.operators.Triangles.perNode(edges)
+        .withColumnRenamed("id", "part")
+        .orderBy(col("part"))
+    },
+
     // Correlation / regression aggregates from exact decimal moment
     // sums — corr(), covar, regr_slope are all order-dependent float
     // folds engine-internally, so none hash cross-engine directly;
@@ -1270,6 +1290,28 @@ object Relational {
         |    + 0.85::DOUBLE * CAST(coalesce(c2.s, 0) AS DOUBLE), 9) AS pr
         |  FROM nodes n LEFT JOIN c2 ON n.id = c2.id)
         |SELECT id, pr FROM pr2 ORDER BY id""".stripMargin,
+
+    "g2_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a
+        |  JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |nodes AS (SELECT u AS id FROM pairs UNION SELECT v FROM pairs),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e2.u = e1.v
+        |  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pern AS (
+        |  SELECT id, count(*) AS n_tri FROM (
+        |    SELECT a AS id FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY id)
+        |SELECT n.id AS part, coalesce(p.n_tri, 0) AS n_tri
+        |FROM nodes n LEFT JOIN pern p USING (id)
+        |ORDER BY part""".stripMargin,
     "q48_corr" ->
       """WITH a AS (
         |  SELECT l_returnflag, count(*) AS n,
