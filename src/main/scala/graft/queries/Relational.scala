@@ -865,6 +865,45 @@ object Relational {
           round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q75_price"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Full CUBE lattice: all four grouping sets of (flag, status) in
+    // ONE pass — Spark expands the lattice inside the aggregate
+    // (each input row feeds every set's partial), no re-scan per
+    // level; grouping() disambiguates real NULLs from subtotal rows.
+    "q50_cube" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Num.exactSum2(col("l_quantity")).as("sum_qty"),
+          Num.exactSum2(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ANALYZE-style column statistics — the stats collection a
+    // cost-based optimizer feeds on: per column, non-null count,
+    // exact NDV, min/max, and equi-depth quartile boundaries. One
+    // unpivot (rows × 4, map-side) into one grouped aggregate; at
+    // 100 TB the exact NDV/percentiles swap for the q28/q43 sketches,
+    // same plan shape.
+    "q51_column_stats" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      li.unpivot(Array.empty, cols.map(col).toArray, "col_name", "x")
+        .groupBy(col("col_name"))
+        .agg(
+          count(col("x")).as("n_notnull"),
+          countDistinct(col("x")).as("ndv"),
+          round(min(col("x")), 6).as("min_x"),
+          round(max(col("x")), 6).as("max_x"),
+          round(expr("percentile(x, 0.25)"), 4).as("p25"),
+          round(expr("percentile(x, 0.5)"), 4).as("p50"),
+          round(expr("percentile(x, 0.75)"), 4).as("p75"))
+        .orderBy(col("col_name"))
     }
   )
 
@@ -1145,6 +1184,31 @@ object Relational {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q75_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q50_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q51_column_stats" ->
+      """WITH stacked AS (
+        |  SELECT 'l_quantity' AS col_name, l_quantity AS x FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT col_name,
+        |  count(x) AS n_notnull,
+        |  CAST(count(DISTINCT x) AS BIGINT) AS ndv,
+        |  round(min(x), 6) AS min_x,
+        |  round(max(x), 6) AS max_x,
+        |  round(quantile_cont(x, 0.25), 4) AS p25,
+        |  round(quantile_cont(x, 0.5), 4) AS p50,
+        |  round(quantile_cont(x, 0.75), 4) AS p75
+        |FROM stacked GROUP BY col_name ORDER BY col_name""".stripMargin,
     "q28_sketches" ->
       """WITH h AS (
         |  SELECT l_returnflag,
