@@ -216,6 +216,20 @@ object CorpusOps {
     // (sum / L1 of the quantized ints, the scale, the L2 error) so
     // every element of every qvec is pinned without relying on
     // array-typed compare in the harness.
+    // JL random projection 64→16: Achlioptas ±1/√16 signs drawn from
+    // md5 parity, so DuckDB replays every matrix cell; each output
+    // coordinate is one fused DotProduct loop — a pure, shuffle-free
+    // map. Every projected element gates (posexplode), not a digest.
+    "v3_random_projection" -> { (s, d) =>
+      import graft.ann.Projection
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Projection.project(col("embedding"), 64, 16, "v3"))
+            .as(Seq("pos", "y_raw")))
+        .select(col("vec_id"), col("pos"), round(col("y_raw"), 6).as("y"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+
     "v2_embed_quantize" -> { (s, d) =>
       Quantize.int8(
           t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")))
@@ -1335,6 +1349,18 @@ object CorpusOps {
 
     // mirrors Quantize.int8 element-for-element: same scale op, same
     // half-away round, same array-order error accumulation
+    "v3_random_projection" ->
+      """WITH proj AS (
+        |  SELECT vec_id, j.j AS pos,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) *
+        |           (CASE WHEN CAST('0x' || substr(md5('v3|' || CAST(i - 1 AS VARCHAR)
+        |                    || '|' || CAST(j.j AS VARCHAR)), 1, 1) AS UBIGINT) % 2 = 0
+        |                 THEN 0.25 ELSE -0.25 END))) AS y_raw
+        |  FROM embeddings, (SELECT unnest(range(0, 16)) AS j) j)
+        |SELECT vec_id, CAST(pos AS INT) AS pos, round(y_raw, 6) AS y
+        |FROM proj ORDER BY vec_id, pos""".stripMargin,
+
     "v2_embed_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, embedding,
