@@ -18,7 +18,8 @@ object Explain {
         "q17_snowflake_join", "e2_incremental_antijoin", "d2_ngram_jaccard",
         "a1_ann_topk", "a4_ann_quantized", "c4_token_budget", "d10_semdedup",
         "q42_asof_native", "d11_dup_spans", "d13_span_cut", "q43_kmv_distinct",
-        "q46_bloom_prune", "q47_countmin")
+        "q46_bloom_prune", "q47_countmin",
+        "g2_triangles", "d14_fuzzy_join", "c8_cdc_apply", "v3_random_projection")
     val spark = GraftSession.build("graft-explain")
     try {
       names.foreach { name =>

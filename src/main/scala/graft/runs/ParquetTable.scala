@@ -148,6 +148,38 @@ final class ParquetTable[T: Encoder](
 
   def all(): Seq[T] = ds.collect().toSeq
 
+  /** Committed versions still within the retention window, ascending
+    * — the time-travel index.
+    */
+  def versions: Seq[Long] = {
+    val f = fs
+    if (!f.exists(manifestDir)) Seq.empty
+    else f.listStatus(manifestDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d{10}"))
+      .map(_.drop(1).toLong)
+      .sorted
+  }
+
+  /** Time-travel read: the table exactly as committed at `version`
+    * (a Delta/Iceberg `VERSION AS OF`). Snapshot dirs are immutable
+    * and retained for the last [[KeepManifests]] commits, so any
+    * listed version reads consistently while GC'd ones fail loud.
+    */
+  def dsAt(version: Long): Dataset[T] = {
+    val f  = fs
+    val mf = new Path(manifestDir, f"v$version%010d")
+    if (!f.exists(mf))
+      throw new NoSuchElementException(
+        s"version $version of $path does not exist or was garbage-collected " +
+          s"(retained: ${versions.mkString(", ")})")
+    val in   = f.open(mf)
+    val snap =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    spark.read.parquet(new Path(path, snap).toString).as[T]
+  }
+
   def isEmpty: Boolean = ds.isEmpty
 
   /** Upsert: replace any existing row with the same key columns. */

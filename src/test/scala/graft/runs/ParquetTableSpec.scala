@@ -106,4 +106,23 @@ final class ParquetTableSpec extends SparkTestBase {
     assert(snaps.length == 3, s"got ${snaps.mkString(",")}")
     assert(table.all().toSet == Set(("k", 6L)))
   }
+
+  test("time travel: dsAt reads each retained version exactly as committed") {
+    val table = newTable("pt-travel")
+    table.migrate()
+    table.upsert(Seq(("a", 1L)))               // v2 (migrate committed v1)
+    table.upsert(Seq(("a", 2L), ("b", 10L)))   // v3
+    table.upsert(Seq(("c", 99L)))              // v4
+    val vs = table.versions
+    assert(vs.size == 3, s"retained $vs") // KeepManifests = 3
+    val Seq(v2, v3, v4) = vs
+    assert(table.dsAt(v2).collect().toSet == Set(("a", 1L)))
+    assert(table.dsAt(v3).collect().toSet == Set(("a", 2L), ("b", 10L)))
+    assert(table.dsAt(v4).collect().toSet == Set(("a", 2L), ("b", 10L), ("c", 99L)))
+    // dsAt(latest) agrees with ds
+    assert(table.dsAt(v4).collect().toSet == table.ds.collect().toSet)
+    // a GC'd or never-committed version fails loud, listing what exists
+    val err = intercept[NoSuchElementException](table.dsAt(v2 - 1))
+    assert(err.getMessage.contains("garbage-collected"))
+  }
 }
