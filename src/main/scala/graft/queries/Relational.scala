@@ -665,6 +665,32 @@ object Relational {
         .orderBy(col("part"))
     },
 
+    // BFS shortest-path hops over a sparse co-purchase graph (one
+    // edge per even order: its line-1 part — line-2 part), from the
+    // minimum part: seven populated levels plus an unreached fringe
+    // (everything past 6 hops reports -1), so the level-synchronous
+    // loop genuinely iterates while the bench stays round-bounded. The oracle replays the whole expansion with a
+    // recursive CTE — frontier semantics, cap, and -1 fringe all
+    // hash-checked.
+    "g3_bfs" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(2)) === 0)
+      val l1 = li.filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_partkey").as("u"))
+      val l2 = li.filter(col("l_linenumber") === 2)
+        .select(col("l_orderkey"), col("l_partkey").as("v"))
+      val e0 = l1.join(l2, Seq("l_orderkey"))
+        .filter(col("u") =!= col("v"))
+        .select(col("u"), col("v"))
+      val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
+        .distinct()
+      val source = edges.agg(min(col("src")).as("id"))
+      graft.operators.Bfs.distances(edges, source, maxHops = 6)
+        .withColumnRenamed("id", "part")
+        .orderBy(col("part"))
+    },
+
     // Correlation / regression aggregates from exact decimal moment
     // sums — corr(), covar, regr_slope are all order-dependent float
     // folds engine-internally, so none hash cross-engine directly;
@@ -1375,6 +1401,28 @@ object Relational {
         |  GROUP BY id)
         |SELECT n.id AS part, coalesce(p.n_tri, 0) AS n_tri
         |FROM nodes n LEFT JOIN pern p USING (id)
+        |ORDER BY part""".stripMargin,
+
+    "g3_bfs" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a
+        |  JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_linenumber = 1 AND b.l_linenumber = 2
+        |   AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_orderkey % 2 = 0),
+        |pairs AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |bfs(id, dist) AS (
+        |  SELECT (SELECT min(u) FROM pairs) AS id, 0 AS dist
+        |  UNION
+        |  SELECT p.v, b.dist + 1
+        |  FROM bfs b JOIN pairs p ON p.u = b.id
+        |  WHERE b.dist < 6),
+        |best AS (SELECT id, min(dist) AS dist FROM bfs GROUP BY id),
+        |nodes AS (SELECT DISTINCT u AS id FROM pairs)
+        |SELECT n.id AS part, CAST(coalesce(b.dist, -1) AS INT) AS dist
+        |FROM nodes n LEFT JOIN best b USING (id)
         |ORDER BY part""".stripMargin,
     "q48_corr" ->
       """WITH a AS (
