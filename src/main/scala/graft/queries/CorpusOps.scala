@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -181,6 +181,39 @@ object CorpusOps {
         .select(col("doc_id"), col("n_chars"), col("clean_len"), col("n_cut"),
           md5(col("clean_text").cast("binary")).as("clean_hash"))
         .orderBy(col("doc_id"))
+    },
+
+    // PMI collocation mining: adjacent-bigram vs unigram pointwise
+    // mutual information — the classic collocation / multi-word-
+    // expression signal. Exact integer counts (one bigram shuffle +
+    // one unigram shuffle), corpus totals ride as broadcast scalars,
+    // and the unbounded unigram vocabulary joins UN-hinted (the t11
+    // rule); PMI itself is one identical double tree both engines
+    // evaluate bit-equally.
+    "t15_collocations" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val uni  = docs.select(explode(col("toks")).as("w"))
+      val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val bi = docs.filter(size(col("toks")) >= 2)
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bcnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val tot = uni.agg(count(lit(1)).as("n_uni"))
+        .crossJoin(bi.agg(count(lit(1)).as("n_bi")))
+      def dd(c: Column) = c.cast(DoubleType)
+      bcnt.filter(col("c12") >= 20)
+        .join(ucnt.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(ucnt.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((dd(col("c12")) / dd(col("n_bi"))) /
+            ((dd(col("c1")) / dd(col("n_uni"))) *
+             (dd(col("c2")) / dd(col("n_uni"))))), 6).as("pmi"))
+        .orderBy(col("w1"), col("w2"))
     },
 
     // Fuzzy (edit-distance) similarity join — entity resolution over
@@ -1154,6 +1187,30 @@ object CorpusOps {
         |LEFT JOIN cleaned c USING (doc_id)
         |LEFT JOIN hs USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "t15_collocations" ->
+      """WITH t1 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |uni AS (SELECT unnest(toks) AS w FROM t1),
+        |ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+        |  FROM t1 WHERE len(toks) >= 2),
+        |bcnt AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT count(*) FROM uni) AS n_uni,
+        |               (SELECT count(*) FROM bi) AS n_bi)
+        |SELECT b.w1, b.w2, b.c12,
+        |  round(ln((CAST(c12 AS DOUBLE) / CAST(n_bi AS DOUBLE)) /
+        |    ((CAST(u1.c AS DOUBLE) / CAST(n_uni AS DOUBLE)) *
+        |     (CAST(u2.c AS DOUBLE) / CAST(n_uni AS DOUBLE)))), 6) AS pmi
+        |FROM bcnt b
+        |JOIN ucnt u1 ON u1.w = b.w1
+        |JOIN ucnt u2 ON u2.w = b.w2
+        |CROSS JOIN tot
+        |WHERE b.c12 >= 20
+        |ORDER BY b.w1, b.w2""".stripMargin,
 
     "d14_fuzzy_join" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

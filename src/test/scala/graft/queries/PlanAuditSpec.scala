@@ -31,7 +31,8 @@ final class PlanAuditSpec extends SparkTestBase {
     Set("t6_tfidf_top_terms", "t11_unigram_logprob", "q23_correlated_subquery",
       "a1_ann_topk", "a3_ann_ivf", "a4_ann_quantized", "a5_ivf_kmeans",
       "d10_semdedup", "q46_bloom_prune",
-      "t14_bm25") // 1-row (n_docs, sum_dl) corpus-stats scalar
+      "t14_bm25",  // 1-row (n_docs, sum_dl) corpus-stats scalar
+      "t15_collocations") // 1-row (n_uni, n_bi) corpus-totals scalar
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
@@ -61,7 +62,7 @@ final class PlanAuditSpec extends SparkTestBase {
     // term vocabulary, per-term document frequencies) is unbounded at
     // scale and OOMs the build side; only grouping-key-less (1-row
     // scalar) aggregates may carry the hint in these plans
-    Seq("t6_tfidf_top_terms", "t11_unigram_logprob").foreach { name =>
+    Seq("t6_tfidf_top_terms", "t11_unigram_logprob", "t15_collocations").foreach { name =>
       val analyzed = graft.SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.analyzed
       val offending = analyzed.collect {
