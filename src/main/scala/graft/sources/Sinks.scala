@@ -96,4 +96,41 @@ object Sinks {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction (OPTIMIZE): rewrite a parquet directory
+    * into ~`targetFileBytes` files, preserving content exactly. The
+    * table-maintenance pass every streaming/CDC sink eventually
+    * needs — micro-batch commits accrete kilobyte files whose
+    * per-file open/footer cost dominates reads at scale. File count
+    * is computed from the directory's actual on-disk size (never a
+    * row-count guess, which breaks on wide vs narrow schemas); the
+    * rewrite stages to a temp dir and swaps via the same
+    * rename-aside protocol as `Merge.upsertParquet`, so a crash
+    * mid-compact never loses the table. Returns (filesBefore,
+    * filesAfter).
+    */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be > 0")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + s".compact-${System.nanoTime()}")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + s".bak-${System.nanoTime()}")
+    if (!fs.rename(hPath, bak))
+      throw new java.io.IOException(s"rename $hPath -> $bak failed")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(bak, hPath) // best-effort restore
+      throw new java.io.IOException(s"rename $tmp -> $hPath failed")
+    }
+    fs.delete(bak, true)
+    val after = fs.listStatus(hPath).toSeq
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (dataFiles.size, after)
+  }
 }

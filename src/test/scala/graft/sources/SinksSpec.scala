@@ -84,4 +84,26 @@ final class SinksSpec extends SparkTestBase {
     // nothing lost in the re-layout
     assert(spark.read.parquet(out).count() == 10000L)
   }
+
+  test("compactParquet: shrinks the file count, preserves content, swaps cleanly") {
+    val dir = tmpDir("sinks-compact")
+    val out = s"$dir/table"
+    val df = spark.range(0, 5000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(out) // simulate micro-batch accretion
+
+    val before = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before == 40)
+    val (reportedBefore, after) =
+      Sinks.compactParquet(spark, out, targetFileBytes = 1L << 30)
+    assert(reportedBefore == 40 && after == 1, s"got $reportedBefore -> $after")
+
+    // content identical, no staging/backup leftovers
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 5000L).map(i => i -> i * 2).toMap)
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.contains(".compact-") || n.contains(".bak-"))
+    assert(leftovers.isEmpty, s"not cleaned: ${leftovers.mkString(",")}")
+  }
 }
