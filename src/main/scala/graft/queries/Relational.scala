@@ -910,6 +910,20 @@ object Relational {
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // Skyline / Pareto front: the cheapest-and-largest parts no other
+    // part beats on both criteria. Exact two-phase prune — the
+    // broadcast sample-skyline anti-join drops ~everything without
+    // shuffling the table; only the skyline-sized candidate set pays
+    // the non-equi dominance join. Ties keep every member; the
+    // oracle is the textbook NOT EXISTS dominance predicate.
+    "q52_skyline" -> { (s, d) =>
+      val parts = t(s, d, "part")
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      graft.operators.Skyline.pareto(
+          parts, minimize = Seq("p_retailprice"), maximize = Seq("p_size"))
+        .orderBy(col("p_partkey"))
+    },
+
     // ANALYZE-style column statistics — the stats collection a
     // cost-based optimizer feeds on: per column, non-null count,
     // exact NDV, min/max, and equi-depth quartile boundaries. One
@@ -1220,6 +1234,17 @@ object Relational {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status,
         |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q52_skyline" ->
+      """SELECT p_partkey, p_size, p_retailprice
+        |FROM part a
+        |WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM part b
+        |    WHERE b.p_retailprice <= a.p_retailprice
+        |      AND b.p_size >= a.p_size
+        |      AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+
     "q51_column_stats" ->
       """WITH stacked AS (
         |  SELECT 'l_quantity' AS col_name, l_quantity AS x FROM lineitem

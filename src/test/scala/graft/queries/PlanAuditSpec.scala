@@ -32,7 +32,10 @@ final class PlanAuditSpec extends SparkTestBase {
       "a1_ann_topk", "a3_ann_ivf", "a4_ann_quantized", "a5_ivf_kmeans",
       "d10_semdedup", "q46_bloom_prune",
       "t14_bm25",  // 1-row (n_docs, sum_dl) corpus-stats scalar
-      "t15_collocations") // 1-row (n_uni, n_bi) corpus-totals scalar
+      "t15_collocations", // 1-row (n_uni, n_bi) corpus-totals scalar
+      "q52_skyline") // dominance is non-equi by nature; the NLJ sides
+                     // are the broadcast sample-skyline / pruned
+                     // candidate set (skyline-sized, never the table)
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
