@@ -949,6 +949,29 @@ object CorpusOps {
         .orderBy(col("bucket_ts"), col("event_type"))
     },
 
+    // Stateful streaming dedup, gated at the ROW level: every third
+    // event is planted twice in-stream (exactly the at-least-once
+    // delivery a Kafka consumer sees), dropDuplicatesWithinWatermark
+    // removes the replays, and the emitted rows must equal the
+    // original unique event set — the oracle is just the events
+    // table. Dedup state is watermark-bounded, never stream-sized.
+    "s7_stream_dedup" -> { (s, d) =>
+      val plantAndDedup = (st: DataFrame) =>
+        EventsPipeline.dedupedStream(
+            st.withColumn("__c",
+                explode(when(pmod(col("event_id"), lit(3)) === 0,
+                  array(lit(1), lit(2))).otherwise(array(lit(1)))))
+              .drop("__c"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      EventsPipeline.runToCompletion(
+          s, d, plantAndDedup,
+          queryName = s"s7_dedup_${System.nanoTime()}",
+          glob = "events.parquet",
+          outputMode = "append",
+          stateShufflePartitions = Some(8))
+        .orderBy(col("event_id"))
+    },
+
     // Markov transition matrix over event streams: per user, each
     // event pairs with its successor (lead over one user-keyed sort)
     // and the (from, to) counts row-normalize into transition
@@ -969,6 +992,25 @@ object CorpusOps {
         .withColumn("p", round(col("n").cast(DoubleType) /
           sum(col("n")).over(Window.partitionBy(col("from_type"))).cast(DoubleType), 6))
         .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Time-series resampling to OHLC bars: one keyed aggregate where
+    // open/close are min_by/max_by on the event time — the
+    // downsampling shape behind every metrics/market rollup. One
+    // shuffle on (type, bar); first/last are deterministic because
+    // the aggregate carries the full ordering value, not a
+    // partition-order-dependent first().
+    "e7_ohlc_bars" -> { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar"))
+        .agg(
+          expr("min_by(value, ts)").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          expr("max_by(value, ts)").as("close"),
+          count(lit(1)).as("n"),
+          Num.exactSum2(col("value")).as("volume_value"))
+        .orderBy(col("event_type"), col("bar"))
     },
 
     // z-score anomaly detection: per-event-type mean/σ from exact
@@ -2172,6 +2214,10 @@ object CorpusOps {
         |FROM wins GROUP BY 1, 2
         |ORDER BY bucket_ts, event_type""".stripMargin,
 
+    "s7_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "e4_markov_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS from_type,
@@ -2185,6 +2231,17 @@ object CorpusOps {
         |  round(CAST(n AS DOUBLE) /
         |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM cnt ORDER BY from_type, to_type""".stripMargin,
+
+    "e7_ohlc_bars" ->
+      """SELECT event_type, date_trunc('hour', ts) AS bar,
+        |  arg_min(value, ts) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  arg_max(value, ts) AS close,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, bar""".stripMargin,
 
     "e5_anomaly" ->
       """WITH stats AS (
