@@ -309,6 +309,27 @@ object Ann {
     * τ's angle is from orthogonal — high for true near-dups
     * (cos ≥ 0.9), as the spec shows on clustered data.
     */
+  /** Exact ε-graph: every (a < b) pair with cosine ≥ minCos, scored
+    * by the broadcast brute-force form (the a1 baseline shape: the
+    * corpus never shuffles, each partition scans against the
+    * broadcast side). This is the RIGHT tool when the threshold is
+    * unselective — a low-τ neighbor graph is near-quadratic however
+    * it is found, and brute force skips the LSH candidate dedup that
+    * then dominates ([[cosineNearDupPairsLSH]] stays the scale path
+    * for selective thresholds, where bucketing actually prunes;
+    * `DbscanSpec` pins both paths to identical output).
+    */
+  def cosinePairsExact(df: DataFrame, minCos: Double): DataFrame = {
+    val v = df.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
+    v.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+      .join(broadcast(v.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))),
+        col("a") < col("b"))
+      .withColumn("sim",
+        VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= minCos)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   def cosineNearDupPairsLSH(df: DataFrame, minCos: Double, dim: Int,
                             planes: Int = 10, tables: Int = 8,
                             seed: Long = 42L): DataFrame = {

@@ -249,6 +249,25 @@ object CorpusOps {
     // (sum / L1 of the quantized ints, the scale, the L2 error) so
     // every element of every qvec is pinned without relying on
     // array-typed compare in the harness.
+    // DBSCAN over the embedding ε-graph (cosine ≥ 0.35): density
+    // logic as pure keyed dataflow — degree agg → core filter →
+    // connected components over core–core edges → min-adjacent-core
+    // border labels. A τ this low is unselective, so the ε-graph is
+    // built by the exact broadcast form (LSH bucketing can't prune
+    // it and its candidate dedup dominates — measured 4×; DbscanSpec
+    // pins the LSH path to identical output). The oracle replays
+    // everything, including the recursive closure, so every
+    // core/border/noise verdict and cluster label hashes.
+    "v4_dbscan" -> { (s, d) =>
+      import graft.ann.{Ann, Dbscan}
+      val vecs = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val pairs = Ann.cosinePairsExact(vecs, minCos = 0.35)
+      Dbscan.fromNeighbors(vecs.select(col("id")),
+          pairs.select(col("a"), col("b")), minPts = 3)
+        .orderBy(col("id"))
+    },
+
     // JL random projection 64→16: Achlioptas ±1/√16 signs drawn from
     // md5 parity, so DuckDB replays every matrix cell; each output
     // coordinate is one fused DotProduct loop — a pure, shuffle-free
@@ -1448,6 +1467,50 @@ object CorpusOps {
 
     // mirrors Quantize.int8 element-for-element: same scale op, same
     // half-away round, same array-order error accumulation
+    "v4_dbscan" ->
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  WHERE $cosineExpr >= 0.35),
+         |sym AS (SELECT a AS id, b AS nb FROM pairs
+         |        UNION ALL SELECT b, a FROM pairs),
+         |deg AS (SELECT id, count(*) AS n_nbrs FROM sym GROUP BY id),
+         |core AS (SELECT id FROM deg WHERE n_nbrs >= 2),
+         |ce AS (
+         |  SELECT p.a, p.b FROM pairs p
+         |  JOIN core ca ON ca.id = p.a JOIN core cb ON cb.id = p.b),
+         |edges AS (
+         |  SELECT a, b FROM ce UNION SELECT b, a FROM ce
+         |  UNION SELECT a, a FROM ce UNION SELECT b, b FROM ce),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS id, min(dst) AS cluster_rep FROM reach GROUP BY src),
+         |corelab AS (
+         |  SELECT c.id, coalesce(cp.cluster_rep, c.id) AS cluster
+         |  FROM core c LEFT JOIN comp cp ON cp.id = c.id),
+         |borderlab AS (
+         |  SELECT s.id, min(cl.cluster) AS cluster
+         |  FROM sym s JOIN corelab cl ON cl.id = s.nb
+         |  WHERE s.id NOT IN (SELECT id FROM core)
+         |  GROUP BY s.id)
+         |SELECT e.vec_id AS id,
+         |  coalesce(d.n_nbrs, 0) AS n_nbrs,
+         |  CASE WHEN c.id IS NOT NULL THEN 'core'
+         |       WHEN b.id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  coalesce(c.cluster, b.cluster, -1) AS cluster
+         |FROM embeddings e
+         |LEFT JOIN deg d ON d.id = e.vec_id
+         |LEFT JOIN corelab c ON c.id = e.vec_id
+         |LEFT JOIN borderlab b ON b.id = e.vec_id
+         |ORDER BY id""".stripMargin,
+
     "v3_random_projection" ->
       """WITH proj AS (
         |  SELECT vec_id, j.j AS pos,

@@ -33,9 +33,12 @@ final class PlanAuditSpec extends SparkTestBase {
       "d10_semdedup", "q46_bloom_prune",
       "t14_bm25",  // 1-row (n_docs, sum_dl) corpus-stats scalar
       "t15_collocations", // 1-row (n_uni, n_bi) corpus-totals scalar
-      "q52_skyline") // dominance is non-equi by nature; the NLJ sides
+      "q52_skyline", // dominance is non-equi by nature; the NLJ sides
                      // are the broadcast sample-skyline / pruned
                      // candidate set (skyline-sized, never the table)
+      "v4_dbscan")   // exact ε-graph at an unselective τ is the a1
+                     // brute-force shape: broadcast side, corpus
+                     // never shuffles (LSH ≡-spec'd in DbscanSpec)
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
