@@ -19,7 +19,8 @@ object Explain {
         "a1_ann_topk", "a4_ann_quantized", "c4_token_budget", "d10_semdedup",
         "q42_asof_native", "d11_dup_spans", "d13_span_cut", "q43_kmv_distinct",
         "q46_bloom_prune", "q47_countmin",
-        "g2_triangles", "d14_fuzzy_join", "c8_cdc_apply", "v3_random_projection")
+        "g2_triangles", "d14_fuzzy_join", "c8_cdc_apply", "v3_random_projection",
+        "g3_bfs", "q52_skyline", "v4_dbscan", "t15_collocations", "e7_ohlc_bars")
     val spark = GraftSession.build("graft-explain")
     try {
       names.foreach { name =>
