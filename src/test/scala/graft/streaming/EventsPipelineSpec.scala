@@ -10,6 +10,18 @@ final class EventsPipelineSpec extends SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  // single PLAIN parquet file with the stream source's wire schema
+  // (ts as nanos longs) — the file-stream source lists files, not
+  // parquet directories
+  private def writeRawFile(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+    val stage = dest + ".stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
+  }
+
   test("availableNow tumbling aggregation equals the batch computation") {
     val streamed = EventsPipeline.runToCompletion(
       spark, sfDir, EventsPipeline.tumblingCounts,
@@ -43,17 +55,6 @@ final class EventsPipelineSpec extends SparkTestBase {
     // raw file (ts as nanos longs) — the stream source's wire schema
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
 
-    // single PLAIN files — the file-stream source lists files, not
-    // parquet directories
-    def writeRawFile(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
-      val stage = dest + ".stage"
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
-      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
-    }
-
     // run 1: only half the users have arrived
     writeRawFile(raw.filter(col("user_id") < 75), s"$tmp/in1/events.parquet")
     val after1 = EventsPipeline.runUpsertSink(spark, s"$tmp/in1", table,
@@ -71,6 +72,31 @@ final class EventsPipelineSpec extends SparkTestBase {
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("sum_value"))
     assert(after2.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
+  }
+
+  test("checkpoint recovery: a restarted stream resumes exactly where it stopped") {
+    val tmp = tmpDir("stream-ckpt")
+    val table = s"$tmp/totals"; val ck = s"$tmp/ck"; val in = s"$tmp/in"
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+
+    writeRawFile(raw.filter(col("user_id") < 75), s"$in/batch1.parquet")
+    EventsPipeline.runUpsertSink(spark, in, table,
+      stateShufflePartitions = Some(4), checkpoint = Some(ck))
+
+    // DELETE the already-processed file: after this, only the
+    // checkpoint (file log + aggregation state) knows batch1 ever
+    // existed — a restart that failed to recover state could not
+    // produce batch1's totals from the inputs on disk
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$in/batch1.parquet"))
+    writeRawFile(raw.filter(col("user_id") >= 75), s"$in/batch2.parquet")
+    val after = EventsPipeline.runUpsertSink(spark, in, table,
+      stateShufflePartitions = Some(4), checkpoint = Some(ck))
+
+    val want = raw.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    assert(after.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
   }
 
   test("upsert sink over an input dir with no matching files returns an empty frame") {
