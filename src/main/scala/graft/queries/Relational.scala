@@ -910,6 +910,38 @@ object Relational {
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // Item-item collaborative filtering ("bought X, also bought Y"):
+    // basket co-occurrence counts → exact Jaccard over integer
+    // support counts → top-3 neighbors per item. The co-occurrence
+    // join is keyed on the basket id and bounded by Σ basket-size²
+    // (downsample pathological baskets at ingest — the standard cap);
+    // supports join back keyed on item. All ratios divide exact
+    // integers, so cross-engine ordering ties resolve identically.
+    "r1_item_similarity" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val cx = li.groupBy(col("l_partkey").as("x")).agg(count(lit(1)).as("cx"))
+      val co = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cxy"))
+      val sym = co.select(col("u").as("item"), col("v").as("other"), col("cxy"))
+        .unionByName(co.select(col("v").as("item"), col("u").as("other"), col("cxy")))
+      val j = sym
+        .join(cx.select(col("x").as("item"), col("cx").as("c1")), Seq("item"))
+        .join(cx.select(col("x").as("other"), col("cx").as("c2")), Seq("other"))
+        .withColumn("j", col("cxy").cast(DoubleType) /
+          (col("c1") + col("c2") - col("cxy")).cast(DoubleType))
+      val w = Window.partitionBy(col("item"))
+        .orderBy(col("j").desc, col("other").asc)
+      j.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("item"), col("other"), col("cxy"),
+          round(col("j"), 6).as("jaccard"), col("rank").cast("int").as("rank"))
+        .orderBy(col("item"), col("rank"))
+    },
+
     // Skyline / Pareto front: the cheapest-and-largest parts no other
     // part beats on both criteria. Exact two-phase prune — the
     // broadcast sample-skyline anti-join drops ~everything without
@@ -1234,6 +1266,30 @@ object Relational {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status,
         |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "r1_item_similarity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |cx AS (SELECT l_partkey AS x, count(*) AS cx FROM li GROUP BY 1),
+        |co AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS cxy
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT u AS item, v AS other, cxy FROM co
+        |        UNION ALL SELECT v, u, cxy FROM co),
+        |sc AS (
+        |  SELECT s.item, s.other, s.cxy,
+        |    CAST(s.cxy AS DOUBLE) / CAST(c1.cx + c2.cx - s.cxy AS DOUBLE) AS j
+        |  FROM sym s
+        |  JOIN cx c1 ON c1.x = s.item
+        |  JOIN cx c2 ON c2.x = s.other),
+        |rk AS (
+        |  SELECT item, other, cxy, round(j, 6) AS jaccard,
+        |    row_number() OVER (PARTITION BY item ORDER BY j DESC, other ASC) AS rank
+        |  FROM sc)
+        |SELECT item, other, cxy, jaccard, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 3
+        |ORDER BY item, rank""".stripMargin,
+
     "q52_skyline" ->
       """SELECT p_partkey, p_size, p_retailprice
         |FROM part a
