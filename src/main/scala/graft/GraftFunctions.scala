@@ -49,6 +49,10 @@ object GraftFunctions {
       require(exprs.length == 1, "content_fingerprint(tokens)")
       ContentFingerprint64(exprs(0))
     },
+    "hll_distinct" -> { exprs =>
+      require(exprs.length == 1, "hll_distinct(key)")
+      HllDistinct(exprs(0))
+    },
     "hyperplane_sketches" -> { exprs =>
       require(exprs.length == 5, "hyperplane_sketches(vec, dim, planes, tables, seed)")
       HyperplaneSketches(exprs(0), foldableInt(exprs(1), "dim"),

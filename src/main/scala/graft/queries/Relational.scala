@@ -910,6 +910,25 @@ object Relational {
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // The q28 HLL as a first-class TypedImperativeAggregate: one
+    // 64-byte serialized buffer per group, map-side partial merge —
+    // no groupBy(bucket) shuffle at all — with the SAME register
+    // math, so the oracle replays the identical sketch. This is the
+    // custom-Catalyst aggregate surface (imperative buffer), next to
+    // the codegen expressions and the AS-OF plan ladder.
+    "q53_hll_agg" -> { (s, d) =>
+      import graft.functions.HllDistinct
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(HllDistinct(concat_ws("|", lit("q28hll"),
+          col("l_partkey").cast("string"))).as("hll"))
+        .select(col("l_returnflag"),
+          col("hll.est_parts").as("est_parts"),
+          col("hll.hll_zeros").as("hll_zeros"),
+          col("hll.hll_digest").as("hll_digest"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Item-item collaborative filtering ("bought X, also bought Y"):
     // basket co-occurrence counts → exact Jaccard over integer
     // support counts → top-3 neighbors per item. The co-occurrence
@@ -1266,6 +1285,30 @@ object Relational {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status,
         |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // same register replay as q28's HLL section — the aggregate must
+    // produce the identical sketch
+    "q53_hll_agg" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    (CAST('0x' || substr(md5('q28hll|' || CAST(l_partkey AS VARCHAR)), 1, 15) AS UBIGINT))::BIGINT AS h
+        |  FROM lineitem
+        |), br AS (
+        |  SELECT l_returnflag, h >> 54 AS bucket,
+        |    MAX(CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+        |             ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1))) END) AS reg
+        |  FROM h GROUP BY 1, 2
+        |), hll AS (
+        |  SELECT l_returnflag, count(*) AS nb,
+        |    SUM(1::BIGINT << (55 - reg)) AS s_present,
+        |    md5(string_agg(bucket || ':' || reg, ',' ORDER BY bucket)) AS hll_digest
+        |  FROM br GROUP BY 1
+        |)
+        |SELECT l_returnflag,
+        |  CAST(CAST(0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
+        |    / CAST(s_present + (64 - nb) * (1::BIGINT << 55) AS DOUBLE) AS DECIMAL(28,4)) AS DOUBLE) AS est_parts,
+        |  CAST(64 - nb AS BIGINT) AS hll_zeros, hll_digest
+        |FROM hll ORDER BY l_returnflag""".stripMargin,
+
     "r1_item_similarity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |cx AS (SELECT l_partkey AS x, count(*) AS cx FROM li GROUP BY 1),
