@@ -190,6 +190,32 @@ object MediaDecoder {
       out.toByteArray
     } catch { case _: java.io.IOException => None }
 
+  /** Real decode → w×h grayscale tile (row-major luminance bytes) —
+    * the canonical input to `functions.AHash64`. None if no
+    * installed reader recognizes the payload.
+    */
+  def grayscaleTile(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+      val scaled = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try g.drawImage(img, 0, 0, w, h, null)
+      finally g.dispose()
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = scaled.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          out(y * w + x) = lum.toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } catch { case _: java.io.IOException => None }
+
   private def byteSum(payload: Array[Byte]): Long = {
     var s = 0L
     var i = 0

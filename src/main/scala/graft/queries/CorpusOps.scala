@@ -776,6 +776,26 @@ object CorpusOps {
     },
 
     // ---- multimodal ----
+    // Perceptual aHash over binary media payloads: bit i = pixel i
+    // brighter than the tile mean — global brightness shifts cancel,
+    // so adjusted copies collide in Hamming space (pair with the d4
+    // pigeonhole blocking for corpus-scale image dedup). The gate
+    // runs the expression over deterministic byte tiles (the first
+    // 64 payload bytes), so DuckDB replays every pixel, mean, and
+    // bit; the real-image path (decode → grayscaleTile → AHash64) is
+    // spec-driven with actual PNGs.
+    "m3_image_ahash" -> { (s, d) =>
+      import graft.functions.AHash64
+      val media = Multimodal.synthesize(
+        t(s, d, "documents").filter(length(col("text")) >= 64), "doc_id", "text")
+      media
+        .select(col("media_id").as("doc_id"),
+          lpad(bin(AHash64(col("payload"))), 64, "0").as("ahash"))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("ahash"))))
+        .orderBy(col("doc_id"))
+    },
+
     "m1_media_features" -> { (s, d) =>
       val media = Multimodal.synthesize(t(s, d, "documents"), "doc_id", "text")
       Multimodal.decodeFeatures(s, media).toDF()
@@ -2105,6 +2125,21 @@ object CorpusOps {
         |  frame_idx * 64 AS offset_bytes,
         |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
         |FROM idx ORDER BY media_id, frame_idx""".stripMargin,
+
+    "m3_image_ahash" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        |px AS (
+        |  SELECT doc_id, i, ascii(substr(text, CAST(i AS INT), 1)) AS code
+        |  FROM d, (SELECT unnest(range(1, 65)) AS i) g),
+        |m AS (SELECT doc_id, CAST(sum(code) AS DOUBLE) / 64.0 AS mean
+        |      FROM px GROUP BY 1),
+        |bits AS (
+        |  SELECT p.doc_id,
+        |    string_agg(CASE WHEN CAST(code AS DOUBLE) > mean
+        |                    THEN '1' ELSE '0' END, '' ORDER BY i) AS ahash
+        |  FROM px p JOIN m USING (doc_id) GROUP BY p.doc_id)
+        |SELECT doc_id, ahash, count(*) OVER (PARTITION BY ahash) AS n_same
+        |FROM bits ORDER BY doc_id""".stripMargin,
 
     "m1_media_features" ->
       """SELECT doc_id AS media_id,
