@@ -31,6 +31,30 @@ object Sampling {
                  salt: String = "graft"): DataFrame =
     df.filter(bucket(keyCol, salt) < threshold(rate))
 
+  /** Deterministic train/valid/test split: one hash draw per key
+    * partitions the bucket space into adjacent intervals, so the
+    * assignment is exhaustive and disjoint BY CONSTRUCTION (no row
+    * lost or doubled — the classic bug of three independent
+    * samples), reproducible across runs/partitionings/engines, and
+    * stable under corpus growth: a key's split never changes when
+    * other rows arrive, the property that keeps eval sets
+    * uncontaminated across dataset versions. Adds a `split` column;
+    * fractions must sum to ≤ 1 (remainder goes to the last split).
+    */
+  def trainValidTestSplit(df: DataFrame, keyCol: Column,
+                          fractions: Seq[(String, Double)],
+                          salt: String = "graft-split"): DataFrame = {
+    require(fractions.nonEmpty, "at least one split required")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val b = bucket(keyCol, salt)
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val expr = fractions.init.zip(cuts.init).foldRight(
+      lit(fractions.last._1)) { case (((name, _), cut), els) =>
+      when(b < lit(threshold(cut)), lit(name)).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Per-stratum rates (data mixing): each row's keep-rate comes from
     * its stratum — the "60% web, 30% code, 10% books" shape of
     * training-mix curation. Strata absent from `rates` use

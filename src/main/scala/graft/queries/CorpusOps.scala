@@ -647,6 +647,21 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic train/valid/test split: ONE hash draw per key
+    // cut into adjacent bucket intervals — exhaustive and disjoint
+    // by construction (the three-independent-samples bug can't
+    // happen), and a key's split never changes as the corpus grows,
+    // which is what keeps eval sets uncontaminated across dataset
+    // versions. Pure predicate projection, zero shuffle.
+    "c9_train_split" -> { (s, d) =>
+      import graft.operators.Sampling
+      Sampling.trainValidTestSplit(t(s, d, "documents"),
+          keyCol = col("doc_id"),
+          fractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // The full training-data pipeline as ONE declarative plan:
     // language+quality gate → exact dedup (min doc_id per canonical
     // content hash) → deterministic 50% hash-sample → 50/10
@@ -1961,6 +1976,20 @@ object CorpusOps {
          |  WHEN lang = 'fr' THEN ${Sampling.oracleThreshold(0.3)}
          |  ELSE ${Sampling.oracleThreshold(0.1)} END
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "c9_train_split" -> {
+      import graft.operators.Sampling
+      val b = Sampling.oracleBucketSql("CAST(doc_id AS VARCHAR)", "graft-split")
+      // cumulative cuts computed with the SAME double additions as
+      // trainValidTestSplit's scanLeft (0.8 + 0.1 ≠ 0.9 exactly)
+      val cut1 = 0.8
+      val cut2 = 0.8 + 0.1
+      s"""SELECT doc_id, lang, source,
+         |  CASE WHEN $b < ${Sampling.oracleThreshold(cut1)} THEN 'train'
+         |       WHEN $b < ${Sampling.oracleThreshold(cut2)} THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
     },
 
     // (h + 1) adds in INTEGER then casts — h is near 2^60, past

@@ -77,4 +77,22 @@ final class SamplingSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sums.values.forall(_ <= 300L), s"budget exceeded: $sums")
   }
+
+  test("train/valid/test split: exhaustive, disjoint, growth-stable, near-proportional") {
+    val base = (1L to 4000L).toDF("id")
+    val fr = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Sampling.trainValidTestSplit(df, col("id"), fr)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1 = splits(base)
+    // exhaustive + disjoint by construction: exactly one split per key
+    assert(s1.size == 4000 && s1.values.toSet == Set("train", "valid", "test"))
+    // a key's split never changes when the corpus grows
+    val s2 = splits((1L to 8000L).toDF("id"))
+    assert((1L to 4000L).forall(k => s2(k) == s1(k)))
+    // proportions land near the fractions (hash uniformity)
+    val n = s1.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(math.abs(n("train") - 3200) < 150 && math.abs(n("valid") - 400) < 80,
+      s"proportions off: $n")
+  }
 }
