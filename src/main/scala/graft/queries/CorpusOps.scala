@@ -1048,6 +1048,30 @@ object CorpusOps {
         .orderBy(col("from_type"), col("to_type"))
     },
 
+    // Sliding-window COUNT DISTINCT — the metric SQL windows can't
+    // express (no DISTINCT over a frame). The trailing-6-hour range
+    // join becomes a keyed equi-join: each (hour, user) row explodes
+    // to the 6 target hours it covers, then one (type, hour) grouped
+    // countDistinct. Offset fan-out is the window span (a constant),
+    // never the data; everything shuffles on (type, hour).
+    "e8_sliding_distinct" -> { (s, d) =>
+      val hu = t(s, d, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("user_id"))
+        .distinct()
+      val hrs = hu.select(col("event_type"), col("h")).distinct()
+      val contrib = hu
+        .withColumn("off", explode(sequence(lit(0), lit(5))))
+        .select(col("event_type"),
+          timestamp_micros(unix_micros(col("h")) +
+            col("off").cast(LongType) * lit(3600000000L)).as("h"),
+          col("user_id"))
+      hrs.join(contrib, Seq("event_type", "h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(countDistinct(col("user_id")).as("n_users_6h"))
+        .orderBy(col("event_type"), col("h"))
+    },
+
     // Time-series resampling to OHLC bars: one keyed aggregate where
     // open/close are min_by/max_by on the event time — the
     // downsampling shape behind every metrics/market rollup. One
@@ -2358,6 +2382,19 @@ object CorpusOps {
         |  round(CAST(n AS DOUBLE) /
         |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM cnt ORDER BY from_type, to_type""".stripMargin,
+
+    "e8_sliding_distinct" ->
+      """WITH hu AS (
+        |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+        |  FROM events),
+        |hrs AS (SELECT DISTINCT event_type, h FROM hu)
+        |SELECT a.event_type, a.h,
+        |  CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_users_6h
+        |FROM hrs a JOIN hu b
+        |  ON b.event_type = a.event_type
+        | AND b.h >= a.h - INTERVAL 5 HOUR AND b.h <= a.h
+        |GROUP BY 1, 2
+        |ORDER BY a.event_type, a.h""".stripMargin,
 
     "e7_ohlc_bars" ->
       """SELECT event_type, date_trunc('hour', ts) AS bar,
