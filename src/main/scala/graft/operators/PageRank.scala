@@ -67,4 +67,48 @@ object PageRank {
     }
     pr
   }
+
+  /** Weighted PageRank over (src, dst, w) edges: each node's rank
+    * flows out proportionally to edge weight — pr·w/Σw(out) — so
+    * strong relationships carry more rank (co-purchase counts, trade
+    * volumes). Same determinism recipe and loop discipline as [[run]]
+    * (quantized DECIMAL contributions, round-9 ranks, lazy
+    * checkpoints); integer weights keep Σw exact. [[run]] is the
+    * w ≡ 1 special case.
+    */
+  def runWeighted(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nN   = nodes.agg(count(lit(1)).as("n_nodes"))
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("sumw"))
+    var pr = nodes.crossJoin(broadcast(nN))
+      .select(col("id"),
+        round(lit(1.0) / col("n_nodes").cast(DoubleType), 9).as("pr"))
+      .localCheckpoint(eager = false)
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outW, Seq("src"))
+        .select(col("dst").as("id"),
+          round(col("pr") * col("w").cast(DoubleType) / col("sumw").cast(DoubleType), 12)
+            .cast(DecimalType(24, 12)).as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("s"))
+      pr = nodes
+        .join(contrib, Seq("id"), "left_outer")
+        .crossJoin(broadcast(nN))
+        .select(col("id"),
+          round(
+            lit(1.0 - damping) / col("n_nodes").cast(DoubleType) +
+              lit(damping) *
+              coalesce(col("s"), lit(BigDecimal(0)).cast(DecimalType(24, 12)))
+                .cast(DoubleType), 9).as("pr"))
+        .localCheckpoint(eager = false)
+    }
+    pr
+  }
 }

@@ -645,6 +645,23 @@ object Relational {
         .orderBy(col("id"))
     },
 
+    // Weighted PageRank: rank flows proportionally to relationship
+    // strength — the customer↔supplier edge carries its lineitem
+    // count, so high-volume pairs dominate. Same oracle style as g1
+    // (both rounds unrolled to bit equality), weights exact longs.
+    "g4_pagerank_weighted" -> { (s, d) =>
+      val ed = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+          Seq("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+        .agg(count(lit(1)).as("w"))
+      val edges = ed.select(col("c").as("src"), col("p").as("dst"), col("w"))
+        .unionByName(ed.select(col("p").as("src"), col("c").as("dst"), col("w")))
+      graft.operators.PageRank.runWeighted(edges, iters = 2)
+        .orderBy(col("id"))
+    },
+
     // Triangle counting over the part co-purchase graph (parts are
     // adjacent when one order contains both): degree-ordered
     // orientation bounds every node's wedge fan-out to O(√m), so the
@@ -1498,6 +1515,38 @@ object Relational {
         |  SELECT e.dst AS id,
         |    sum(CAST(round(pr1.pr / deg.outdeg, 12) AS DECIMAL(24,12))) AS s
         |  FROM e JOIN pr1 ON e.src = pr1.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |pr2 AS (
+        |  SELECT n.id, round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |    + 0.85::DOUBLE * CAST(coalesce(c2.s, 0) AS DOUBLE), 9) AS pr
+        |  FROM nodes n LEFT JOIN c2 ON n.id = c2.id)
+        |SELECT id, pr FROM pr2 ORDER BY id""".stripMargin,
+
+    "g4_pagerank_weighted" ->
+      """WITH ed AS (
+        |  SELECT o_custkey AS c, l_suppkey + 1000000 AS p, count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT c AS src, p AS dst, w FROM ed
+        |      UNION ALL SELECT p, c, w FROM ed),
+        |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |sw AS (SELECT src, sum(w) AS sumw FROM e GROUP BY src),
+        |pr0 AS (
+        |  SELECT id, round(1.0::DOUBLE / (SELECT n FROM nn), 9) AS pr FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS id,
+        |    sum(CAST(round(pr0.pr * e.w / sw.sumw, 12) AS DECIMAL(24,12))) AS s
+        |  FROM e JOIN pr0 ON e.src = pr0.id JOIN sw ON e.src = sw.src
+        |  GROUP BY e.dst),
+        |pr1 AS (
+        |  SELECT n.id, round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |    + 0.85::DOUBLE * CAST(coalesce(c1.s, 0) AS DOUBLE), 9) AS pr
+        |  FROM nodes n LEFT JOIN c1 ON n.id = c1.id),
+        |c2 AS (
+        |  SELECT e.dst AS id,
+        |    sum(CAST(round(pr1.pr * e.w / sw.sumw, 12) AS DECIMAL(24,12))) AS s
+        |  FROM e JOIN pr1 ON e.src = pr1.id JOIN sw ON e.src = sw.src
         |  GROUP BY e.dst),
         |pr2 AS (
         |  SELECT n.id, round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)

@@ -47,4 +47,21 @@ final class PageRankSpec extends SparkTestBase {
     assert(math.abs(pr(2L) - 0.5) < 0.05)
     assert(math.abs(pr(1L) - 0.25) < 0.05)
   }
+
+  test("weighted with w=1 equals unweighted; heavier edges pull rank") {
+    import spark.implicits._
+    val edges = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 1L -> 3L, 3L -> 1L)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val unw = m(PageRank.run(edges.toDF("src", "dst"), iters = 3))
+    val w1  = m(PageRank.runWeighted(
+      edges.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"), iters = 3))
+    assert(unw == w1) // bit-identical: same quantized contributions
+
+    // triangle where the 1-2 edge is 10x heavier: 1 and 2 out-rank 3
+    val heavy = Seq((1L, 2L, 10L), (2L, 1L, 10L), (2L, 3L, 1L),
+      (3L, 2L, 1L), (1L, 3L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val pr = m(PageRank.runWeighted(heavy, iters = 15))
+    assert(pr(1L) > pr(3L) && pr(2L) > pr(3L), s"got $pr")
+  }
 }
