@@ -52,7 +52,47 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for iterating on a single
+    // query's plan/timing without paying for the whole registry
+    // (e.g. SPARK_GRAFT_BENCH_FILTER=q42_asof_native,d4_simhash).
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.contains(n)) }
+    // Optional per-query formatted-plan dump (plan-diff debugging).
+    sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN").foreach { dir =>
+      Files.createDirectories(Paths.get(dir))
+      selected.foreach { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        Files.write(Paths.get(dir, s"$name.plan"),
+          plan.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
+    // Between queries, drop every block the previous query left in
+    // the BlockManager. Several operators `localCheckpoint(eager =
+    // false)` to flatten iterative lineage (PageRank, BFS, dedup pair
+    // reuse, skyline); those blocks live until the ContextCleaner
+    // notices the RDD is unreachable, so across 122 queries × 3 runs
+    // they accumulate into GiBs of storage pressure that taxes every
+    // LATER query's GC — measured: q42_asof_native ran 2.45 s
+    // in-suite vs 1.05 s solo on identical code (round 7). Unpersist
+    // is safe here because each query's DataFrame is rebuilt from
+    // scratch on its next run.
+    val doScrub = sys.env.get("SPARK_GRAFT_BENCH_SCRUB").forall(_ != "0")
+    def scrub(): Unit = if (doScrub) {
+      spark.catalog.clearCache()
+      // blocking: the removal work must NOT overlap the next query's
+      // timed runs (an async storm of block drops steals executor
+      // threads from the measurement)
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = true))
+      System.gc() // lets the ContextCleaner reap unreachable checkpoint blocks
+    }
+
+    val results = selected.map { case (name, fn) =>
+      scrub()
       timeOnce(fn) // warmup: JIT, code cache, file-index caches
       val measured = (timeOnce(fn), timeOnce(fn)) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))

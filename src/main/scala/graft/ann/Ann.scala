@@ -259,37 +259,47 @@ object Ann {
       .select(col("id"), col("cell"), col("csim").as("ccos"))
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-              k: Int, nprobe: Int = 2): DataFrame = {
-    // centroid sims use the HOF dot (casts every element to double),
-    // so centroids may be array<float> OR array<double> (e.g. exact
-    // decimal/rounded means); the hot corpus×query scoring below
-    // stays on the fused float path. The quantizer is tiny, so the
-    // interpreted HOF cost is per-row × |cells|, not corpus².
+  // nearest `n` cells for a (id, vec) side against broadcast
+  // centroids. The argmax is a window over the broadcast-joined
+  // (id × cells) rows — one shuffle of narrow (id, cell, csim) rows.
+  // Centroid sims use the HOF dot (casts every element to double),
+  // so centroids may be array<float> OR array<double> (e.g. exact
+  // decimal/rounded means); the hot corpus×query scoring stays on
+  // the fused float path. The quantizer is tiny, so the interpreted
+  // HOF cost is per-row × |cells|, not corpus².
+  private def assignN(df: DataFrame, centroids: DataFrame, n: Int,
+                      idAs: String, vecAs: String, normAs: String): DataFrame = {
     val cents = broadcast(centroids.select(
       col("cell"), col("vec").as("centvec"),
       sqrt(VectorOps.dot(col("vec"), col("vec"))).as("centnorm")))
+    val w = Window.partitionBy(col(idAs))
+      .orderBy(col("csim").desc, col("cell").asc)
+    df.select(col("id").as(idAs), col("vec").as(vecAs),
+        VectorOps.fnorm(col("vec")).as(normAs))
+      .join(cents)
+      .withColumn("csim",
+        VectorOps.dot(col(vecAs), col("centvec")) / (col(normAs) * col("centnorm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= n)
+      .drop("centvec", "centnorm", "csim", "crank")
+  }
 
-    // nearest `n` cells for a (id, vec, norm) side. The argmax is a
-    // window over the broadcast-joined (id × cells) rows — one
-    // shuffle of narrow (id, cell, csim) rows; a production index
-    // would persist the corpus-side assignment with the vectors.
-    def assign(df: DataFrame, n: Int, idAs: String, vecAs: String,
-               normAs: String): DataFrame = {
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("csim").desc, col("cell").asc)
-      df.select(col("id").as(idAs), col("vec").as(vecAs),
-          VectorOps.fnorm(col("vec")).as(normAs))
-        .join(cents)
-        .withColumn("csim",
-          VectorOps.dot(col(vecAs), col("centvec")) / (col(normAs) * col("centnorm")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .drop("centvec", "centnorm", "csim", "crank")
-    }
+  /** The corpus side of an IVF index: each vector in its single
+    * nearest cell, with its norm precomputed — (cell, id, vec, nrm).
+    * This IS the expensive half of every [[ivfTopK]] call; persist
+    * it with [[saveIvfIndex]] so serving recomputes nothing.
+    */
+  def ivfAssignments(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignN(corpus, centroids, 1, "id", "vec", "nrm")
+      .select(col("cell"), col("id"), col("vec"), col("nrm"))
 
-    val c = assign(corpus, 1, "nbr_id", "cvec", "cnorm")      // each vector lives in 1 cell
-    val q = assign(queries, nprobe, "query_id", "qvec", "qnorm") // queries probe several
+  // probe: score each query's nprobe cells' members on the fused
+  // float path, keep the per-query top k
+  private def ivfProbe(assignments: DataFrame, queries: DataFrame,
+                       centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val c = assignments.select(col("cell"), col("id").as("nbr_id"),
+      col("vec").as("cvec"), col("nrm").as("cnorm"))
+    val q = assignN(queries, centroids, nprobe, "query_id", "qvec", "qnorm")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
     c.join(broadcast(q), Seq("cell"))
@@ -301,6 +311,43 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int = 2): DataFrame =
+    ivfProbe(ivfAssignments(corpus, centroids), queries, centroids, k, nprobe)
+
+  /** Persist an IVF index as two catalog tables: the (tiny) trained
+    * centroids at `<prefix>_centroids` and the corpus assignment at
+    * `<prefix>_cells`, hash-bucketed on `cell` — the probe's join
+    * key — so the stored side joins without shuffling. `append`
+    * adds a new batch's assignments (vectors quantized against the
+    * SAME frozen centroids — the standard serve-time contract; re-
+    * train + full rebuild is the offline path). The dedup/sketch
+    * stored-index parity: a growing corpus is assigned ONCE, ever.
+    */
+  def saveIvfIndex(corpus: DataFrame, centroids: DataFrame, tablePrefix: String,
+                   nBuckets: Int = 32, append: Boolean = false): Unit = {
+    if (!append)
+      centroids.select(col("cell"), col("vec"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${tablePrefix}_centroids")
+    ivfAssignments(corpus, centroids)
+      .write.mode(if (append) "append" else "overwrite")
+      .bucketBy(nBuckets, "cell")
+      .format("parquet")
+      .saveAsTable(s"${tablePrefix}_cells")
+  }
+
+  /** [[ivfTopK]] against a PRECOMPUTED index saved by
+    * [[saveIvfIndex]]: the corpus-side assignment (the expensive
+    * half) is read, never recomputed — only the query batch is
+    * quantized per call. Semantics identical to the recompute form
+    * (equivalence-spec'd in AnnSpec).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, tablePrefix: String,
+                     queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame =
+    ivfProbe(spark.table(s"${tablePrefix}_cells"),
+      queries, spark.table(s"${tablePrefix}_centroids"), k, nprobe)
 
   /** Scale path for embedding near-dup pairs: hyperplane-sketch
     * blocking (L tables), so candidate pairs come from bucket

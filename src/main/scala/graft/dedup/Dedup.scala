@@ -405,20 +405,32 @@ object SimHash {
     * per doc without any caching (nothing to leak across queries).
     */
   def pairs(fps: DataFrame, maxDist: Int = 3): DataFrame = {
-    val chunks    = maxDist + 1
-    val chunkBits = 64 / chunks
+    val chunks = maxDist + 1
+    // spread ALL 64 bits over the chunks (the first 64 % chunks get
+    // one extra bit): wider keys → exponentially smaller buckets →
+    // quadratically fewer candidate pairs. The pigeonhole argument
+    // only needs the chunks disjoint, not equal-width — at
+    // maxDist = 12 this is 5-bit keys instead of 4-bit with 12 bits
+    // discarded, i.e. half the bucket size for free.
+    val base   = 64 / chunks
+    val extra  = 64 % chunks
+    val widths = Seq.fill(extra)(base + 1) ++ Seq.fill(chunks - extra)(base)
+    val offs   = widths.scanLeft(0)(_ + _).init
     val exploded = fps.select(
       col("id"), col("simhash"),
-      posexplode(array((0 until chunks).map { c =>
-        shiftright(col("simhash"), c * chunkBits)
-          .bitwiseAND(lit((1L << chunkBits) - 1))
-      }: _*)).as(Seq("chunk", "key")))
+      posexplode(array(widths.lazyZip(offs).map { (w, off) =>
+        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+      }.toSeq: _*)).as(Seq("chunk", "key")))
     val l = exploded.select(col("chunk"), col("key"), col("id").as("a"), col("simhash").as("fa"))
     val r = exploded.select(col("chunk"), col("key"), col("id").as("b"), col("simhash").as("fb"))
     l.join(r, Seq("chunk", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), bit_count(col("fa").bitwiseXOR(col("fb"))).as("dist"))
-      .distinct()
+      // filter BEFORE distinct: random fingerprints differ on ~32
+      // bits, so the distance cut drops the overwhelming majority of
+      // candidates in codegen — the dedup shuffle then only carries
+      // true near-pairs, not every bucket collision
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 }

@@ -87,38 +87,118 @@ object Merge {
         .select(base.columns.map(col).toIndexedSeq: _*))
   }
 
-  /** Upsert a batch into a parquet path: read-if-exists ∪ merge,
-    * MATERIALIZE to a fresh temp path (so the plan never reads the
-    * path it is about to replace), then swap. The corpus-scale
-    * mutable-table primitive behind the streaming MERGE sink; the
-    * same documented caveat as `ParquetTable.writeAtomic` applies —
-    * on raw object storage the swap wants a table format's atomic
-    * commit (Delta/Iceberg MERGE is this function transactionally).
+  /** Partition column of the upsert-table layout: a fixed hash of
+    * the key space (`pmod(xxhash64(keys), nParts)`), materialized as
+    * hive-style `__part=K` directories. Fixed — never derived from
+    * data values — so any batch's keys map to a STABLE, enumerable
+    * set of directories.
     */
-  def upsertParquet(batch: DataFrame, tablePath: String, keyCols: Seq[String]): Unit = {
+  val PartCol = "__part"
+
+  /** Read an upsert table back without its internal layout column. */
+  def readUpsertTable(spark: org.apache.spark.sql.SparkSession,
+                      tablePath: String): DataFrame = {
+    val df = spark.read.parquet(tablePath)
+    if (df.columns.contains(PartCol)) df.drop(PartCol) else df
+  }
+
+  private def partExpr(keyCols: Seq[String], nParts: Int) =
+    pmod(xxhash64(keyCols.map(col): _*), lit(nParts.toLong)).cast("int")
+
+  /** Upsert a batch into a parquet table laid out as `nParts` fixed
+    * hash partitions of the key space — the merge-on-read-lite form
+    * of a mutable table: only partitions CONTAINING BATCH KEYS are
+    * read, merged, and swapped; every other partition directory is
+    * never opened, so upsert cost scales with the batch's key
+    * locality (≤ min(|batch|, nParts) partitions), not table size.
+    * At 100 TB this is the difference between a micro-batch touching
+    * a few hundred GB and rewriting the corpus.
+    *
+    * Each touched partition swaps via rename-aside (live → .bak,
+    * tmp → live, delete .bak), so a crash at any point leaves every
+    * partition recoverable — crash mid-loop leaves some partitions
+    * new and some old (partition-level, not snapshot-level,
+    * atomicity; `runs.ParquetTable` is the snapshot-isolated
+    * primitive when readers need a consistent cut). On raw object
+    * storage the renames want a table format's commit, same caveat
+    * as `ParquetTable.writeAtomic`.
+    *
+    * A pre-existing FLAT table (written by an older version of this
+    * function) is migrated in one full rewrite on its first upsert,
+    * after which pruning applies. `nParts` is fixed at table
+    * creation; later calls with a different value are rejected (the
+    * layout remembers its own fan-out).
+    */
+  def upsertParquet(batch: DataFrame, tablePath: String, keyCols: Seq[String],
+                    nParts: Int = 32): Unit = {
+    require(nParts > 0, s"nParts must be positive, got $nParts")
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val path  = new org.apache.hadoop.fs.Path(tablePath)
     val fs    = path.getFileSystem(hconf)
-    val merged =
-      if (fs.exists(path)) upsert(spark.read.parquet(tablePath), batch, keyCols)
-      else batch
-    val tmp = new org.apache.hadoop.fs.Path(tablePath + s".tmp-${System.nanoTime()}")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    // Swap via rename-aside, never delete-then-rename: a crash between
-    // a delete and the rename-in would lose the table outright (old
-    // data gone, only the .tmp dir left). Renaming the live dir aside
-    // first means every failure point leaves a recoverable copy, and
-    // the unreadable window shrinks to the instant between the two
-    // renames.
-    val bak = new org.apache.hadoop.fs.Path(tablePath + s".bak-${System.nanoTime()}")
-    val hadOld = fs.exists(path)
-    if (hadOld && !fs.rename(path, bak))
-      throw new java.io.IOException(s"rename $path -> $bak failed")
-    if (!fs.rename(tmp, path)) {
-      if (hadOld) fs.rename(bak, path) // best-effort restore of the old table
-      throw new java.io.IOException(s"rename $tmp -> $path failed")
+    val batchP = batch.withColumn(PartCol, partExpr(keyCols, nParts))
+
+    def partDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith(PartCol + "="))
+
+    def swapIn(tmp: org.apache.hadoop.fs.Path, live: org.apache.hadoop.fs.Path): Unit = {
+      val bak = new org.apache.hadoop.fs.Path(live.toString + s".bak-${System.nanoTime()}")
+      val hadOld = fs.exists(live)
+      if (hadOld && !fs.rename(live, bak))
+        throw new java.io.IOException(s"rename $live -> $bak failed")
+      if (!fs.rename(tmp, live)) {
+        if (hadOld) fs.rename(bak, live) // best-effort restore
+        throw new java.io.IOException(s"rename $tmp -> $live failed")
+      }
+      if (hadOld) fs.delete(bak, true)
     }
-    if (hadOld) fs.delete(bak, true)
+
+    if (!fs.exists(path)) {
+      // first write: materialize the partitioned layout wholesale
+      val tmp = new org.apache.hadoop.fs.Path(tablePath + s".tmp-${System.nanoTime()}")
+      batchP.write.partitionBy(PartCol).parquet(tmp.toString)
+      swapIn(tmp, path)
+    } else if (partDirs(path).isEmpty) {
+      // legacy flat layout: one-time migration to the partitioned form
+      val merged = upsert(spark.read.parquet(tablePath), batch, keyCols)
+        .withColumn(PartCol, partExpr(keyCols, nParts))
+      val tmp = new org.apache.hadoop.fs.Path(tablePath + s".tmp-${System.nanoTime()}")
+      merged.write.partitionBy(PartCol).parquet(tmp.toString)
+      swapIn(tmp, path)
+    } else {
+      val existingParts: Map[Int, org.apache.hadoop.fs.Path] = partDirs(path)
+        .map(s => s.getPath.getName.stripPrefix(PartCol + "=").toInt -> s.getPath)
+        .toMap
+      val maxPart = existingParts.keys.max
+      require(maxPart < nParts,
+        s"table $tablePath has partition $PartCol=$maxPart but nParts=$nParts — " +
+          "the layout's fan-out is fixed at creation; pass the original nParts")
+      // the batch's touched partitions: a bounded driver list (≤ nParts ints)
+      val touched = batchP.select(col(PartCol)).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.nonEmpty) {
+        val touchedExisting = touched.filter(existingParts.contains)
+        // read ONLY the touched partition directories (basePath keeps
+        // the __part column); untouched directories are never opened
+        val merged =
+          if (touchedExisting.isEmpty) batchP
+          else {
+            val existing = spark.read
+              .option("basePath", tablePath)
+              .parquet(touchedExisting.map(existingParts(_).toString).toIndexedSeq: _*)
+            existing.join(batchP, keyCols, "left_anti").unionByName(batchP)
+          }
+        val tmp = new org.apache.hadoop.fs.Path(tablePath + s".tmp-${System.nanoTime()}")
+        merged.write.partitionBy(PartCol).parquet(tmp.toString)
+        // swap each touched partition dir; untouched dirs stay byte-identical
+        touched.foreach { k =>
+          val tmpPart = new org.apache.hadoop.fs.Path(tmp, s"$PartCol=$k")
+          if (fs.exists(tmpPart)) // every touched k has batch rows, but guard anyway
+            swapIn(tmpPart, new org.apache.hadoop.fs.Path(path, s"$PartCol=$k"))
+        }
+        fs.delete(tmp, true) // _SUCCESS and the emptied tmp shell
+      }
+    }
   }
 }

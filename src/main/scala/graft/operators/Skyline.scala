@@ -24,11 +24,24 @@ import org.apache.spark.sql.functions._
   * — the prune, not the join strategy, is what scales. Ties (fully
   * equal criterion vectors) dominate nothing and are all kept.
   *
+  * WORST CASE: the prune only helps when the skyline is small
+  * relative to the data — the common case for correlated or
+  * independent criteria (expected skyline ≈ O(logᵈ⁻¹ n)). On
+  * ANTI-correlated criteria the true skyline is O(n): no prune can
+  * help (the output itself is corpus-sized), the broadcast side
+  * grows past the executor limit, and phase 3 degrades to a genuine
+  * quadratic join. `maxCandidates` guards that cliff: if the pruned
+  * candidate set is still larger, the operator fails fast with the
+  * count rather than melting the cluster — at that size the caller
+  * needs a different formulation (e.g. a per-grid-cell partitioned
+  * skyline) or a different question.
+  *
   * Rows with a NULL criterion are excluded (dominance is undefined).
   */
 object Skyline {
 
-  def pareto(df: DataFrame, minimize: Seq[String], maximize: Seq[String]): DataFrame = {
+  def pareto(df: DataFrame, minimize: Seq[String], maximize: Seq[String],
+             maxCandidates: Long = 4_000_000L): DataFrame = {
     val dims = minimize ++ maximize
     require(dims.nonEmpty, "at least one criterion required")
     val base = df.na.drop(dims).localCheckpoint(eager = false)
@@ -55,6 +68,17 @@ object Skyline {
     val sampleSky = notDominatedBy(sample, sample)
     val candidates = notDominatedBy(base, sampleSky)
       .localCheckpoint(eager = false)
+    // anti-correlated-data guard: the count is on the CHECKPOINTED
+    // candidates, so phase 3 reuses the same blocks — one extra job,
+    // no recompute of the prune
+    val nCand = candidates.count()
+    if (nCand > maxCandidates)
+      throw new IllegalStateException(
+        s"skyline candidate set has $nCand rows (> $maxCandidates): the " +
+          "criteria are anti-correlated enough that the skyline itself is " +
+          "data-sized — the broadcast/NLJ resolution would be quadratic. " +
+          "Partition the space (grid cells) or reconsider the criteria; " +
+          "raise maxCandidates only with executor memory to match")
     notDominatedBy(candidates, candidates)
   }
 }

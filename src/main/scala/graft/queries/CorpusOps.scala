@@ -798,11 +798,16 @@ object CorpusOps {
     // runs the expression over deterministic byte tiles (the first
     // 64 payload bytes), so DuckDB replays every pixel, mean, and
     // bit; the real-image path (decode → grayscaleTile → AHash64) is
-    // spec-driven with actual PNGs.
+    // spec-driven with actual PNGs. Both sides keep only ASCII docs
+    // (octet_length = length ⟺ bytes are code points), because the
+    // expression tiles BYTES while the oracle walks CHARACTERS —
+    // equivalent only when the two coincide; a non-ASCII doc would
+    // otherwise silently diverge instead of being excluded.
     "m3_image_ahash" -> { (s, d) =>
       import graft.functions.AHash64
       val media = Multimodal.synthesize(
-        t(s, d, "documents").filter(length(col("text")) >= 64), "doc_id", "text")
+        t(s, d, "documents").filter(length(col("text")) >= 64 &&
+          expr("octet_length(text) = length(text)")), "doc_id", "text")
       media
         .select(col("media_id").as("doc_id"),
           lpad(bin(AHash64(col("payload"))), 64, "0").as("ahash"))
@@ -1076,16 +1081,18 @@ object CorpusOps {
     // open/close are min_by/max_by on the event time — the
     // downsampling shape behind every metrics/market rollup. One
     // shuffle on (type, bar); first/last are deterministic because
-    // the aggregate carries the full ordering value, not a
-    // partition-order-dependent first().
+    // the aggregate carries a TOTAL ordering value — (ts, event_id),
+    // not ts alone, so two events sharing a timestamp still pick the
+    // same row on every engine — never a partition-order-dependent
+    // first().
     "e7_ohlc_bars" -> { (s, d) =>
       t(s, d, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar"))
         .agg(
-          expr("min_by(value, ts)").as("open"),
+          expr("min_by(value, struct(ts, event_id))").as("open"),
           max(col("value")).as("high"),
           min(col("value")).as("low"),
-          expr("max_by(value, ts)").as("close"),
+          expr("max_by(value, struct(ts, event_id))").as("close"),
           count(lit(1)).as("n"),
           Num.exactSum2(col("value")).as("volume_value"))
         .orderBy(col("event_type"), col("bar"))
@@ -2180,7 +2187,9 @@ object CorpusOps {
         |FROM idx ORDER BY media_id, frame_idx""".stripMargin,
 
     "m3_image_ahash" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE length(text) >= 64
+        |             AND octet_length(encode(text)) = length(text)),
         |px AS (
         |  SELECT doc_id, i, ascii(substr(text, CAST(i AS INT), 1)) AS code
         |  FROM d, (SELECT unnest(range(1, 65)) AS i) g),
@@ -2397,14 +2406,21 @@ object CorpusOps {
         |ORDER BY a.event_type, a.h""".stripMargin,
 
     "e7_ohlc_bars" ->
-      """SELECT event_type, date_trunc('hour', ts) AS bar,
-        |  arg_min(value, ts) AS open,
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bar, value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, bar,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
         |  max(value) AS high,
         |  min(value) AS low,
-        |  arg_max(value, ts) AS close,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume_value
-        |FROM events GROUP BY 1, 2
+        |FROM e GROUP BY 1, 2
         |ORDER BY event_type, bar""".stripMargin,
 
     "e5_anomaly" ->

@@ -49,7 +49,8 @@ import org.apache.spark.sql.{Column, Dataset, Encoder, SaveMode, SparkSession}
 final class ParquetTable[T: Encoder](
     spark: SparkSession,
     val path: String,
-    val keyCols: Seq[String]
+    val keyCols: Seq[String],
+    commit: CommitPrimitive = CommitPrimitive.HadoopAtomicCreate
 ) {
 
   import spark.implicits._
@@ -85,25 +86,22 @@ final class ParquetTable[T: Encoder](
     val deadline = System.currentTimeMillis + LockTimeoutMs
     var held     = false
     while (!held) {
-      try {
-        // atomic create-if-absent: exactly one contender wins
-        val out = f.create(lockPath, false)
-        try out.write(
-          s"${UUID.randomUUID()} pid=${ProcessHandle.current.pid} ts=${System.currentTimeMillis}"
-            .getBytes("UTF-8"))
-        finally out.close()
-        held = true
-      } catch {
-        case _: java.io.IOException =>
-          // lock held elsewhere: break it if stale, else wait and retry
-          val stale =
-            try System.currentTimeMillis - f.getFileStatus(lockPath).getModificationTime > StaleLockMs
-            catch { case _: java.io.IOException => false } // vanished between create and stat
-          if (stale) f.delete(lockPath, false)
-          else if (System.currentTimeMillis > deadline)
-            throw new IllegalStateException(
-              s"timed out after ${LockTimeoutMs}ms waiting for writer lock $lockPath")
-          else Thread.sleep(25L + scala.util.Random.nextInt(75))
+      // atomic create-if-absent (the commit primitive): exactly one
+      // contender wins
+      val payload =
+        s"${UUID.randomUUID()} pid=${ProcessHandle.current.pid} ts=${System.currentTimeMillis}"
+          .getBytes("UTF-8")
+      if (commit.createIfAbsent(f, lockPath, payload)) held = true
+      else {
+        // lock held elsewhere: break it if stale, else wait and retry
+        val stale =
+          try System.currentTimeMillis - f.getFileStatus(lockPath).getModificationTime > StaleLockMs
+          catch { case _: java.io.IOException => false } // vanished between create and stat
+        if (stale) f.delete(lockPath, false)
+        else if (System.currentTimeMillis > deadline)
+          throw new IllegalStateException(
+            s"timed out after ${LockTimeoutMs}ms waiting for writer lock $lockPath")
+        else Thread.sleep(25L + scala.util.Random.nextInt(75))
       }
     }
     try body
@@ -222,11 +220,17 @@ final class ParquetTable[T: Encoder](
     val ver      = currentManifest().map(_._1).getOrElse(0L) + 1L
     val manifest = new Path(manifestDir, f"v$ver%010d")
     f.mkdirs(manifestDir)
-    // atomic create-if-absent: under the writer lock this can only
-    // collide with a manifest left by a crashed PARTIAL gc — fail loud
-    val out = f.create(manifest, false)
-    try out.write(snap.getBytes("UTF-8"))
-    finally out.close()
+    // the commit point: atomic create-if-absent of the next numbered
+    // manifest. Under the writer lock a collision means another
+    // writer committed this version concurrently (broken/stale lock,
+    // or a manifest left by a crashed partial gc) — the snapshot we
+    // just wrote stays unreferenced (next commit's GC sweeps it) and
+    // the committed state is untouched. Fail loud, never clobber.
+    if (!commit.createIfAbsent(f, manifest, snap.getBytes("UTF-8")))
+      throw new java.util.ConcurrentModificationException(
+        s"commit of version $ver at $path lost the race: $manifest already " +
+          "exists — another writer committed concurrently; this writer's " +
+          "snapshot is unreferenced and will be garbage-collected")
     gc(f, ver)
   }
 

@@ -108,12 +108,28 @@ object Sinks {
     * rename-aside protocol as `Merge.upsertParquet`, so a crash
     * mid-compact never loses the table. Returns (filesBefore,
     * filesAfter).
+    *
+    * FLAT directories only: a hive-partitioned layout (`k=v`
+    * subdirectories) is rejected up front — a naive rewrite would
+    * silently flatten the partition columns into data columns and
+    * drop the directory structure. Compact partitioned tables one
+    * partition directory at a time. The swap itself is two renames;
+    * readers racing the instant between them can see the path
+    * briefly absent (same documented window as `upsertParquet` —
+    * a table format's commit is the fix on object storage).
     */
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L << 20): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be > 0")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val subDirs = fs.listStatus(hPath).toSeq.filter(_.isDirectory)
+    if (subDirs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"compactParquet: $path contains subdirectories " +
+          s"(${subDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+          "partitioned layouts are unsupported; compact each partition " +
+          "directory individually so the layout survives")
     val dataFiles = fs.listStatus(hPath).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum

@@ -341,7 +341,7 @@ object EventsPipeline {
     // throwing path-not-found.
     val p  = new org.apache.hadoop.fs.Path(tablePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(tablePath)
+    if (fs.exists(p)) graft.operators.Merge.readUpsertTable(spark, tablePath)
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), agg.schema)
   }
 

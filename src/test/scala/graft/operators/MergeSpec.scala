@@ -37,12 +37,82 @@ final class MergeSpec extends SparkTestBase {
     val path = s"$dir/table"
     Merge.upsertParquet(Seq((1L, "a"), (2L, "b")).toDF("id", "body"), path, Seq("id"))
     Merge.upsertParquet(Seq((2L, "B2"), (5L, "e")).toDF("id", "body"), path, Seq("id"))
-    val got = spark.read.parquet(path)
+    val got = Merge.readUpsertTable(spark, path)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a", 2L -> "B2", 5L -> "e"))
     val leftovers = new java.io.File(dir).listFiles().map(_.getName)
       .filter(n => n.contains(".tmp-") || n.contains(".bak-"))
     assert(leftovers.isEmpty, s"staging/backup dirs not cleaned: ${leftovers.mkString(",")}")
+  }
+
+  /** (file name, md5 of bytes) for every data file under a dir tree. */
+  private def fileHashes(dir: java.io.File): Map[String, String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(dir).filter(_.getName.endsWith(".parquet")).map { f =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString
+    }.toMap
+  }
+
+  test("upsertParquet: untouched partitions are never rewritten (byte-identical files)") {
+    val dir = tmpDir("merge-prune")
+    val path = s"$dir/table"
+    val nParts = 8
+    // 64 keys spread over all 8 hash partitions
+    Merge.upsertParquet((1L to 64L).map(i => (i, s"v$i")).toDF("id", "body"),
+      path, Seq("id"), nParts)
+    val partDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__part=")).sortBy(_.getName)
+    assert(partDirs.length == nParts, "expected every hash partition populated")
+    val before = partDirs.map(d => d.getName -> fileHashes(d)).toMap
+
+    // a single-key batch touches exactly one partition
+    Merge.upsertParquet(Seq((7L, "V7*")).toDF("id", "body"), path, Seq("id"), nParts)
+    val touchedPart = {
+      import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
+      Seq(Tuple1(7L)).toDF("id")
+        .select(pmod(xxhash64($"id"), lit(8L)).cast("int")).head.getInt(0)
+    }
+    val after = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__part="))
+      .map(d => d.getName -> fileHashes(d)).toMap
+    assert(after.keySet == before.keySet)
+    before.foreach { case (name, hashes) =>
+      if (name == s"__part=$touchedPart")
+        assert(after(name) != hashes, "touched partition must be rewritten")
+      else
+        assert(after(name) == hashes,
+          s"untouched partition $name was rewritten (files or bytes changed)")
+    }
+    // and the merge itself is correct
+    val got = Merge.readUpsertTable(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 64 && got(7L) == "V7*" && got(8L) == "v8")
+  }
+
+  test("upsertParquet: legacy flat table migrates to the partitioned layout on first upsert") {
+    val dir = tmpDir("merge-legacy")
+    val path = s"$dir/table"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "body").write.parquet(path) // flat layout
+    Merge.upsertParquet(Seq((2L, "B2"), (5L, "e")).toDF("id", "body"), path, Seq("id"))
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("__part=")),
+      "migration should produce hash-partition directories")
+    val got = Merge.readUpsertTable(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 5L -> "e"))
+  }
+
+  test("upsertParquet: mismatched nParts vs the table's layout is rejected") {
+    val dir = tmpDir("merge-nparts")
+    val path = s"$dir/table"
+    Merge.upsertParquet((1L to 64L).map(i => (i, s"v$i")).toDF("id", "body"),
+      path, Seq("id"), nParts = 64)
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsertParquet(Seq((1L, "x")).toDF("id", "body"), path, Seq("id"), nParts = 8)
+    }
+    assert(e.getMessage.contains("fan-out"))
   }
 
   test("applyChangelog: highest seq wins, deletes drop the key, re-insert resurrects") {

@@ -62,22 +62,82 @@ final class PlanAuditSpec extends SparkTestBase {
     }
   }
 
-  test("no broadcast hint on an unbounded aggregate (t6, t11)") {
+  // queries whose broadcast hint covers a KEYED aggregate whose key
+  // domain is a bounded constant of the data model, not corpus-sized:
+  //   - e5: per-event-type moment sums — |event types| is a domain
+  //     enum (handfuls), never corpus-cardinality
+  //   - a3/d10: the IVF/SemDeDup coarse quantizer — the aggregate is
+  //     keyed by cell, whose cardinality is the k-means parameter k
+  //     (centroids are k×dim by construction), a config constant
+  private val keyedBroadcastOk =
+    Set("e5_anomaly", "a3_ann_ivf", "d10_semdedup")
+
+  test("no broadcast hint on an unbounded aggregate (full registry)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
-    // a force-broadcast of a keyed aggregate over the corpus (the
-    // term vocabulary, per-term document frequencies) is unbounded at
-    // scale and OOMs the build side; only grouping-key-less (1-row
-    // scalar) aggregates may carry the hint in these plans
-    Seq("t6_tfidf_top_terms", "t11_unigram_logprob", "t15_collocations").foreach { name =>
-      val analyzed = graft.SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.analyzed
-      val offending = analyzed.collect {
-        case h: ResolvedHint if !h.child.collectFirst { case a: Aggregate => a }
-            .exists(_.groupingExpressions.isEmpty) => h.simpleString(80)
-      }
-      assert(offending.isEmpty,
-        s"$name force-broadcasts a keyed (unbounded) aggregate:\n${offending.mkString("\n")}")
+    // a force-broadcast of a keyed aggregate over the corpus (a term
+    // vocabulary, per-doc frequencies) is unbounded at scale and OOMs
+    // the build side; only grouping-key-less (1-row scalar) aggregates
+    // — or allowlisted bounded-domain keys — may carry the hint
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if skipped(name) || keyedBroadcastOk(name) => Nil
+      case (name, fn) =>
+        fn(spark, sfDir).queryExecution.analyzed.collect {
+          case h: ResolvedHint if !h.child.collectFirst { case a: Aggregate => a }
+              .forall(_.groupingExpressions.isEmpty) =>
+            s"$name: ${h.simpleString(80)}"
+        }
     }
+    assert(offenders.isEmpty,
+      s"keyed (unbounded) aggregates force-broadcast:\n${offenders.mkString("\n")}")
+  }
+
+  test("pushable literal predicates reach their parquet scan (full registry)") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.execution._
+    // mechanical form of "the filter reaches the scan": wherever a
+    // FilterExec sits directly over a parquet scan (through projects/
+    // codegen glue) and a conjunct is a plain comparison between a
+    // SCANNED column and a literal, the scan's PushedFilters must
+    // mention that column. Residual filters legitimately remain (the
+    // parquet reader's pushdown is page-level, not exact) — what may
+    // not happen is the pushable predicate vanishing from the scan.
+    def scanBelow(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec => Some(s)
+      case p: ProjectExec        => scanBelow(p.child)
+      case w: WholeStageCodegenExec => scanBelow(w.child)
+      case i: InputAdapter       => scanBelow(i.child)
+      case c: ColumnarToRowExec  => scanBelow(c.child)
+      case _                     => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    def pushableCol(e: Expression): Option[String] = e match {
+      case b: BinaryComparison => (b.left, b.right) match {
+        case (a: AttributeReference, _: Literal) => Some(a.name)
+        case (_: Literal, a: AttributeReference) => Some(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if skipped(name) => Nil
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        plan.collect { case f: FilterExec => f }.flatMap { f =>
+          scanBelow(f.child).toSeq.flatMap { scan =>
+            val scanCols = scan.output.map(_.name).toSet
+            val pushed   = scan.metadata.getOrElse("PushedFilters", "")
+            conjuncts(f.condition).flatMap(pushableCol)
+              .filter(scanCols)
+              .filterNot(pushed.contains)
+              .map(c => s"$name: predicate on '$c' not in PushedFilters [$pushed]")
+          }
+        }
+    }
+    assert(offenders.isEmpty,
+      s"pushable predicates failed to reach their scans:\n${offenders.distinct.mkString("\n")}")
   }
 
   test("no gated query plans a cartesian product") {

@@ -125,4 +125,73 @@ final class ParquetTableSpec extends SparkTestBase {
     val err = intercept[NoSuchElementException](table.dsAt(v2 - 1))
     assert(err.getMessage.contains("garbage-collected"))
   }
+
+  // ---- the pluggable commit primitive (S3-class conditional put) ----
+
+  test("conditional-put primitive: N racing writers, exactly one creates the key") {
+    val cp = new ConditionalPutDouble()
+    val dir = tmpDir("pt-cas")
+    val p = new Path(dir + "/key")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val attempts = (0 until 8).map { i =>
+      Future { gate.await(); cp.createIfAbsent(fs, p, s"writer$i".getBytes("UTF-8")) }
+    }
+    gate.countDown()
+    val wins = try Await.result(Future.sequence(attempts), Duration.Inf)
+    finally pool.shutdown()
+    assert(wins.count(identity) == 1, s"expected exactly one CAS winner, got $wins")
+    assert(fs.exists(p))
+  }
+
+  test("the full table protocol is green on the conditional-put primitive") {
+    val table = new ParquetTable[(String, Long)](
+      spark, tmpDir("pt-condput") + "/table", Seq("_1"), new ConditionalPutDouble())
+    table.migrate()
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val writers = (0 until 4).map { w =>
+      Future {
+        (0 until 3).foreach(i => table.upsert(Seq((s"writer$w-key$i", w * 100L + i))))
+      }
+    }
+    try Await.result(Future.sequence(writers), Duration.Inf)
+    finally pool.shutdown()
+    assert(table.all().toSet ==
+      (for (w <- 0 until 4; i <- 0 until 3) yield (s"writer$w-key$i", w * 100L + i)).toSet)
+    // time travel still works through the double
+    assert(table.versions.nonEmpty)
+  }
+
+  test("a manifest race lost mid-commit fails loud and never disturbs committed state") {
+    // a competing writer's PUT of the SAME next version lands in the
+    // window between our writer reading currentManifest and its
+    // conditional put being evaluated — the exact interleaving a
+    // broken/stale lock allows on an object store. The competitor
+    // (re)commits the previous snapshot, the legal minimal commit.
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val cp = new ConditionalPutDouble((fs, path) => {
+      if (path.getName == "v0000000003" && fired.compareAndSet(false, true)) {
+        val prev = new Path(path.getParent, "v0000000002")
+        val in = fs.open(prev)
+        val snap = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val out = fs.create(path, false)
+        try out.write(snap.getBytes("UTF-8")) finally out.close()
+      }
+    })
+    val table = new ParquetTable[(String, Long)](
+      spark, tmpDir("pt-race") + "/table", Seq("_1"), cp)
+    table.migrate()                    // v1
+    table.upsert(Seq(("a", 1L)))       // v2
+    val before = table.all().toSet
+    val err = intercept[java.util.ConcurrentModificationException] {
+      table.upsert(Seq(("b", 2L)))     // tries v3; the hook steals v3 first
+    }
+    assert(err.getMessage.contains("lost the race"))
+    // committed state at v2 is untouched; the loser's snapshot is unreferenced
+    assert(table.all().toSet == before)
+  }
 }

@@ -106,4 +106,16 @@ final class SinksSpec extends SparkTestBase {
       .filter(n => n.contains(".compact-") || n.contains(".bak-"))
     assert(leftovers.isEmpty, s"not cleaned: ${leftovers.mkString(",")}")
   }
+
+  test("compactParquet: rejects hive-partitioned layouts instead of flattening them") {
+    val dir = tmpDir("sinks-compact-part")
+    val out = s"$dir/table"
+    spark.range(0, 100).selectExpr("id", "id % 4 AS p")
+      .write.partitionBy("p").parquet(out)
+    val err = intercept[IllegalArgumentException](Sinks.compactParquet(spark, out))
+    assert(err.getMessage.contains("partition"))
+    // the table is untouched: partition dirs and content intact
+    assert(new java.io.File(out).listFiles().count(_.getName.startsWith("p=")) == 4)
+    assert(spark.read.parquet(out).count() == 100L)
+  }
 }
