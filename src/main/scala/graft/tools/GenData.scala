@@ -86,21 +86,42 @@ object GenData {
     val nDoc   = n(50000)
     val nVec   = n(20000)
 
-    def write(df: DataFrame, name: String, parts: Int): Unit = {
-      val shaped = if (parts == 1) df.coalesce(1) else df.repartition(parts)
-      shaped.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+    // The driver's layout is ONE flat file per table named
+    // `<name>.parquet` — the streaming source globs on exactly that
+    // file name, so write to a temp dir and move the single part file
+    // into place. (Parquet row groups keep a single file splittable;
+    // scan-side parallelism matches the shipped data's shape.)
+    def write(df: DataFrame, name: String): Unit = {
+      import org.apache.hadoop.fs.Path
+      val conf = spark.sparkContext.hadoopConfiguration
+      val tmp  = new Path(s"$outDir/.gen_$name")
+      val fs   = tmp.getFileSystem(conf)
+      // ~16 MB row groups: a single flat file stays scan-parallel
+      // (each FileScan split reads the row groups whose midpoint lands
+      // in its byte range — one giant row group would serialize the
+      // scan no matter how many splits Spark makes)
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
+        .parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dest = new Path(s"$outDir/$name.parquet")
+      fs.delete(dest, true)
+      require(fs.rename(part, dest), s"rename $part -> $dest failed")
+      fs.delete(tmp, true)
       println(s"gen: $name done")
     }
 
     val id = col("id")
 
     write(Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST"))
-      .toDF("r_regionkey", "r_name"), "region", 1)
+      .toDF("r_regionkey", "r_name"), "region")
 
     write(spark.range(25).select(
       id.cast("int").as("n_nationkey"),
       format_string("NATION_%d", id).as("n_name"),
-      (id % 5).cast("int").as("n_regionkey")), "nation", 1)
+      (id % 5).cast("int").as("n_regionkey")), "nation")
 
     val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
     write(spark.range(nCust).select(
@@ -108,13 +129,13 @@ object GenData {
       format_string("Customer#%09d", id).as("c_name"),
       h("c_nat", 25, id).cast("int").as("c_nationkey"),
       round(lit(-1000.0) + u("c_bal", id) * 11000.0, 2).as("c_acctbal"),
-      pick(segments, h("c_seg", 5, id)).as("c_mktsegment")), "customer", 1)
+      pick(segments, h("c_seg", 5, id)).as("c_mktsegment")), "customer")
 
     write(spark.range(nSupp).select(
       id.as("s_suppkey"),
       format_string("Supplier#%09d", id).as("s_name"),
       h("s_nat", 25, id).cast("int").as("s_nationkey"),
-      round(lit(-1000.0) + u("s_bal", id) * 11000.0, 2).as("s_acctbal")), "supplier", 1)
+      round(lit(-1000.0) + u("s_bal", id) * 11000.0, 2).as("s_acctbal")), "supplier")
 
     val adjectives = Seq("large", "small", "hot", "cold", "blue", "green", "dim", "bright")
     val nouns      = Seq("ring", "bolt", "gear", "cog", "pin", "washer", "spring", "lever")
@@ -125,7 +146,7 @@ object GenData {
       format_string("Brand#%d", h("p_brand", 25, id) + 1).as("p_brand"),
       pick(pTypes, h("p_type", 6, id)).as("p_type"),
       (h("p_size", 50, id) + 1).cast("int").as("p_size"),
-      round(lit(900.0) + u("p_price", id) * 100.0, 2).as("p_retailprice")), "part", 1)
+      round(lit(900.0) + u("p_price", id) * 100.0, 2).as("p_retailprice")), "part")
 
     // orders + lineitem share the per-order draws (custkey, orderdate,
     // line count), re-derived from o_orderkey on each side — no join.
@@ -140,7 +161,7 @@ object GenData {
       round(lit(1000.0) + u("o_total", id) * 499000.0, 2).as("o_totalprice"),
       orderDate.as("o_orderdate"),
       pick(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
-        h("o_prio", 5, id)).as("o_orderpriority")), "orders", 1)
+        h("o_prio", 5, id)).as("o_orderpriority")), "orders")
 
     val li = spark.range(nOrder)
       .select(id.as("l_orderkey"), orderDate.as("od"),
@@ -160,18 +181,20 @@ object GenData {
       pick(Seq("F", "O"), h("l_ls", 2, lid: _*)).as("l_linestatus"),
       date_add(col("od").cast("date"), (h("l_ship", 95, lid: _*) + 1).cast("int"))
         .cast("timestamp").as("l_shipdate")),
-      "lineitem", math.max(1, (sf * 10).toInt))
+      "lineitem")
 
+    // ts is a raw INT64 of NANOSECONDS since the epoch — the shipped
+    // events table is parquet TIMESTAMP(NANOS), which graft reads via
+    // nanosAsLong (see graft.queries.Tables.events and the streaming
+    // rawSchema); a plain long column hits the identical read path.
     write(spark.range(nEvent).select(
       id.as("event_id"),
-      timestamp_micros(
-        lit(java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000L) +
-          (u("e_ts", id) * 30.0 * 86400.0 * 1e6).cast("long")).as("ts"),
+      (lit(java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000000L) +
+        (u("e_ts", id) * 30.0 * 86400.0 * 1e9).cast("long")).as("ts"),
       h("e_user", nUser, id).as("user_id"),
       pick(Seq("click", "error", "purchase", "signup", "view"), h("e_type", 5, id)).as("event_type"),
       round(u("e_val", id) * 100.0, 4).as("value"),
-      format_string("{\"k\": %d}", h("e_k", 100, id)).as("props")), "events",
-      math.max(1, (sf * 10).toInt))
+      format_string("{\"k\": %d}", h("e_k", 100, id)).as("props")), "events")
 
     // ~5% of docs (id >= 1000) are near-duplicates of a uniformly-drawn
     // earlier doc: same words with the last 3 replaced — long shared
@@ -193,7 +216,7 @@ object GenData {
       when(langKey < 41, "en").when(langKey < 56, "zh").when(langKey < 71, "es")
         .when(langKey < 86, "fr").otherwise("de").as("lang"),
       format_string("src%d", h("doc_srcn", 20, id)).as("source"),
-      length(text).as("n_chars")), "documents", math.max(1, (sf * 2).toInt))
+      length(text).as("n_chars")), "documents")
 
     // 10 label clusters in 64-d: shared per-label centroid + per-vector
     // noise, L2-normalized to unit length (measured sf0.1 norms are
@@ -205,6 +228,6 @@ object GenData {
     write(spark.range(nVec).select(
       id.as("vec_id"),
       transform(raw, x => (x / norm).cast("float")).as("embedding"),
-      label.cast("int").as("label")), "embeddings", 1)
+      label.cast("int").as("label")), "embeddings")
   }
 }
