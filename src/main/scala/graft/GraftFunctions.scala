@@ -53,6 +53,11 @@ object GraftFunctions {
       require(exprs.length == 1, "hll_distinct(key)")
       HllDistinct(exprs(0))
     },
+    "kmv_quantiles" -> { exprs =>
+      require(exprs.length >= 4, "kmv_quantiles(key, value, k, q1[, q2, ...])")
+      KmvQuantiles(exprs(0), exprs(1), foldableInt(exprs(2), "k"),
+        exprs.drop(3).map(foldableDouble(_, "q")))
+    },
     "hyperplane_sketches" -> { exprs =>
       require(exprs.length == 5, "hyperplane_sketches(vec, dim, planes, tables, seed)")
       HyperplaneSketches(exprs(0), foldableInt(exprs(1), "dim"),
@@ -78,6 +83,11 @@ object GraftFunctions {
   private def foldableInt(e: Expression, name: String): Int = {
     require(e.foldable, s"$name must be a literal")
     e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def foldableDouble(e: Expression, name: String): Double = {
+    require(e.foldable, s"$name must be a literal")
+    e.eval().asInstanceOf[Number].doubleValue()
   }
 
   private def foldableString(e: Expression, name: String): String = {

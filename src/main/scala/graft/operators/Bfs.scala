@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   * out-edges (not the whole graph); visited state is node-sized. On a
   * 100 TB edge list the dominant cost is the frontier×edges join,
   * keyed on src and AQE-skew-split; rounds are bounded by `maxHops`.
+  * The per-round driver round-trip (`isEmpty` on the new frontier) is
+  * inherent to level-synchronous loops, so the design point is
+  * diameter-bounded graphs: rounds ≤ min(diameter, maxHops), and each
+  * round-trip exchanges one boolean, never data.
   */
 object Bfs {
 

@@ -1031,6 +1031,21 @@ object CorpusOps {
         .orderBy(col("event_id"))
     },
 
+    // Stream-static enrichment: each micro-batch broadcast-joins the
+    // customer dimension (no streaming state for the join itself),
+    // then rolls up to a dimension-bounded complete-mode aggregate.
+    // Gated against the equivalent batch LEFT JOIN + GROUP BY.
+    "s8_stream_enriched" -> { (s, d) =>
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      EventsPipeline.runToCompletion(
+          s, d, st => EventsPipeline.enrichedSegmentCounts(st, dim),
+          queryName = s"s8_enriched_${System.nanoTime()}",
+          glob = "events.parquet",
+          stateShufflePartitions = Some(8))
+        .orderBy(col("segment"), col("event_type"))
+    },
+
     // Markov transition matrix over event streams: per user, each
     // event pairs with its successor (lead over one user-keyed sort)
     // and the (from, to) counts row-normalize into transition
@@ -2377,6 +2392,12 @@ object CorpusOps {
     "s7_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "s8_stream_enriched" ->
+      """SELECT c_mktsegment AS segment, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin,
 
     "e4_markov_transitions" ->
       """WITH seq AS (

@@ -946,6 +946,30 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Bottom-k (KMV) quantile sketch: p25/p50/p75/p90 of extended
+    // price per return flag from a 256-row deterministic hash sample
+    // per group — the bounded-state mergeable form of q27's exact
+    // percentiles. The oracle replays the identical sample (ORDER BY
+    // shared md5-hash LIMIT k) and the identical lo+(hi−lo)·frac
+    // interpolation, so the doubles match bit-for-bit.
+    "q54_kmv_quantiles" -> { (s, d) =>
+      import graft.functions.KmvQuantiles
+      t(s, d, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          concat_ws("|", lit("q54"), col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string")).as("kk"),
+          col("l_extendedprice").as("v"))
+        .groupBy(col("grp"))
+        .agg(KmvQuantiles(col("kk"), col("v"), k = 256,
+          qs = Seq(0.25, 0.5, 0.75, 0.9)).as("sk"))
+        .select(col("grp"), col("sk.n_sample").as("n_sample"),
+          col("sk.quantiles")(0).as("q25"),
+          col("sk.quantiles")(1).as("q50"),
+          col("sk.quantiles")(2).as("q75"),
+          col("sk.quantiles")(3).as("q90"))
+        .orderBy(col("grp"))
+    },
+
     // Item-item collaborative filtering ("bought X, also bought Y"):
     // basket co-occurrence counts → exact Jaccard over integer
     // support counts → top-3 neighbors per item. The co-occurrence
@@ -1325,6 +1349,41 @@ object Relational {
         |    / CAST(s_present + (64 - nb) * (1::BIGINT << 55) AS DOUBLE) AS DECIMAL(28,4)) AS DOUBLE) AS est_parts,
         |  CAST(64 - nb AS BIGINT) AS hll_zeros, hll_digest
         |FROM hll ORDER BY l_returnflag""".stripMargin,
+
+    "q54_kmv_quantiles" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS grp, l_extendedprice AS v,
+        |    (CAST('0x' || substr(md5('q54|' || CAST(l_orderkey AS VARCHAR)
+        |      || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS UBIGINT))::BIGINT AS hk
+        |  FROM lineitem),
+        |samp AS (
+        |  SELECT grp, v FROM (
+        |    SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY hk, v) AS rn
+        |    FROM (SELECT DISTINCT grp, v, hk FROM h))
+        |  WHERE rn <= 256),
+        |ord AS (
+        |  SELECT grp, v,
+        |    row_number() OVER (PARTITION BY grp ORDER BY v) - 1 AS rv,
+        |    count(*) OVER (PARTITION BY grp) AS n
+        |  FROM samp)
+        |SELECT grp, CAST(max(n) AS BIGINT) AS n_sample,
+        |  round(max(CASE WHEN rv = CAST(floor(0.25 * (n - 1)) AS BIGINT) THEN v END)
+        |    + (max(CASE WHEN rv = CAST(ceil(0.25 * (n - 1)) AS BIGINT) THEN v END)
+        |       - max(CASE WHEN rv = CAST(floor(0.25 * (n - 1)) AS BIGINT) THEN v END))
+        |      * (0.25 * (n - 1) - floor(0.25 * (n - 1))), 9) AS q25,
+        |  round(max(CASE WHEN rv = CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN v END)
+        |    + (max(CASE WHEN rv = CAST(ceil(0.5 * (n - 1)) AS BIGINT) THEN v END)
+        |       - max(CASE WHEN rv = CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN v END))
+        |      * (0.5 * (n - 1) - floor(0.5 * (n - 1))), 9) AS q50,
+        |  round(max(CASE WHEN rv = CAST(floor(0.75 * (n - 1)) AS BIGINT) THEN v END)
+        |    + (max(CASE WHEN rv = CAST(ceil(0.75 * (n - 1)) AS BIGINT) THEN v END)
+        |       - max(CASE WHEN rv = CAST(floor(0.75 * (n - 1)) AS BIGINT) THEN v END))
+        |      * (0.75 * (n - 1) - floor(0.75 * (n - 1))), 9) AS q75,
+        |  round(max(CASE WHEN rv = CAST(floor(0.9 * (n - 1)) AS BIGINT) THEN v END)
+        |    + (max(CASE WHEN rv = CAST(ceil(0.9 * (n - 1)) AS BIGINT) THEN v END)
+        |       - max(CASE WHEN rv = CAST(floor(0.9 * (n - 1)) AS BIGINT) THEN v END))
+        |      * (0.9 * (n - 1) - floor(0.9 * (n - 1))), 9) AS q90
+        |FROM ord GROUP BY grp, n ORDER BY grp""".stripMargin,
 
     "r1_item_similarity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

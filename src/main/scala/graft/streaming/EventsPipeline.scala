@@ -165,6 +165,23 @@ object EventsPipeline {
   def enriched(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left_outer")
 
+  /** Enrichment join rolled up to per-(segment, event_type) counts and
+    * exact value sums — the gated form of [[enriched]]: dimension
+    * lookup per micro-batch (broadcast, no streaming state), then a
+    * complete-mode aggregation whose key space is dimension-bounded
+    * (segments × event types), so the memory sink holds a constant-
+    * size table no matter how many events stream through. `dim` must
+    * carry (user_id, c_mktsegment); events missing from the dimension
+    * roll up under a NULL segment (left-outer semantics, same as the
+    * batch oracle's LEFT JOIN).
+    */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    enriched(events, dim)
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+
   /** Arbitrary-state processing (`flatMapGroupsWithState`): per-user
     * running totals emitted on every update — the custom-state
     * surface that windowed aggregation can't express (e.g. decaying
