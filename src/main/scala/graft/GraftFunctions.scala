@@ -53,6 +53,10 @@ object GraftFunctions {
       require(exprs.length == 1, "hll_distinct(key)")
       HllDistinct(exprs(0))
     },
+    "byte_entropy" -> { exprs =>
+      require(exprs.length == 1, "byte_entropy(payload)")
+      ByteEntropy(exprs(0))
+    },
     "kmv_quantiles" -> { exprs =>
       require(exprs.length >= 4, "kmv_quantiles(key, value, k, q1[, q2, ...])")
       KmvQuantiles(exprs(0), exprs(1), foldableInt(exprs(2), "k"),

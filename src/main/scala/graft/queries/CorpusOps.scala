@@ -389,6 +389,22 @@ object CorpusOps {
       ).orderBy(col("doc_id"))
     },
 
+    // Shannon byte entropy (bits/byte) — the compressibility quality
+    // signal (templated spam scores low, base64/binary noise high).
+    // One fused codegen pass per row (functions.ByteEntropy); both
+    // sides keep only ASCII docs (bytes ⟺ code points, the m3 rule)
+    // and the oracle replays the decimal-quantized term sum exactly.
+    "t16_entropy" -> { (s, d) =>
+      import graft.functions.ByteEntropy
+      t(s, d, "documents")
+        .filter(length(col("text")) >= 1 &&
+          expr("octet_length(text) = length(text)"))
+        .select(col("doc_id"),
+          octet_length(col("text")).cast(LongType).as("n_bytes"),
+          round(ByteEntropy(col("text").cast("binary")), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+
     // language ID: heuristic, engine-specific scoring → rows-only.
     "t3_lang_id" -> { (s, d) =>
       t(s, d, "documents").select(
@@ -1817,6 +1833,30 @@ object CorpusOps {
          |   + (1.0 - least(npunct / greatest(ntok, 1), 1.0))) / 3.0 AS quality
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "t16_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 1
+        |    AND octet_length(encode(text)) = length(text)),
+        |px AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, length(text) + 1)) AS i
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS code,
+        |    count(*) AS c
+        |  FROM px GROUP BY 1, 2),
+        |s AS (
+        |  SELECT doc_id, sum(c) AS n,
+        |    sum(CASE WHEN c > 1
+        |        THEN CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(24,12))
+        |        ELSE CAST(0 AS DECIMAL(24,12)) END) AS s
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |  round((ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n) / ln(2), 6)
+        |    AS entropy
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // mirrors SimHash64 exactly: per-shingle MD5-prefix hashes, bit i
     // of the fingerprint = sign of the per-bit ±1 sum, then an

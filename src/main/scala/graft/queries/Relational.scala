@@ -445,6 +445,31 @@ object Relational {
         .orderBy(col("anchor_id"))
     },
 
+    // Interval OVERLAP join (both sides are intervals — the genomics
+    // variants×regions shape, vs q26's point-in-window): per-user
+    // activity intervals derived deterministically from the events
+    // fixture, binned to the hour grid, residual-joined, each pair
+    // emitted once at its first common bin (no distinct shuffle).
+    // Overlap math stays in integer micros — exact on both engines.
+    "q55_interval_overlap" -> { (s, d) =>
+      import graft.operators.IntervalJoin
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("sus"))
+      val la = ev.filter(col("event_id") % 2 === 0).select(
+        col("user_id"), col("event_id").as("a_id"), col("sus").as("a_s"),
+        (col("sus") + (col("event_id") % 7200 + 60) * 1000000L).as("a_e"))
+      val rb = ev.filter(col("event_id") % 2 === 1).select(
+        col("user_id"), col("event_id").as("b_id"), col("sus").as("b_s"),
+        (col("sus") + (col("event_id") % 5400 + 60) * 1000000L).as("b_e"))
+      IntervalJoin.overlap(la, rb, "user_id", "a_s", "a_e", "b_s", "b_e",
+          binSize = 3600L * 1000000L)
+        .groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_overlap"),
+          sum(least(col("a_e"), col("b_e")) -
+            greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+        .orderBy(col("a_id"))
+    },
+
     // Sketch aggregates, made cross-engine deterministic (the d4/a3
     // md5-bridge pattern): a hand-rolled HyperLogLog over Md5Bucket60
     // hashes (m=64 registers: bucket = top 6 bits, rank = leading
@@ -1255,6 +1280,22 @@ object Relational {
         |  AND b.ts >= a.ts
         |  AND b.ts < a.ts + INTERVAL 1 HOUR
         |GROUP BY anchor_id ORDER BY anchor_id""".stripMargin,
+    "q55_interval_overlap" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS sus FROM events),
+        |a AS (
+        |  SELECT user_id, event_id AS a_id, sus AS a_s,
+        |    sus + (event_id % 7200 + 60) * 1000000 AS a_e
+        |  FROM ev WHERE event_id % 2 = 0),
+        |b AS (
+        |  SELECT user_id, event_id AS b_id, sus AS b_s,
+        |    sus + (event_id % 5400 + 60) * 1000000 AS b_e
+        |  FROM ev WHERE event_id % 2 = 1)
+        |SELECT a_id, count(*) AS n_overlap,
+        |  CAST(sum(least(a_e, b_e) - greatest(a_s, b_s)) AS BIGINT) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a_s < b_e AND b_s < a_e
+        |GROUP BY a_id ORDER BY a_id""".stripMargin,
     "q29_pivot" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
