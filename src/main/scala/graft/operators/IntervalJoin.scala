@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Interval OVERLAP join — both sides are intervals, keyed by a
@@ -63,6 +64,47 @@ object IntervalJoin {
           col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
           col("__bin") === floorDiv(greatest(col(lStart), col(rStart)), binSize))
       .drop(r(key)).drop("__bin", "__rbin")
+  }
+
+  /** Interval COALESCE (union / coverage): merge each key's
+    * overlapping-or-adjacent half-open intervals into maximal
+    * disjoint spans — the other half of the interval algebra
+    * ([[overlap]] finds intersections, this finds the union), and
+    * the standard finisher after any interval-producing step
+    * (session coverage, duplicated-span merge, genomic region
+    * union).
+    *
+    * Gaps-and-islands in one window pass: order each key's
+    * intervals by (start, end), carry the running max end over
+    * PRECEDING rows, and a new island starts exactly when a row's
+    * start exceeds that max (strictly — touching intervals
+    * `[1,5)[5,8)` are contiguous coverage and merge). The island
+    * number is a running sum of those starts, and one group-by
+    * collapses each island to its span.
+    *
+    * At 100 TB: ONE shuffle on `key` (window and group-by share the
+    * partitioning — the agg reuses the window's exchange), within-key
+    * sort is the only per-key cost, nothing is quadratic in interval
+    * count. A single pathologically hot key is the skew limit, as
+    * with any per-key ordered pass. Zero-length intervals (`s >= e`)
+    * cover nothing and are dropped at the scan.
+    *
+    * Output: `(key, span_start, span_end, n_intervals)`, disjoint
+    * per key, so `sum(span_end - span_start)` is exact coverage.
+    */
+  def coalesce(df: DataFrame, key: String, start: String, end: String): DataFrame = {
+    val byStart = Window.partitionBy(col(key)).orderBy(col(start), col(end))
+    val prevMax = max(col(end)).over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    df.filter(col(start) < col(end))
+      .withColumn("__new_island", // NULL prevMax = first row = new island
+        when(prevMax.isNull || col(start) > prevMax, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new_island")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("__island"))
+      .agg(min(col(start)).as("span_start"), max(col(end)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
   }
 
   /** Exact integer floor division (Spark's `/` on longs goes through

@@ -1163,6 +1163,21 @@ object CorpusOps {
       EventsPipeline.runUpsertSink(s, d, s"$tmp/totals",
           glob = "events.parquet", stateShufflePartitions = Some(8))
         .orderBy(col("user_id"))
+    },
+
+    // Streaming corpus ingestion with near-dup gating: documents
+    // stream in (AvailableNow), each micro-batch is checked against
+    // the persistent band index of everything before it and then
+    // appended to that index — the d7 incremental split, run through
+    // the streaming ingestion loop. The accumulated pair report
+    // gates against d7's exact-jaccard oracle (banding recall 1.0 on
+    // this corpus, as d3/d7 established).
+    "s9_stream_neardup" -> { (s, d) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("s9-neardup").toFile.getAbsolutePath
+      graft.streaming.DocsPipeline.runNearDupGate(s, d, tmp,
+        glob = "documents.parquet", splitId = 250,
+        numHashes = 24, bands = 8, n = 3, minJaccard = 0.8)
     }
   )
 
@@ -1405,6 +1420,19 @@ object CorpusOps {
     // batch (b >= 250 ⇔ at least one side is new, since new ids sort
     // last and a < b)
     "d7_dedup_incremental" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE b.doc_id >= 250
+         |  AND len(list_intersect(a.sh, b.sh)) * 1000000 >=
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 800000
+         |ORDER BY a, b""".stripMargin,
+
+    // identical to d7's oracle: the streaming gate must land exactly
+    // the pairs the batch incremental split produces
+    "s9_stream_neardup" ->
       s"""$shingleCte
          |SELECT a.doc_id AS a, b.doc_id AS b,
          |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /

@@ -470,6 +470,21 @@ object Relational {
         .orderBy(col("a_id"))
     },
 
+    // Interval COALESCE (union/coverage — the q55 shape's other
+    // half): per-user activity intervals merge into maximal disjoint
+    // spans via one gaps-and-islands window pass; the oracle replays
+    // the same running-max island assignment. Integer micros
+    // throughout — exact on both engines.
+    "q56_interval_coalesce" -> { (s, d) =>
+      import graft.operators.IntervalJoin
+      val ev = t(s, d, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("iv_s"),
+        (unix_micros(col("ts")) + (col("event_id") % 7200 + 60) * 1000000L)
+          .as("iv_e"))
+      IntervalJoin.coalesce(ev, "user_id", "iv_s", "iv_e")
+        .orderBy(col("user_id"), col("span_start"))
+    },
+
     // Sketch aggregates, made cross-engine deterministic (the d4/a3
     // md5-bridge pattern): a hand-rolled HyperLogLog over Md5Bucket60
     // hashes (m=64 registers: bucket = top 6 bits, rank = leading
@@ -1296,6 +1311,25 @@ object Relational {
         |FROM a JOIN b ON a.user_id = b.user_id
         |  AND a_s < b_e AND b_s < a_e
         |GROUP BY a_id ORDER BY a_id""".stripMargin,
+    "q56_interval_coalesce" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (event_id % 7200 + 60) * 1000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM ev WHERE s < e),
+        |i AS (
+        |  SELECT user_id, s, e,
+        |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m)
+        |SELECT user_id, CAST(min(s) AS BIGINT) AS span_start,
+        |  CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_intervals
+        |FROM i GROUP BY user_id, island ORDER BY user_id, span_start""".stripMargin,
     "q29_pivot" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,

@@ -62,6 +62,42 @@ final class IntervalJoinSpec extends SparkTestBase {
     assert(IntervalJoin.overlap(l, r, "k", "a_s", "a_e", "b_s", "b_e", W).count() == 1)
   }
 
+  test("coalesce merges overlapping and touching intervals into disjoint spans") {
+    val iv = Seq(
+      (1L, 0L, 50L), (1L, 40L, 90L), (1L, 90L, 120L), // chain: overlap + touch
+      (1L, 200L, 300L), (1L, 210L, 250L),             // contained
+      (1L, 400L, 400L),                               // zero-length: dropped
+      (2L, 10L, 20L), (2L, 30L, 40L)                  // disjoint: two spans
+    ).toDF("k", "s", "e")
+    val got = IntervalJoin.coalesce(iv, "k", "s", "e")
+      .select($"k", $"span_start", $"span_end", $"n_intervals")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 120L, 3L), (1L, 200L, 300L, 2L),
+      (2L, 10L, 20L, 1L), (2L, 30L, 40L, 1L)))
+  }
+
+  test("coalesce spans are disjoint and cover exactly the naive union") {
+    val iv = side("a", 400, 5, 300)
+      .select($"k", $"a_s".as("s"), $"a_e".as("e"))
+    val spans = IntervalJoin.coalesce(iv, "k", "s", "e")
+      .select($"k", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect()
+    // pairwise disjoint (not even touching) per key
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(e1 < s2)
+        case _ =>
+      }
+    }
+    // coverage: every covered point is in a span, span points are covered
+    val naiveCover = iv.as[(Long, Long, Long)].collect()
+      .flatMap { case (k, s, e) => (s until e).map(k -> _) }.toSet
+    val spanCover = spans
+      .flatMap { case (k, s, e) => (s until e).map(k -> _) }.toSet
+    assert(spanCover == naiveCover)
+  }
+
   test("overlapping non-key column names are rejected") {
     val l = Seq((1L, 1L, 0L, 10L)).toDF("k", "x", "a_s", "a_e")
     val r = Seq((1L, 2L, 0L, 10L)).toDF("k", "x", "b_s", "b_e")
