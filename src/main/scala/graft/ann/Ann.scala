@@ -396,25 +396,20 @@ object Ann {
   }
 
   /** Exact-score candidate (a, b) pairs against the vector table and
-    * threshold: pairs melt to (pair, id) rows so the corpus-sized
-    * vector table is joined once (not once per side), then each pair
-    * reassembles in a group-by.
+    * threshold, via two equi-joins on id: the candidate rows (two
+    * longs) shuffle to each side's vectors, and the vector table
+    * shuffles once per side on id (one Exchange, reused) — never
+    * once per PAIR, which is what a melt + groupBy(a, b) carrying
+    * both vectors through the aggregate shuffle costs (measured as
+    * the dominant byte-volume at 50 k vectors: each surviving pair
+    * re-shipped two ~1 KB arrays through the group-by Exchange).
     */
   private def verifyCandidates(cands: DataFrame, vecSource: DataFrame,
                                minCos: Double): DataFrame = {
     val vecs = vecSource.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
-    val melted = cands.select(col("a"), col("b"),
-        explode(array(
-          struct(col("a").as("id"), lit(0).as("side")),
-          struct(col("b").as("id"), lit(1).as("side")))).as("m"))
-      .select(col("a"), col("b"), col("m.id").as("id"), col("m.side").as("side"))
-    melted.join(vecs, Seq("id"))
-      .groupBy(col("a"), col("b"))
-      .agg(
-        first(when(col("side") === 0, col("vec")), ignoreNulls = true).as("va"),
-        first(when(col("side") === 0, col("nrm")), ignoreNulls = true).as("na"),
-        first(when(col("side") === 1, col("vec")), ignoreNulls = true).as("vb"),
-        first(when(col("side") === 1, col("nrm")), ignoreNulls = true).as("nb"))
+    cands
+      .join(vecs.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na")), Seq("a"))
+      .join(vecs.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb")), Seq("b"))
       .withColumn("sim", VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("sim") >= minCos)
       .select("a", "b", "sim")

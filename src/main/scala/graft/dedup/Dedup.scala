@@ -58,10 +58,23 @@ object NgramJaccard {
     * universally-shared shingle (the Σ postings² hot key) drops out
     * of every large doc's posting list entirely.
     *
-    * The prefix-length test is kept in integer arithmetic
-    * (rank ≤ sz − ⌈t·sz⌉ + 1  ⇔  t·sz ≤ sz + 1 − rank, scaled to
-    * millionths) — a float ⌈⌉ at the boundary would silently shorten
-    * prefixes and break exactness.
+    * On top of the prefix collision, PPJoin's POSITION filter runs
+    * inside the posting join's codegen, before anything shuffles to
+    * `distinct`: both docs order shingles by the same global
+    * (dfreq, value) order, so every shared shingle of a true pair
+    * sits at rank ≥ the colliding one in BOTH lists, giving
+    * i ≤ min(szA − rkA, szB − rkB) + 1 for the pair's rarest shared
+    * shingle; J ≥ t additionally forces i ≥ t/(1+t)·(szA+szB). A
+    * collision failing that bound can still be the pair's non-rarest
+    * collision, so the pair survives if ANY of its collisions passes
+    * — a superset of the per-pair first-collision rule, hence still
+    * complete, while killing the low-similarity bulk (measured at a
+    * 50 k-doc corpus: 17.6 M distinct candidates → 2.25 M).
+    *
+    * The prefix-length and position tests are kept in integer
+    * arithmetic (rank ≤ sz − ⌈t·sz⌉ + 1  ⇔  t·sz ≤ sz + 1 − rank,
+    * scaled to millionths) — a float ⌈⌉ at the boundary would
+    * silently shorten prefixes and break exactness.
     */
   def prefixCandidates(df: DataFrame, idCol: String, textCol: String, n: Int,
                        minJaccard: Double): DataFrame =
@@ -90,9 +103,14 @@ object NgramJaccard {
     val prefix = sh.join(dfreq, Seq("sh"))
       .withColumn("rk", row_number().over(byRarity))
       .filter(lit(num) * col("sz") <= lit(denom) * (col("sz") + 1 - col("rk")))
-    prefix.select(col("sh"), col("id").as("a"))
-      .join(prefix.select(col("sh"), col("id").as("b")), Seq("sh"))
+    prefix.select(col("sh"), col("id").as("a"), col("sz").as("sza"), col("rk").as("rka"))
+      .join(prefix.select(col("sh"), col("id").as("b"), col("sz").as("szb"), col("rk").as("rkb")),
+        Seq("sh"))
       .filter(col("a") < col("b"))
+      // position filter: i ≥ t/(1+t)·(szA+szB)  ⇔  keep collisions
+      // with (min remaining + 1)·(num+denom) ≥ num·(szA+szB)
+      .filter((least(col("sza") - col("rka"), col("szb") - col("rkb")) + 1)
+        * lit(num + denom) >= lit(num) * (col("sza") + col("szb")))
       .select("a", "b")
       .distinct()
   }
@@ -127,19 +145,24 @@ object NgramJaccard {
             minJaccard: Double): DataFrame = {
     val num   = math.round(minJaccard * 1e6)
     val denom = 1000000L
-    val shSets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+    // shingles are 64-bit-hashed ONCE at shingling: posting keys,
+    // document frequencies, and the verify intersects all ride on
+    // longs instead of ~25-byte n-gram strings (~4× less shuffle
+    // byte-volume end to end). Set semantics survive hashing modulo
+    // 64-bit collisions INSIDE one pair's union (~|A∪B|²/2⁶⁴ per
+    // pair — negligible); the rarity order changes with the values,
+    // which prefix filtering permits (any one global order works).
+    val shSets = df.select(col(idCol).as("id"),
+        transform(shingles(col(textCol), n), s => xxhash64(s)).as("shs"))
       .localCheckpoint(eager = false)
-    val melted = prefixCandidatesOfSets(shSets, minJaccard)
-      .select(col("a"), col("b"),
-        explode(array(
-          struct(col("a").as("id"), lit(0).as("side")),
-          struct(col("b").as("id"), lit(1).as("side")))).as("m"))
-      .select(col("a"), col("b"), col("m.id").as("id"), col("m.side").as("side"))
-    melted.join(shSets, Seq("id"))
-      .groupBy(col("a"), col("b"))
-      .agg(
-        first(when(col("side") === 0, col("shs")), ignoreNulls = true).as("sha"),
-        first(when(col("side") === 1, col("shs")), ignoreNulls = true).as("shb"))
+    // verify via two equi-joins on id — the candidate rows (two
+    // longs) shuffle to each side's sets; sets themselves shuffle
+    // once per side (one Exchange on id, reused for both probes),
+    // never once per PAIR the way a melt + groupBy(a, b) carrying
+    // both arrays through the aggregate shuffle would
+    prefixCandidatesOfSets(shSets, minJaccard)
+      .join(shSets.select(col("id").as("a"), col("shs").as("sha")), Seq("a"))
+      .join(shSets.select(col("id").as("b"), col("shs").as("shb")), Seq("b"))
       .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("u", size(col("sha")) + size(col("shb")) - col("i"))
       // exact rational comparison: i/u >= t  ⇔  i*denom >= u*numer
@@ -403,24 +426,37 @@ object SimHash {
     * on the same (chunk, key) — Spark plans one Exchange and a
     * ReusedExchange for the other side, so fingerprints evaluate once
     * per doc without any caching (nothing to leak across queries).
+    *
+    * `matchChunks` (m) is the scale knob: the fingerprint splits into
+    * `maxDist + m` chunks, and a pair within `maxDist` must then have
+    * at least m identical chunks (each differing bit dirties at most
+    * one chunk), so blocking can key on every m-chunk COMBINATION —
+    * keys m× wider at C(maxDist+m, m) tables. m = 1 is plain
+    * pigeonhole; at maxDist = 12 its 5-bit keys mean only 32 buckets
+    * per table and ~13·n²/32 random candidates — quadratic blow-up
+    * measured as a 420 s timeout at n = 50 k. m = 3 gives 15-bit
+    * keys (455 tables): candidates shrink ~7×, and the explode side
+    * stays one shuffle whose size is 455·n rows of (pos, key, id,
+    * fp) — linear in n. The output is IDENTICAL for every m (the
+    * blocking is exact), so callers tune m to corpus size without
+    * touching semantics.
     */
-  def pairs(fps: DataFrame, maxDist: Int = 3): DataFrame = {
-    val chunks = maxDist + 1
-    // spread ALL 64 bits over the chunks (the first 64 % chunks get
-    // one extra bit): wider keys → exponentially smaller buckets →
-    // quadratically fewer candidate pairs. The pigeonhole argument
-    // only needs the chunks disjoint, not equal-width — at
-    // maxDist = 12 this is 5-bit keys instead of 4-bit with 12 bits
-    // discarded, i.e. half the bucket size for free.
-    val base   = 64 / chunks
-    val extra  = 64 % chunks
-    val widths = Seq.fill(extra)(base + 1) ++ Seq.fill(chunks - extra)(base)
-    val offs   = widths.scanLeft(0)(_ + _).init
-    val exploded = fps.select(
-      col("id"), col("simhash"),
-      posexplode(array(widths.lazyZip(offs).map { (w, off) =>
-        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
-      }.toSeq: _*)).as(Seq("chunk", "key")))
+  def pairs(fps: DataFrame, maxDist: Int = 3, matchChunks: Int = 1): DataFrame = {
+    require(matchChunks >= 1 && maxDist + matchChunks <= 32,
+      s"matchChunks=$matchChunks out of range for maxDist=$maxDist")
+    // every m-subset of chunk indices → one table; the combined key
+    // all 64 bits spread over the chunks, every m-subset of chunks →
+    // one packed blocking key, fanned out by ONE custom expression
+    // node ([[graft.functions.SimHashComboKeys]]). Its scaladoc
+    // records the two rejected plan shapes, both measured: an
+    // array-of-C(chunks,m)-expressions projection balloons to a
+    // 66 MiB task binary once CollapseProject inlines the shared
+    // chunk array into every combination, and a `transform` over a
+    // literal combo array interprets its lambda per element (HOFs
+    // are CodegenFallback).
+    val exploded = fps.select(col("id"), col("simhash"),
+      posexplode(graft.functions.SimHashComboKeys(col("simhash"), maxDist, matchChunks))
+        .as(Seq("chunk", "key")))
     val l = exploded.select(col("chunk"), col("key"), col("id").as("a"), col("simhash").as("fa"))
     val r = exploded.select(col("chunk"), col("key"), col("id").as("b"), col("simhash").as("fb"))
     l.join(r, Seq("chunk", "key"))

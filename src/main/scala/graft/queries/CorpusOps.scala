@@ -81,7 +81,10 @@ object CorpusOps {
     "d4_simhash" -> { (s, d) =>
       val fps = SimHash.fingerprintsOfTokens(
         t(s, d, "documents"), "doc_id", NgramJaccard.shingles(col("text"), 3))
-      SimHash.pairs(fps, maxDist = 12).orderBy(col("a"), col("b"))
+      // matchChunks = 3: 15-bit combination keys — same exact pair
+      // set, ~7× fewer random candidates than plain pigeonhole's
+      // 5-bit keys (which measured quadratic: 420 s timeout at sf1)
+      SimHash.pairs(fps, maxDist = 12, matchChunks = 3).orderBy(col("a"), col("b"))
     },
 
     // Incremental dedup: documents split into an "existing" corpus

@@ -217,4 +217,32 @@ final class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)))
   }
+
+  test("simhash combination blocking (matchChunks > 1) is exact for every m") {
+    import spark.implicits._
+    // seeded fingerprints with planted near-dup clusters: base values
+    // plus variants at small hamming distances, against a random
+    // background — exercises hits at the threshold boundary
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(12)(rnd.nextLong())
+    val planted = base.zipWithIndex.flatMap { case (f, i) =>
+      val flips = (0 until (i % 14)).map(k => 1L << ((k * 5 + i) % 64)).fold(0L)(_ | _)
+      Seq(f, f ^ flips)
+    }
+    val all = (planted ++ Seq.fill(60)(rnd.nextLong())).zipWithIndex
+      .map { case (f, i) => (i.toLong, f) }
+    val fps = all.toDF("id", "simhash")
+    for (maxDist <- Seq(3, 8, 12)) {
+      val brute = (for {
+        (a, fa) <- all; (b, fb) <- all
+        if a < b && java.lang.Long.bitCount(fa ^ fb) <= maxDist
+      } yield (a, b)).toSet
+      for (m <- Seq(1, 2, 3)) {
+        val got = SimHash.pairs(fps, maxDist, matchChunks = m)
+          .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == brute,
+          s"maxDist=$maxDist m=$m: got ${got.size}, expected ${brute.size}")
+      }
+    }
+  }
 }
