@@ -40,6 +40,11 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")
     val spark: SparkSession =
       GraftSession.build("graft-bench", s"local[$cpus]", cpus)
+    // The bench measures TIME; correctness is Verify's job. The
+    // streaming queries' batch-replay sanity check (EventsPipeline.
+    // sanityCheckStreamedResult) would otherwise add an untimed-work
+    // batch pass inside every timed s-query run.
+    spark.conf.set("spark.graft.streamSanityCheck", "false")
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()

@@ -19,9 +19,11 @@ import org.apache.spark.sql.types._
   */
 object EventsPipeline {
 
-  /** Parquet schema of the events table with `ts` as raw nanos
-    * (Spark cannot map parquet TIMESTAMP(NANOS); see
-    * graft.queries.Tables).
+  /** Events schema with `ts` as raw nanos longs — the driver's
+    * ORIGINAL layout (Spark cannot map parquet TIMESTAMP(NANOS); see
+    * graft.queries.Tables). Kept as the no-files-yet fallback and for
+    * specs that generate that layout; live reads infer the schema
+    * from the files actually on disk (see [[readStream]]).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -33,19 +35,36 @@ object EventsPipeline {
   ))
 
   /** Streaming source over event parquet files under `dir` matching
-    * `glob`; ts nanos → micros (truncating, matching batch/oracle).
-    * The file-stream source requires a directory, so callers pass the
+    * `glob`, with `ts` normalized to TimestampType micros. The
+    * file-stream source requires a directory, so callers pass the
     * containing dir plus a glob filter for the file(s).
+    *
+    * The file source needs an explicit schema, and hard-coding one is
+    * how round 9 broke (the driver's layout moved from nanos-as-long
+    * to TIMESTAMP_NTZ micros and every streamed timestamp shrank
+    * 1000×): instead, take the schema from BATCH inference over the
+    * same files, so the stream always sees the layout actually on
+    * disk, then normalize `ts` exactly like the batch loader
+    * ([[graft.queries.Tables.normalizeEventTs]]). Stream-read ≡
+    * batch-read is pinned by EventsPipelineSpec on the driver's own
+    * files, so the next layout change fails loudly in one place.
     */
   def readStream(spark: SparkSession, dir: String,
-                 glob: String = "*.parquet"): DataFrame = {
+                 glob: String = "*.parquet",
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // set at build time by GraftSession; idempotent foreign-session fallback
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDisk =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+      catch {
+        // dir exists but matches no files yet (a stream may start
+        // before its first input arrives): nothing to infer from —
+        // fall back to the raw layout; normalizeEventTs handles it
+        case _: org.apache.spark.sql.AnalysisException => rawSchema
+      }
+    val reader = spark.readStream.schema(onDisk).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    graft.queries.Tables.normalizeEventTs(reader.parquet(dir))
   }
 
   /** Tumbling 1-hour windows per event type: count + exact value sum.
@@ -299,11 +318,7 @@ object EventsPipeline {
     withRocksDBStateStore(spark) {
       import spark.implicits._
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val reader = spark.readStream.schema(rawSchema).option("pathGlobFilter", glob)
-      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-      val q = reader.parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = readStream(spark, dir, glob, maxFilesPerTrigger)
         .withWatermark("ts", "0 seconds")
         .select(col("user_id"), col("ts"), col("value"))
         .as[(Long, java.sql.Timestamp, Double)]
@@ -401,7 +416,46 @@ object EventsPipeline {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    spark.table(queryName)
+    val out = spark.table(queryName)
+    sanityCheckStreamedResult(spark, dir, glob, agg, out)
+    out
+  }
+
+  /** Defense in depth against silent ingestion skew: a run-to-
+    * completion stream over a finite file set should produce a result
+    * in the same ballpark as the identical plan run in batch (under
+    * AvailableNow the terminal watermark flush makes most aggs
+    * exactly equal; ±2× leaves room for append-mode edge semantics).
+    * Round 9's failure mode — timestamps compressed 1000×, 3,385
+    * hourly windows collapsing to 10 rows — fails THIS check with a
+    * readable message instead of hash-mismatching downstream.
+    *
+    * The batch replay is counts-only and cheap relative to the
+    * streaming run (no state store), but it IS extra work, so perf
+    * harnesses can opt out via `spark.graft.streamSanityCheck=false`.
+    * Aggs that only exist on streams (dropDuplicatesWithinWatermark)
+    * throw when replayed in batch — the check skips those.
+    */
+  private def sanityCheckStreamedResult(spark: SparkSession, dir: String,
+                                        glob: String, agg: DataFrame => DataFrame,
+                                        streamed: DataFrame): Unit = {
+    val enabled = spark.conf
+      .getOption("spark.graft.streamSanityCheck").forall(_.toBoolean)
+    if (!enabled) return
+    val batchRows =
+      try {
+        val batch = graft.queries.Tables.normalizeEventTs(
+          spark.read.option("pathGlobFilter", glob).parquet(dir))
+        Some(agg(batch).count())
+      } catch { case _: Exception => None } // no files / stream-only agg
+    batchRows.filter(_ > 0).foreach { b =>
+      val s = streamed.count()
+      require(s * 2 >= b && s <= b * 2,
+        s"streamed result has $s rows but the same plan in batch produces $b — " +
+        "the stream source is reading the input differently than the batch " +
+        "reader (most likely a data-layout change in the `ts` column; see " +
+        "graft.queries.Tables.normalizeEventTs)")
+    }
   }
 }
 

@@ -22,6 +22,30 @@ final class EventsPipelineSpec extends SparkTestBase {
     java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
   }
 
+  test("stream-read(ts) equals batch-read(ts) on the driver's actual files") {
+    // THE round-9 regression, pinned at its root: the streaming source
+    // must see the exact same event timeline as the batch loader on
+    // whatever layout the driver currently ships. If the driver
+    // regenerates the data in a new layout, THIS test names the
+    // problem before 12 queries hash-mismatch downstream.
+    val src = EventsPipeline.readStream(spark, sfDir, glob = "events.parquet")
+    assert(src.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      s"streamed ts arrived as ${src.schema("ts").dataType}, not the " +
+      "normalized TimestampType — Tables.normalizeEventTs missed a layout")
+    val q = src.select(col("event_id"), col("ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("spec_ts_parity").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def summary(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), min(col("ts")).cast("string"),
+        max(col("ts")).cast("string")).head.toSeq
+    val s = summary(spark.table("spec_ts_parity"))
+    val b = summary(Tables.events(spark, sfDir))
+    assert(s == b,
+      s"stream sees (count,min,max)=$s but batch sees $b — the stream " +
+      "source is decoding `ts` differently than Tables.events")
+  }
+
   test("availableNow tumbling aggregation equals the batch computation") {
     val streamed = EventsPipeline.runToCompletion(
       spark, sfDir, EventsPipeline.tumblingCounts,
