@@ -459,7 +459,20 @@ object SimHash {
         .as(Seq("chunk", "key")))
     val l = exploded.select(col("chunk"), col("key"), col("id").as("a"), col("simhash").as("fa"))
     val r = exploded.select(col("chunk"), col("key"), col("id").as("b"), col("simhash").as("fb"))
-    l.join(r, Seq("chunk", "key"))
+    // SHUFFLE_HASH pins the join shape: both sides then shuffle the
+    // IDENTICAL exploded subtree on (chunk, key), Spark plans one
+    // Exchange + a ReusedExchange, and fingerprinting runs once per
+    // doc. Left to size estimates, a small-looking corpus file flips
+    // this to a broadcast join — which re-computes the whole
+    // fingerprint+explode subtree on BOTH sides and ships the
+    // exploded (combos × corpus) table to every task: measured 5.2 s
+    // vs 2.2 s here at sf0.1, and at real scale broadcasting an
+    // exploded corpus is an OOM, not a slowdown. (This was the
+    // "d4_simhash drift": data regenerations kept moving the file
+    // size across the broadcast threshold, silently re-picking the
+    // join shape. Pinning the strategy makes the plan — and the
+    // benchmark — deterministic.)
+    l.hint("shuffle_hash").join(r, Seq("chunk", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), bit_count(col("fa").bitwiseXOR(col("fb"))).as("dist"))
       // filter BEFORE distinct: random fingerprints differ on ~32
