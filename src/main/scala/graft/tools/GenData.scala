@@ -183,14 +183,17 @@ object GenData {
         .cast("timestamp").as("l_shipdate")),
       "lineitem")
 
-    // ts is a raw INT64 of NANOSECONDS since the epoch — the shipped
-    // events table is parquet TIMESTAMP(NANOS), which graft reads via
-    // nanosAsLong (see graft.queries.Tables.events and the streaming
-    // rawSchema); a plain long column hits the identical read path.
+    // ts matches the driver's CURRENT layout: parquet
+    // TIMESTAMP(isAdjustedToUTC=false, MICROS), which Spark reads as
+    // TIMESTAMP_NTZ and Tables.normalizeEventTs lifts to TimestampType
+    // (the driver originally shipped TIMESTAMP(NANOS); the normalizer
+    // still handles that layout, specs cover it via raw-long files).
     write(spark.range(nEvent).select(
       id.as("event_id"),
-      (lit(java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000000L) +
-        (u("e_ts", id) * 30.0 * 86400.0 * 1e9).cast("long")).as("ts"),
+      timestamp_micros(
+        lit(java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000L) +
+          (u("e_ts", id) * 30.0 * 86400.0 * 1e6).cast("long"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
       h("e_user", nUser, id).as("user_id"),
       pick(Seq("click", "error", "purchase", "signup", "view"), h("e_type", 5, id)).as("event_type"),
       round(u("e_val", id) * 100.0, 4).as("value"),
