@@ -140,6 +140,22 @@ final class PlanAuditSpec extends SparkTestBase {
       s"pushable predicates failed to reach their scans:\n${offenders.distinct.mkString("\n")}")
   }
 
+  test("simhash pigeonhole self-join stays a shuffle join (d4 drift pin)") {
+    // The round-8/9 "d4 drift": as regenerated data moved the corpus
+    // file size across the broadcast estimate, the optimizer flipped
+    // this self-join to broadcast — recomputing the fingerprint+
+    // explode subtree per side and shipping the exploded
+    // (combos × corpus) table to every task (5.2 s vs 2.2 s at
+    // sf0.1; an OOM shape at real scale). SimHash.pairs pins
+    // SHUFFLE_HASH; this test pins the pin.
+    val plan = graft.SparkEntry.queries("d4_simhash")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "d4's pigeonhole self-join must plan as a shuffle join")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "d4 must never broadcast the exploded fingerprint table")
+  }
+
   test("no gated query plans a cartesian product") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if skipped(name) => None
