@@ -380,19 +380,38 @@ object Ann {
   def cosineNearDupPairsLSH(df: DataFrame, minCos: Double, dim: Int,
                             planes: Int = 10, tables: Int = 8,
                             seed: Long = 42L): DataFrame = {
-    // candidate generation shuffles (table, bucket, id) rows ONLY —
-    // never the vectors. The symmetric self-join reuses one Exchange
-    // (identical subplans), and dedup happens on bare (a, b) pairs.
-    val sketched = df.select(col("id"),
+    // Vectors ride INTO the bucket rows and collisions are scored
+    // inline, so only τ-SURVIVORS ever reach a pair-level shuffle.
+    // The shuffled volume is tables × n rows (each carrying one
+    // vector) — linear in the corpus — while the candidate pair
+    // multiset, which at a gap-less τ is a constant fraction of
+    // n²/2, stays INSIDE the join's output iterator and dies in the
+    // codegen'd filter. The previous shape (dedup bare-id pairs
+    // first, then join vectors back per side) shuffled the
+    // candidate-quadratic pair set twice — and the second join
+    // shipped a vector per PAIR: measured at sf1 (20 k vectors,
+    // ~1e8 candidates) 240.8 s vs 3.95 s for this form, identical
+    // output. Duplicate cross-table collisions cost only redundant
+    // dot products (rare pairs collide in ~1 table; only true
+    // near-dups — few — collide in many), and the final distinct
+    // dedups survivors, not candidates. SHUFFLE_HASH pins the
+    // symmetric self-join's Exchange-reuse shape for the same
+    // reason as SimHash.pairs (the d4 drift).
+    val sketched = df.select(col("id"), col("vec"),
+      graft.functions.VectorOps.fnorm(col("vec")).as("nrm"),
       posexplode(graft.functions.HyperplaneSketches(col("vec"), dim, planes, tables, seed))
         .as(Seq("table", "bucket")))
-    val cands = sketched.select(col("table"), col("bucket"), col("id").as("a"))
-      .join(sketched.select(col("table"), col("bucket"), col("id").as("b")),
-        Seq("table", "bucket"))
+    val l = sketched.select(col("table"), col("bucket"),
+      col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+    val r = sketched.select(col("table"), col("bucket"),
+      col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))
+    l.hint("shuffle_hash").join(r, Seq("table", "bucket"))
       .filter(col("a") < col("b"))
-      .select("a", "b")
+      .withColumn("sim",
+        graft.functions.VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= minCos)
+      .select("a", "b", "sim")
       .distinct()
-    verifyCandidates(cands, df, minCos)
   }
 
   /** Exact-score candidate (a, b) pairs against the vector table and
@@ -403,6 +422,15 @@ object Ann {
     * both vectors through the aggregate shuffle costs (measured as
     * the dominant byte-volume at 50 k vectors: each surviving pair
     * re-shipped two ~1 KB arrays through the group-by Exchange).
+    *
+    * Used by the INCREMENTAL paths only, where it is the right
+    * shape: their candidate sets are bounded by the incoming batch's
+    * collisions (small), while carrying the whole EXISTING corpus'
+    * vectors through the index join — what in-bucket scoring would
+    * require — costs a corpus-sized vector shuffle per batch. The
+    * full self-join ([[cosineNearDupPairsLSH]]) has the opposite
+    * asymmetry (candidate-quadratic pairs, corpus-linear buckets)
+    * and scores in-bucket instead.
     */
   private def verifyCandidates(cands: DataFrame, vecSource: DataFrame,
                                minCos: Double): DataFrame = {
