@@ -156,6 +156,23 @@ final class PlanAuditSpec extends SparkTestBase {
       "d4 must never broadcast the exploded fingerprint table")
   }
 
+  test("LSH bucket self-join stays a shuffle join (d5 drift pin)") {
+    // Same failure class as d4: the in-bucket-scoring self-join in
+    // cosineNearDupPairsLSH must shuffle the linear sketched-vector
+    // table, never broadcast it (a broadcast recomputes the sketch
+    // subtree per side and ships tables × corpus vector rows to
+    // every task). SHUFFLE_HASH is pinned in code; this pins the
+    // pin. Audited through d5 only: a2 wraps the same pair plan
+    // behind a localCheckpoint, whose lineage truncation hides the
+    // join from the executed-plan string.
+    val plan = graft.SparkEntry.queries("d5_embed_neardup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "d5's bucket self-join must plan as a shuffle join")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "d5 must never broadcast the sketched-vector table")
+  }
+
   test("no gated query plans a cartesian product") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if skipped(name) => None
