@@ -163,13 +163,20 @@ object Ann {
     */
   def cosineKnnGraphLSH(df: DataFrame, minCos: Double, k: Int, dim: Int,
                         planes: Int = 10, tables: Int = 8,
-                        seed: Long = 42L): DataFrame = {
+                        seed: Long = 42L, checkpoint: Boolean = true): DataFrame = {
     // the pair plan (48-table bucket join + verify) feeds BOTH union
     // branches; checkpoint the tiny thresholded pair set so the LSH
     // pipeline executes once, not once per direction (exchange reuse
-    // does not cover the post-shuffle verify operators)
-    val undirected = cosineNearDupPairsLSH(df, minCos, dim, planes, tables, seed)
-      .localCheckpoint(eager = false)
+    // does not cover the post-shuffle verify operators).
+    // `checkpoint = false` exists for plan auditing ONLY: the lazy
+    // localCheckpoint truncates lineage to a LogicalRDD, hiding the
+    // bucket self-join from the executed-plan string — the exact gap
+    // that let the d4 broadcast drift live unaudited for three
+    // rounds. PlanAuditSpec runs this same construction un-truncated
+    // (at the cost of planning the LSH pipeline per branch) and pins
+    // the join shape; production callers keep the default.
+    val pairs = cosineNearDupPairsLSH(df, minCos, dim, planes, tables, seed)
+    val undirected = if (checkpoint) pairs.localCheckpoint(eager = false) else pairs
     val directed = undirected
       .select(col("a").as("query_id"), col("b").as("nbr_id"), col("sim"))
       .unionByName(undirected
@@ -411,7 +418,14 @@ object Ann {
         graft.functions.VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("sim") >= minCos)
       .select("a", "b", "sim")
-      .distinct()
+      // dedup cross-table collisions on the PAIR KEY, not (a, b, sim):
+      // a distinct over the sim column would depend on the score being
+      // bitwise-identical across tables — true today (cosinePre is a
+      // pure fused dot) but not a property correctness should lean on.
+      // max is order-independent, so the output stays deterministic
+      // even if scoring ever became path-dependent in low bits.
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("sim")).as("sim"))
   }
 
   /** Exact-score candidate (a, b) pairs against the vector table and

@@ -25,6 +25,28 @@ object CorpusOps {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     Tables(spark, sfDir, name)
 
+  /** a2's graph construction, shared verbatim by the registry entry
+    * and PlanAuditSpec so the audited plan can never drift from the
+    * gated one. `checkpoint = false` un-truncates the lineage that
+    * the production localCheckpoint hides, making the LSH bucket
+    * self-join's shape assertable.
+    */
+  def a2KnnGraph(s: SparkSession, d: String, checkpoint: Boolean = true): DataFrame =
+    Ann.cosineKnnGraphLSH(
+      t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+      minCos = 0.45, k = 5, dim = 64, planes = 6, tables = 48, seed = 42L,
+      checkpoint = checkpoint)
+
+  /** v5's ε-graph construction, shared verbatim by the registry entry
+    * and PlanAuditSpec (Dbscan.fromNeighbors checkpoints internally,
+    * truncating the final plan to ExistingRDD scans — this is the
+    * last point where the LSH bucket self-join's shape is visible).
+    */
+  def v5EpsGraph(s: SparkSession, d: String): DataFrame =
+    Ann.cosineNearDupPairsLSH(
+      t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+      minCos = 0.45, dim = 64, planes = 6, tables = 48, seed = 42L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
     "d1_dedup_exact" -> { (s, d) =>
@@ -271,6 +293,24 @@ object CorpusOps {
         .orderBy(col("id"))
     },
 
+    // DBSCAN over the SELECTIVE-τ ε-graph (cosine ≥ 0.45 — on this
+    // corpus similarities top out below 0.6, so 0.45 is the sparse
+    // regime: 0.011% of pairs at sf0.01) built by the LSH bucket
+    // self-join, NOT the brute scorer — this is the sub-quadratic
+    // scale path end-to-end. (planes=6, tables=48, seed=42) is the
+    // d5-tuned recall-1.0 config at this τ, so the oracle's exact
+    // recursive replay hashes it verbatim. minPts=2 (core ⇔ ≥1
+    // neighbor) because the 0.45 graph is near-matching at gate
+    // scale; v4 (τ=0.35, exact graph) remains the dense-regime
+    // exactness gate.
+    "v5_dbscan_lsh" -> { (s, d) =>
+      import graft.ann.Dbscan
+      val nodes = t(s, d, "embeddings").select(col("vec_id").as("id"))
+      Dbscan.fromNeighbors(nodes,
+          v5EpsGraph(s, d).select(col("a"), col("b")), minPts = 2)
+        .orderBy(col("id"))
+    },
+
     // JL random projection 64→16: Achlioptas ±1/√16 signs drawn from
     // md5 parity, so DuckDB replays every matrix cell; each output
     // coordinate is one fused DotProduct loop — a pure, shuffle-free
@@ -340,9 +380,7 @@ object CorpusOps {
     // approximate graph EQUAL the brute-force thresholded graph —
     // hence the same exact DuckDB oracle as a brute-force query.
     "a2_ann_lsh_knn" -> { (s, d) =>
-      Ann.cosineKnnGraphLSH(
-          t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
-          minCos = 0.45, k = 5, dim = 64, planes = 6, tables = 48, seed = 42L)
+      a2KnnGraph(s, d)
         .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
@@ -1609,6 +1647,53 @@ object CorpusOps {
          |        UNION ALL SELECT b, a FROM pairs),
          |deg AS (SELECT id, count(*) AS n_nbrs FROM sym GROUP BY id),
          |core AS (SELECT id FROM deg WHERE n_nbrs >= 2),
+         |ce AS (
+         |  SELECT p.a, p.b FROM pairs p
+         |  JOIN core ca ON ca.id = p.a JOIN core cb ON cb.id = p.b),
+         |edges AS (
+         |  SELECT a, b FROM ce UNION SELECT b, a FROM ce
+         |  UNION SELECT a, a FROM ce UNION SELECT b, b FROM ce),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS id, min(dst) AS cluster_rep FROM reach GROUP BY src),
+         |corelab AS (
+         |  SELECT c.id, coalesce(cp.cluster_rep, c.id) AS cluster
+         |  FROM core c LEFT JOIN comp cp ON cp.id = c.id),
+         |borderlab AS (
+         |  SELECT s.id, min(cl.cluster) AS cluster
+         |  FROM sym s JOIN corelab cl ON cl.id = s.nb
+         |  WHERE s.id NOT IN (SELECT id FROM core)
+         |  GROUP BY s.id)
+         |SELECT e.vec_id AS id,
+         |  coalesce(d.n_nbrs, 0) AS n_nbrs,
+         |  CASE WHEN c.id IS NOT NULL THEN 'core'
+         |       WHEN b.id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  coalesce(c.cluster, b.cluster, -1) AS cluster
+         |FROM embeddings e
+         |LEFT JOIN deg d ON d.id = e.vec_id
+         |LEFT JOIN corelab c ON c.id = e.vec_id
+         |LEFT JOIN borderlab b ON b.id = e.vec_id
+         |ORDER BY id""".stripMargin,
+
+    // v4's replay at the selective τ=0.45 / minPts=2 configuration:
+    // the oracle builds the ε-graph EXACTLY (all-pairs), so a hash
+    // match also proves the LSH graph's recall is 1.0 at this τ
+    "v5_dbscan_lsh" ->
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  WHERE $cosineExpr >= 0.45),
+         |sym AS (SELECT a AS id, b AS nb FROM pairs
+         |        UNION ALL SELECT b, a FROM pairs),
+         |deg AS (SELECT id, count(*) AS n_nbrs FROM sym GROUP BY id),
+         |core AS (SELECT id FROM deg WHERE n_nbrs >= 1),
          |ce AS (
          |  SELECT p.a, p.b FROM pairs p
          |  JOIN core ca ON ca.id = p.a JOIN core cb ON cb.id = p.b),

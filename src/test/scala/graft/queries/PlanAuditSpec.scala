@@ -162,15 +162,42 @@ final class PlanAuditSpec extends SparkTestBase {
     // table, never broadcast it (a broadcast recomputes the sketch
     // subtree per side and ships tables × corpus vector rows to
     // every task). SHUFFLE_HASH is pinned in code; this pins the
-    // pin. Audited through d5 only: a2 wraps the same pair plan
-    // behind a localCheckpoint, whose lineage truncation hides the
-    // join from the executed-plan string.
+    // pin.
     val plan = graft.SparkEntry.queries("d5_embed_neardup")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"),
       "d5's bucket self-join must plan as a shuffle join")
     assert(!plan.contains("BroadcastHashJoin"),
       "d5 must never broadcast the sketched-vector table")
+  }
+
+  test("a2's pair plan (pre-checkpoint) stays a shuffle join") {
+    // a2's production form wraps the pair plan behind a lazy
+    // localCheckpoint whose lineage truncation hides the join from
+    // the executed-plan string — an un-audited plan is exactly how
+    // the d4 drift lived for three rounds. a2KnnGraph(checkpoint =
+    // false) is the registry's own construction with the truncation
+    // off, so this pins the gated plan, not a spec-local copy.
+    val plan = graft.queries.CorpusOps.a2KnnGraph(spark, sfDir, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "a2's bucket self-join must plan as a shuffle join")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "a2 must never broadcast the sketched-vector table")
+  }
+
+  test("v5's LSH epsilon-graph plans as a shuffle join (pre-DBSCAN)") {
+    // v5 is the harness-gated sub-quadratic DBSCAN path. The final
+    // v5 plan is all ExistingRDD scans (Dbscan.fromNeighbors
+    // checkpoints internally), so the audit point is the ε-graph the
+    // registry entry feeds it — v5EpsGraph IS that construction, not
+    // a spec-local copy.
+    val plan = graft.queries.CorpusOps.v5EpsGraph(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "v5's bucket self-join must plan as a shuffle join")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "v5 must never broadcast the sketched-vector table")
   }
 
   test("no gated query plans a cartesian product") {
