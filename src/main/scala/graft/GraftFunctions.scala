@@ -27,6 +27,10 @@ object GraftFunctions {
       require(exprs.length == 2, "dot_product(a, b)")
       DotProduct(exprs(0), exprs(1))
     },
+    "int_dot_product" -> { exprs =>
+      require(exprs.length == 2, "int_dot_product(a, b)")
+      IntDotProduct(exprs(0), exprs(1))
+    },
     "cosine_sim" -> { exprs =>
       require(exprs.length == 2, "cosine_sim(a, b)")
       val (a, b) = (exprs(0), exprs(1))

@@ -75,9 +75,11 @@ object Ann {
       col("scale").as("cscale"), col("nrm").as("cnorm"))
     val qIdx = q.select(col("id").as("query_id"), col("qvec").as("qq"),
       col("scale").as("qscale"), col("nrm").as("qnorm"))
-    val intDot = aggregate(
-      zip_with(col("qq"), col("cq"), (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    // fused codegen integer dot (graft.functions.IntDotProduct): the
+    // composable aggregate(zip_with(...)) form allocates per pair and
+    // interprets its lambdas — stage 1 touches every (query, corpus)
+    // pair, so it gets the same fused-loop treatment as the float path
+    val intDot = graft.functions.IntDotProduct(col("qq"), col("cq"))
     val wR = Window.partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("nbr_id").asc)
     val cands = cIdx.join(broadcast(qIdx), col("query_id") =!= col("nbr_id"))

@@ -50,7 +50,8 @@ final class ParquetTable[T: Encoder](
     spark: SparkSession,
     val path: String,
     val keyCols: Seq[String],
-    commit: CommitPrimitive = CommitPrimitive.HadoopAtomicCreate
+    commit: CommitPrimitive = CommitPrimitive.HadoopAtomicCreate,
+    maxUpdateRows: Long = ParquetTable.MaxUpdateRows
 ) {
 
   import spark.implicits._
@@ -198,12 +199,31 @@ final class ParquetTable[T: Encoder](
       pred, org.apache.spark.sql.functions.lit(false))))
   }
 
-  /** Point update: transform matching rows, keep the rest. */
+  /** Point update: transform matching rows, keep the rest.
+    *
+    * SCALE FENCE — metadata tables only. `f` is an arbitrary Scala
+    * function, so the MATCHED rows must materialize on the driver
+    * (the unmatched remainder stays distributed). That is the right
+    * trade for this store's job — KB-scale runs/bookkeeping rows,
+    * the reference's analog being MySQL point updates — and wrong
+    * for any data-scale table, so the materialized side is capped at
+    * [[ParquetTable.MaxUpdateRows]]: a predicate matching more rows
+    * fails loud instead of OOMing the driver. Data-scale rewrites
+    * belong in [[graft.operators.Merge.upsertParquet]] (partition-
+    * pruned, fully distributed).
+    */
   def update(pred: Column)(f: T => T): Unit = withWriterLock {
-    val matched = ds.filter(pred).collect().toSeq.map(f)
+    val toTouch = ds.filter(pred)
+    val n = toTouch.count()
+    require(n <= maxUpdateRows,
+      s"update() matched $n rows of $path — this point-update API " +
+      s"materializes matches on the driver and is fenced to " +
+      s"$maxUpdateRows rows (metadata-scale). Use a " +
+      "distributed rewrite (operators.Merge) for data-scale tables.")
+    val matched = toTouch.collect().toSeq.map(f)
     val rest    = ds.filter(!org.apache.spark.sql.functions.coalesce(
-      pred, org.apache.spark.sql.functions.lit(false))).collect().toSeq
-    commitSnapshot(spark.createDataset(rest ++ matched))
+      pred, org.apache.spark.sql.functions.lit(false)))
+    commitSnapshot(rest.unionByName(spark.createDataset(matched)))
   }
 
   /** Write `data` as a fresh immutable snapshot dir, then COMMIT by
@@ -257,6 +277,12 @@ final class ParquetTable[T: Encoder](
 }
 
 object ParquetTable {
+  /** Cap on rows a single `update()` may materialize on the driver.
+    * Generous for runs/bookkeeping metadata (thousands of rows);
+    * far below anything data-scale.
+    */
+  val MaxUpdateRows: Long = 100000L
+
   private val monitors = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
 
   private def monitorFor(path: String): AnyRef =

@@ -34,6 +34,20 @@ object EventsPipeline {
     StructField("props", StringType)
   ))
 
+  /** Events schema in the driver's CURRENT layout (`ts` as
+    * TIMESTAMP_NTZ micros) — the no-files-yet fallback for streams
+    * started before their first input arrives. The file source fixes
+    * its schema at query start, so a stream that guessed wrong must
+    * be restarted once real files land; guessing the current layout
+    * (rather than the legacy nanos one) makes that the rare case.
+    * TestDataLayoutSpec pins which layout the driver actually ships.
+    */
+  val currentSchema: StructType = StructType(
+    rawSchema.fields.map {
+      case StructField("ts", _, n, m) => StructField("ts", TimestampNTZType, n, m)
+      case f                          => f
+    })
+
   /** Streaming source over event parquet files under `dir` matching
     * `glob`, with `ts` normalized to TimestampType micros. The
     * file-stream source requires a directory, so callers pass the
@@ -59,8 +73,11 @@ object EventsPipeline {
       catch {
         // dir exists but matches no files yet (a stream may start
         // before its first input arrives): nothing to infer from —
-        // fall back to the raw layout; normalizeEventTs handles it
-        case _: org.apache.spark.sql.AnalysisException => rawSchema
+        // fall back to the driver's CURRENT layout (not the legacy
+        // nanos one: the file source pins its schema at query start,
+        // so guessing a layout the driver no longer ships would
+        // guarantee a restart once files arrive)
+        case _: org.apache.spark.sql.AnalysisException => currentSchema
       }
     val reader = spark.readStream.schema(onDisk).option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
@@ -442,14 +459,22 @@ object EventsPipeline {
     val enabled = spark.conf
       .getOption("spark.graft.streamSanityCheck").forall(_.toBoolean)
     if (!enabled) return
+    // Narrow catch: only the two KNOWN benign cases may disable the
+    // check — no input files, or an agg that exists only on streams
+    // (dropDuplicatesWithinWatermark and friends), both surfacing as
+    // AnalysisException. A runtime failure of the batch replay itself
+    // is a regression in the very pipeline this check guards, so it
+    // propagates instead of silently disarming the check.
     val batchRows =
       try {
         val batch = graft.queries.Tables.normalizeEventTs(
           spark.read.option("pathGlobFilter", glob).parquet(dir))
         Some(agg(batch).count())
-      } catch { case _: Exception => None } // no files / stream-only agg
-    batchRows.filter(_ > 0).foreach { b =>
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    batchRows.foreach { b =>
       val s = streamed.count()
+      // b == 0 with a non-empty streamed result is the same
+      // read-divergence failure mode, not a skippable no-data case
       require(s * 2 >= b && s <= b * 2,
         s"streamed result has $s rows but the same plan in batch produces $b — " +
         "the stream source is reading the input differently than the batch " +

@@ -4,6 +4,8 @@ import graft.GraftSession
 import graft.SparkEntry
 object CountPairs {
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty && args.length % 2 == 0,
+      "usage: CountPairs <label> <sfDir> [<label> <sfDir> ...]")
     val spark = GraftSession.build("count-pairs")
     spark.conf.set("spark.graft.streamSanityCheck", "false")
     try {

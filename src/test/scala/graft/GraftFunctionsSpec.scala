@@ -53,6 +53,23 @@ final class GraftFunctionsSpec extends SparkTestBase {
     assert(both.filter(col("fast") =!= col("hof")).isEmpty)
   }
 
+  test("int_dot_product equals the composable long-accumulator form exactly") {
+    val df = graft.ann.Quantize.int8(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")))
+      .select(col("qvec").as("q"))
+      .limit(50)
+    val hof = org.apache.spark.sql.functions.aggregate(
+      org.apache.spark.sql.functions.zip_with(col("q"), col("q"),
+        (x, y) => x.cast("long") * y.cast("long")),
+      org.apache.spark.sql.functions.lit(0L), (acc, v) => acc + v)
+    val both = df.select(
+      graft.functions.IntDotProduct(col("q"), col("q")).as("fast"), hof.as("hof"))
+    assert(both.filter(col("fast") =!= col("hof")).isEmpty)
+    // self-dot of a quantized vector is positive for any nonzero vector
+    assert(both.filter(col("fast") <= 0L).isEmpty)
+  }
+
   test("extensions class injects functions into a fresh session") {
     val s2 = spark.newSession()
     new GraftExtensions().apply(

@@ -23,7 +23,7 @@ import graft.SparkTestBase
   */
 final class TestDataLayoutSpec extends SparkTestBase {
 
-  private val sfDir = "/root/testdata/sf0.01"
+  private val sfDir = testData("sf0.01")
 
   /** table -> expected (column, type) list as Tables.apply serves it. */
   private val expected: Map[String, Seq[(String, DataType)]] = Map(
@@ -96,8 +96,8 @@ final class TestDataLayoutSpec extends SparkTestBase {
   }
 
   test("every driver table at every scale factor is present") {
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); table <- expected.keys) {
-      val path = s"/root/testdata/$sf/$table.parquet"
+    for (sf <- testDataSfs; table <- expected.keys) {
+      val path = s"${testData(sf)}/$table.parquet"
       assert(new java.io.File(path).exists(), s"$path vanished")
     }
   }

@@ -194,4 +194,27 @@ final class ParquetTableSpec extends SparkTestBase {
     // committed state at v2 is untouched; the loser's snapshot is unreferenced
     assert(table.all().toSet == before)
   }
+
+  test("update() is fenced to metadata scale: wide matches fail loud, table untouched") {
+    // update() materializes MATCHED rows on the driver (f is an
+    // arbitrary Scala function) — right for runs metadata, an OOM
+    // for data-scale tables. The fence turns that misuse into a
+    // readable error BEFORE any row is collected or rewritten.
+    val table = new ParquetTable[(String, Long)](
+      spark, tmpDir("pt-fence") + "/table", Seq("_1"),
+      CommitPrimitive.HadoopAtomicCreate, maxUpdateRows = 2L)
+    table.migrate()
+    table.upsert(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    val before = table.all().toSet
+    val err = intercept[IllegalArgumentException] {
+      table.update(org.apache.spark.sql.functions.lit(true)) { case (k, v) => (k, v + 1) }
+    }
+    assert(err.getMessage.contains("fenced"))
+    assert(table.all().toSet == before)
+    // under the cap the point update still works, matched-side only
+    table.update(org.apache.spark.sql.functions.col("_1") === "a") {
+      case (k, v) => (k, v + 10)
+    }
+    assert(table.all().toSet == Set(("a", 11L), ("b", 2L), ("c", 3L)))
+  }
 }
