@@ -179,6 +179,15 @@ object Ann {
     // the join shape; production callers keep the default.
     val pairs = cosineNearDupPairsLSH(df, minCos, dim, planes, tables, seed)
     val undirected = if (checkpoint) pairs.localCheckpoint(eager = false) else pairs
+    knnFromPairs(undirected, k)
+  }
+
+  /** The top-k step of [[cosineKnnGraphLSH]] over an already-built
+    * undirected (a, b, sim) pair set — factored out so cross-path
+    * checks (LSH vs exact ε-graph at scale, `tools/SpotSf1`) run the
+    * IDENTICAL downstream dataflow on both graphs.
+    */
+  def knnFromPairs(undirected: DataFrame, k: Int): DataFrame = {
     val directed = undirected
       .select(col("a").as("query_id"), col("b").as("nbr_id"), col("sim"))
       .unionByName(undirected

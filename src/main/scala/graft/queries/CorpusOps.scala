@@ -109,6 +109,21 @@ object CorpusOps {
       SimHash.pairs(fps, maxDist = 12, matchChunks = 3).orderBy(col("a"), col("b"))
     },
 
+    // The PRODUCTION-radius SimHash configuration, oracle-gated in
+    // its own right (mirrors what v5 does for v4): hamming ≤ 4 is
+    // the regime real near-dup dedup runs at (d4's radius 12 is the
+    // stress demo — 19% of bits differing — whose candidate count is
+    // provably super-linear on 64-bit codes). maxDist=4/matchChunks=2
+    // splits into 6 chunks and keys on every 2-chunk combination:
+    // 15 tables of ~21-bit keys, so the random-collision term is
+    // 15·n²/2²¹ ≈ 7e-6·n² — effectively linear through every corpus
+    // size this engine will meet (1.8M candidates at n = 500k).
+    "d15_simhash_prod" -> { (s, d) =>
+      val fps = SimHash.fingerprintsOfTokens(
+        t(s, d, "documents"), "doc_id", NgramJaccard.shingles(col("text"), 3))
+      SimHash.pairs(fps, maxDist = 4, matchChunks = 2).orderBy(col("a"), col("b"))
+    },
+
     // Incremental dedup: documents split into an "existing" corpus
     // (doc_id < 250) and a "new" batch; only pairs touching the new
     // batch are produced — the existing×existing join never runs.
@@ -1248,6 +1263,35 @@ object CorpusOps {
       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
       |  (a.nrm * b.nrm)""".stripMargin
 
+  /** All-pairs hamming-≤`maxDist` replay of the SimHash pipeline
+    * (d4/d15): DuckDB recomputes every fingerprint bit-for-bit, so
+    * one helper serves every radius — the Spark side's chunk
+    * blocking is a plan optimization the oracle never sees.
+    */
+  private def simhashAllPairsSql(maxDist: Int): String = {
+    val bitTerms = (0 until 64).map { i =>
+      val pow = java.math.BigInteger.ONE.shiftLeft(i).toString
+      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST('$pow' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM toks),
+       |hs AS (
+       |  SELECT doc_id, list_transform(shingles,
+       |    t -> CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT)) AS hs
+       |  FROM sh),
+       |fp AS (
+       |  SELECT doc_id, CAST($bitTerms AS UBIGINT) AS f FROM hs)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS dist
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.f, b.f)) <= $maxDist
+       |ORDER BY a, b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """SELECT md5(trim(lower(text))) AS content_hash,
@@ -1978,29 +2022,12 @@ object CorpusOps {
     // of the fingerprint = sign of the per-bit ±1 sum, then an
     // all-pairs hamming filter (the Spark side's pigeonhole chunk
     // blocking is a plan optimization with identical results)
-    "d4_simhash" -> {
-      val bitTerms = (0 until 64).map { i =>
-        val pow = java.math.BigInteger.ONE.shiftLeft(i).toString
-        s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST('$pow' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
-      }.mkString(" + ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
-         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
-         |  FROM toks),
-         |hs AS (
-         |  SELECT doc_id, list_transform(shingles,
-         |    t -> CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT)) AS hs
-         |  FROM sh),
-         |fp AS (
-         |  SELECT doc_id, CAST($bitTerms AS UBIGINT) AS f FROM hs)
-         |SELECT a.doc_id AS a, b.doc_id AS b,
-         |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS dist
-         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.f, b.f)) <= 12
-         |ORDER BY a, b""".stripMargin
-    },
+    "d4_simhash" -> simhashAllPairsSql(maxDist = 12),
+
+    // the production-radius configuration: same fingerprints, hamming
+    // ≤ 4 — the oracle's all-pairs replay is radius-independent, so
+    // a hash match proves the 2-of-6 combination blocking exact too
+    "d15_simhash_prod" -> simhashAllPairsSql(maxDist = 4),
 
     // mirrors TextOps.langId: per-language distinct-stopword hits,
     // argmax by (score, lang) — DuckDB struct comparison is

@@ -232,7 +232,7 @@ final class DedupSpec extends SparkTestBase {
     val all = (planted ++ Seq.fill(60)(rnd.nextLong())).zipWithIndex
       .map { case (f, i) => (i.toLong, f) }
     val fps = all.toDF("id", "simhash")
-    for (maxDist <- Seq(3, 8, 12)) {
+    for (maxDist <- Seq(3, 4, 8, 12)) { // 4 = d15's gated production radius
       val brute = (for {
         (a, fa) <- all; (b, fb) <- all
         if a < b && java.lang.Long.bitCount(fa ^ fb) <= maxDist

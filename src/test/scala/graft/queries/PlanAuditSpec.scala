@@ -156,6 +156,19 @@ final class PlanAuditSpec extends SparkTestBase {
       "d4 must never broadcast the exploded fingerprint table")
   }
 
+  test("production-radius simhash self-join stays a shuffle join (d15)") {
+    // d15 is the same pipeline at maxDist=4/matchChunks=2 — the
+    // configuration whose collision term (15·n²/2²¹) stays linear
+    // at every realistic corpus size; the plan contract is identical
+    // to d4's (one Exchange + ReusedExchange, never broadcast).
+    val plan = graft.SparkEntry.queries("d15_simhash_prod")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "d15's combination self-join must plan as a shuffle join")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "d15 must never broadcast the exploded fingerprint table")
+  }
+
   test("LSH bucket self-join stays a shuffle join (d5 drift pin)") {
     // Same failure class as d4: the in-bucket-scoring self-join in
     // cosineNearDupPairsLSH must shuffle the linear sketched-vector

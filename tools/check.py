@@ -7,7 +7,7 @@ the parquet tables in <sfDir>, loads the Spark result parquet from
 compares values exactly (with a float diff report when exactness
 fails). Dev tool only — the real gate is driver-side.
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [only,names]
 """
 import json
 import math
@@ -49,13 +49,16 @@ def cmp_cell(a, b):
     return str(a) == str(b)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    if only:  # comma-separated name subset (sf1 spot-checks)
+        names = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in names}
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -96,4 +99,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
