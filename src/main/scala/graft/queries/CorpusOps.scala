@@ -156,7 +156,12 @@ object CorpusOps {
     // tuned (tools/TuneD5.scala) to recall 1.0 against the exact ≥τ
     // pair set at sf0.001/0.01/0.1, so the same DuckDB all-pairs
     // oracle hash gates it; the all-pairs form survives only as the
-    // recall spec's ground truth (AnnSpec).
+    // recall spec's ground truth (AnnSpec). Measured recall 1.0 is
+    // SCALE-CONTINGENT: per-pair miss P = (1−p^planes)^tables, so
+    // expected misses grow with the true-pair count (sf1 measures
+    // 0.983 for this config; tables ∝ ln(pairs) restores exactness
+    // at logarithmic cost — model + knob verified by tools/SpotSf1,
+    // honest math in SCALE.md).
     "d5_embed_neardup" -> { (s, d) =>
       Ann.cosineNearDupPairsLSH(
           t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
@@ -314,10 +319,12 @@ object CorpusOps {
     // self-join, NOT the brute scorer — this is the sub-quadratic
     // scale path end-to-end. (planes=6, tables=48, seed=42) is the
     // d5-tuned recall-1.0 config at this τ, so the oracle's exact
-    // recursive replay hashes it verbatim. minPts=2 (core ⇔ ≥1
-    // neighbor) because the 0.45 graph is near-matching at gate
-    // scale; v4 (τ=0.35, exact graph) remains the dense-regime
-    // exactness gate.
+    // recursive replay hashes it verbatim (scale-contingent — see
+    // the d5 comment; SpotSf1 re-verifies the DBSCAN dataflow at sf1
+    // over an exact-recall graph plus graph-derived postconditions).
+    // minPts=2 (core ⇔ ≥1 neighbor) because the 0.45 graph is
+    // near-matching at gate scale; v4 (τ=0.35, exact graph) remains
+    // the dense-regime exactness gate.
     "v5_dbscan_lsh" -> { (s, d) =>
       import graft.ann.Dbscan
       val nodes = t(s, d, "embeddings").select(col("vec_id").as("id"))
@@ -394,6 +401,9 @@ object CorpusOps {
     // all-pairs, so the index genuinely prunes), which makes the
     // approximate graph EQUAL the brute-force thresholded graph —
     // hence the same exact DuckDB oracle as a brute-force query.
+    // (Equality is scale-contingent like d5's — see the d5 comment;
+    // the kNN dataflow itself is exact given an exact pair graph,
+    // re-verified at sf1 by tools/SpotSf1.)
     "a2_ann_lsh_knn" -> { (s, d) =>
       a2KnnGraph(s, d)
         .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))

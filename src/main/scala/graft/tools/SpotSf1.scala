@@ -21,10 +21,15 @@ import graft.dedup.{NgramJaccard, SimHash}
   *     at sf1 means the blocking (the only approximate-looking part)
   *     drops nothing at 100× the gate's scale;
   *   - d5/a2/v5: the LSH bucket graph vs the brute-force broadcast
-  *     scorer — pair-set equality at sf1 proves recall stays 1.0 at
-  *     τ=0.45 beyond the scale the config was tuned at (sims are the
-  *     same fused [[graft.functions.DotProduct]] on both paths, so
-  *     they must match bitwise, which the join also verifies);
+  *     scorer. Precision must be exactly 1 at any scale (candidates
+  *     are exact-scored); recall of the gated config is probabilistic
+  *     and must MATCH THE ANALYTIC MODEL (expected misses grow with
+  *     pair count — round 11 measured recall 0.983 at sf1 for the
+  *     config tuned to 1.0 at the gate scales); and a table count
+  *     scaled logarithmically in the pair count must restore measured
+  *     exactness (sims are the same fused
+  *     [[graft.functions.DotProduct]] on both paths, so they must
+  *     match bitwise, which the join also verifies);
   *   - v5 structure: DBSCAN postconditions re-derived from the
   *     ε-graph itself (core degrees, core-core cluster agreement,
   *     border = min adjacent core cluster, noise isolation);
@@ -67,24 +72,57 @@ object SpotSf1 {
       val fps = SimHash.fingerprintsOfTokens(
         docs, "doc_id", NgramJaccard.shingles(col("text"), 3))
         .localCheckpoint(eager = false) // fingerprint once, probe twice
+      // joinHint = "merge": the m=4 probe's C(16,4)·n ≈ 109 M-row
+      // build side overflows SHUFFLE_HASH's non-spillable per-
+      // partition hash relation under the default 8 GiB heap (fatal
+      // SparkOutOfMemoryError); SortMergeJoin spills and completes.
+      // The gated queries keep the faster shuffle_hash pin — see
+      // SimHash.pairs' scaladoc for the measured trade-off.
       for ((name, maxDist, m1, m2) <- Seq(("d15_blocking_m2_vs_m1", 4, 2, 1),
                                           ("d4_blocking_m3_vs_m4", 12, 3, 4))) {
-        val p1 = SimHash.pairs(fps, maxDist, m1)
-        val p2 = SimHash.pairs(fps, maxDist, m2)
+        // checkpoint: diff() consumes each side three times
+        val p1 = SimHash.pairs(fps, maxDist, m1, joinHint = "merge").localCheckpoint(eager = false)
+        val p2 = SimHash.pairs(fps, maxDist, m2, joinHint = "merge").localCheckpoint(eager = false)
         val (only1, only2, both) = diff(p1, p2, Seq("a", "b", "dist"))
         check(name)(only1 == 0 && only2 == 0,
           s"pairs=$both onlyM$m1=$only1 onlyM$m2=$only2")
       }
 
-      // --- d5/a2: LSH pair graph ≡ brute-force at τ=0.45 ---
-      val lsh = Ann.cosineNearDupPairsLSH(vecs, minCos = 0.45, dim = 64,
-        planes = 6, tables = 48, seed = 42L).localCheckpoint(eager = false)
+      // --- d5/a2: LSH pair graph vs brute-force at τ=0.45 ---
+      // The gated config (planes=6, tables=48) is tuned to MEASURED
+      // recall 1.0 at the gate scales (sf0.01 oracle, sf0.1 bench).
+      // LSH recall is probabilistic per pair — miss probability
+      // (1−p^planes)^tables with p = 1 − acos(sim)/π, independent of
+      // n — so EXPECTED misses grow with the true-pair count:
+      // measured exactness at one scale cannot promise exactness at
+      // 10× (round 11 caught exactly this: 285 misses in 16,778 sf1
+      // pairs). What a similarity engine must hold at scale, and
+      // what is checked here instead: precision is exactly 1
+      // (candidates are exact-scored, so no pair below τ survives);
+      // misses match the analytic model (within 4σ Poisson); and
+      // scaling tables ~ ln(pairs)/−ln(1−p^planes) — T=192 at sf1's
+      // pair count — restores measured exactness: the recall budget
+      // is a knob with LOGARITHMIC cost in corpus size, not a fixed
+      // config to outgrow.
       val exact = Ann.cosinePairsExact(vecs, minCos = 0.45).localCheckpoint(eager = false)
-      val (onlyLsh, onlyExact, both) = diff(lsh, exact, Seq("a", "b", "sim"))
-      check("d5_lsh_recall_vs_brute")(onlyLsh == 0 && onlyExact == 0,
-        s"pairs=$both onlyLsh=$onlyLsh missedByLsh=$onlyExact (sim compared bitwise)")
+      val lsh48 = Ann.cosineNearDupPairsLSH(vecs, minCos = 0.45, dim = 64,
+        planes = 6, tables = 48, seed = 42L).localCheckpoint(eager = false)
+      val (falsePairs, missed48, both48) = diff(lsh48, exact, Seq("a", "b", "sim"))
+      check("d5_lsh48_precision_exact")(falsePairs == 0,
+        s"pairs=$both48 falsePairs=$falsePairs (sim compared bitwise)")
+      val p6 = pow(lit(1.0) - acos(least(col("sim"), lit(1.0))) / lit(math.Pi), lit(6))
+      val predicted = exact.agg(sum(pow(lit(1.0) - p6, lit(48)))).collect().head.getDouble(0)
+      val tol = 4.0 * math.sqrt(predicted) + 2.0
+      check("d5_lsh48_recall_matches_model")(math.abs(missed48 - predicted) <= tol,
+        f"missed=$missed48 predicted=$predicted%.1f ±$tol%.1f recall=${both48.toDouble / (both48 + missed48)}%.4f")
 
-      // a2 = knnFromPairs over the same pair set; with pair equality
+      val lsh = Ann.cosineNearDupPairsLSH(vecs, minCos = 0.45, dim = 64,
+        planes = 6, tables = 192, seed = 42L).localCheckpoint(eager = false)
+      val (onlyLsh, onlyExact, both) = diff(lsh, exact, Seq("a", "b", "sim"))
+      check("d5_lsh_scaled_tables_exact")(onlyLsh == 0 && onlyExact == 0,
+        s"pairs=$both onlyLsh=$onlyLsh missedByLsh=$onlyExact (T=192, sim bitwise)")
+
+      // a2 = knnFromPairs over the pair graph; with pair equality
       // proven above, run the top-k step on BOTH graphs end-to-end
       // anyway (cheap — pair sets are ~1e4) to pin the full query.
       val knnL = Ann.knnFromPairs(lsh, k = 5)

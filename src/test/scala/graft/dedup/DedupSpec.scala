@@ -243,6 +243,16 @@ final class DedupSpec extends SparkTestBase {
         assert(got == brute,
           s"maxDist=$maxDist m=$m: got ${got.size}, expected ${brute.size}")
       }
+      // the spill-safe strategy (joinHint = "merge", used by large-
+      // scale audits where SHUFFLE_HASH's non-spillable build side
+      // overflows) must return the identical pair set and actually
+      // plan a SortMergeJoin, not fall back to anything else
+      val merged = SimHash.pairs(fps, maxDist, matchChunks = 1, joinHint = "merge")
+      assert(merged.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        "joinHint=merge must plan a SortMergeJoin")
+      val gotMerge = merged.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotMerge == brute, s"maxDist=$maxDist merge-hint: got ${gotMerge.size}")
     }
   }
 }
