@@ -29,7 +29,15 @@ object GraftSession {
   def build(
       appName: String = "graft",
       master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-      shufflePartitions: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      // Partition count decouples from the core count via
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS: shuffle partitions must scale
+      // with DATA (so per-partition state — sort runs, hash-join build
+      // sides — stays bounded as input grows), while cores are a
+      // machine property. The sf10 scale sweep runs 128 partitions on
+      // the same 32 cores for exactly this reason; on a cluster the
+      // same number rides spark-submit --conf.
+      shufflePartitions: String = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
   ): SparkSession = {
     val spark = SparkSession.builder()
       .master(master)

@@ -103,6 +103,37 @@ object Ann {
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
 
+  /** Table count needed to hold the hyperplane-LSH recall budget at a
+    * given scale — the executable form of the honest-recall math in
+    * SCALE.md (validated against measurement at sf1 by tools/SpotSf1:
+    * predicted 309 misses vs 285 measured for 6×48 over 16,778 pairs).
+    *
+    * A pair at similarity `sim` collides in one `planes`-bit table
+    * with probability p^planes where p = 1 − acos(sim)/π, so it is
+    * missed by all `tables` tables with probability
+    * (1 − p^planes)^tables — independent of corpus size. EXPECTED
+    * misses therefore grow with the true-pair count, which is why a
+    * config tuned to measured recall 1.0 at one scale silently drops
+    * pairs at 10×. Bounding every pair by the worst case (sim = the
+    * threshold `minCos`), expected misses ≤ ε needs
+    *
+    *   tables ≥ ln(expectedPairs / ε) / −ln(1 − p^planes)
+    *
+    * — LOGARITHMIC in the pair count, so exactness stays affordable
+    * at any scale you can estimate (and a sampled pair-count estimate
+    * is one cheap pre-pass). ε is expected MISSED PAIRS, not a rate:
+    * ε = 0.05 makes a single dropped pair 20-to-1 unlikely; for a
+    * recall target instead, pass ε = (1 − recall) × expectedPairs.
+    */
+  def tablesForRecall(minCos: Double, planes: Int,
+                      expectedPairs: Double, maxExpectedMisses: Double): Int = {
+    require(minCos > -1 && minCos < 1 && planes > 0 &&
+      expectedPairs > 0 && maxExpectedMisses > 0, "out-of-range recall budget")
+    val p = 1.0 - math.acos(minCos) / math.Pi
+    val missPerTable = 1.0 - math.pow(p, planes)
+    math.ceil(math.log(expectedPairs / maxExpectedMisses) / -math.log(missPerTable)).toInt.max(1)
+  }
+
   /** LSH-bucketed approximate top-k: the standard L-table structure.
     * Each of `tables` independent hash tables assigns every vector a
     * `planes`-bit hyperplane-sign bucket; only (query, corpus) pairs

@@ -91,8 +91,10 @@ object NgramJaccard {
     * Only the rarity `row_number` window remains, which is inherent
     * to prefix filtering.
     */
-  private[dedup] def prefixCandidatesOfSets(shSets: DataFrame,
-                                            minJaccard: Double): DataFrame = {
+  /** The prefix-filtered posting table (sh, id, sz, rk) both the
+    * candidate join and [[candidateVolume]] are built from.
+    */
+  private def prefixPostings(shSets: DataFrame, minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val num   = math.round(minJaccard * 1e6)
     val denom = 1000000L
@@ -100,9 +102,46 @@ object NgramJaccard {
       explode(col("shs")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
     val byRarity = Window.partitionBy(col("id")).orderBy(col("dfreq").asc, col("sh").asc)
-    val prefix = sh.join(dfreq, Seq("sh"))
+    sh.join(dfreq, Seq("sh"))
       .withColumn("rk", row_number().over(byRarity))
       .filter(lit(num) * col("sz") <= lit(denom) * (col("sz") + 1 - col("rk")))
+  }
+
+  /** Capacity-planning diagnostic: the exact join's candidate volume
+    * Σ_sh |prefix-posting(sh)|² WITHOUT running the join — one cheap
+    * aggregation over the posting table. Returns one row:
+    * (postings, distinct_sh, max_posting, candidate_volume).
+    *
+    * The exact PPJoin is sub-quadratic exactly when prefix postings
+    * stay short — i.e. when the shingle space grows with the corpus.
+    * A closed shingle vocabulary (the sf10 generator regime: 31
+    * words → ≤ 29,791 trigrams shared by 500 k docs) drives
+    * posting lengths ∝ n and the volume ∝ n², no matter the prefix
+    * filtering — measured as a > local-disk spill at sf10. Run THIS
+    * first at scale: if candidate_volume is unpayable, the same
+    * contract at a recall budget is [[nearDuplicates]] (MinHash+LSH,
+    * d3) — banding collides near-identical sets, not shared-shingle
+    * pairs, so its candidates track the TRUE-pair count (measured
+    * 66 s at the same sf10 / same τ where the exact form could not
+    * complete).
+    */
+  def candidateVolume(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      minJaccard: Double): DataFrame = {
+    val shSets = df.select(col(idCol).as("id"),
+      transform(shingles(col(textCol), n), s => xxhash64(s)).as("shs"))
+    prefixPostings(shSets, minJaccard)
+      .groupBy(col("sh")).agg(count(lit(1)).as("len"))
+      .agg(sum(col("len")).as("postings"),
+        count(lit(1)).as("distinct_sh"),
+        max(col("len")).as("max_posting"),
+        sum((col("len") * (col("len") - 1)).cast("long") / lit(2L)).cast("long").as("candidate_volume"))
+  }
+
+  private[dedup] def prefixCandidatesOfSets(shSets: DataFrame,
+                                            minJaccard: Double): DataFrame = {
+    val num   = math.round(minJaccard * 1e6)
+    val denom = 1000000L
+    val prefix = prefixPostings(shSets, minJaccard)
     prefix.select(col("sh"), col("id").as("a"), col("sz").as("sza"), col("rk").as("rka"))
       .join(prefix.select(col("sh"), col("id").as("b"), col("sz").as("szb"), col("rk").as("rkb")),
         Seq("sh"))

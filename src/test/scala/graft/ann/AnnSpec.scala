@@ -240,4 +240,27 @@ final class AnnSpec extends SparkTestBase {
     assert(pairs.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
     assert(pairs.forall(_.getAs[Double]("sim") >= 0.4))
   }
+
+  test("tablesForRecall sizes the table count logarithmically in the pair count") {
+    // sf1 ground truth (tools/SpotSf1, SPOTCHECK_sf1.txt): 16,778
+    // true pairs at τ=0.45; T=48 measured 285 misses, T=192 measured
+    // zero. The worst-case sizing must land between those points.
+    val t = Ann.tablesForRecall(0.45, planes = 6, expectedPairs = 16778, maxExpectedMisses = 0.05)
+    assert(t > 48 && t <= 192, s"sf1 exactness sizing out of validated range: $t")
+    // model consistency: the returned T really does bound the
+    // worst-case expected misses, and T−1 does not
+    val p6 = math.pow(1.0 - math.acos(0.45) / math.Pi, 6)
+    assert(16778 * math.pow(1 - p6, t) <= 0.05)
+    assert(16778 * math.pow(1 - p6, t - 1) > 0.05)
+    // logarithmic growth: 100× the pairs costs a constant ~60 tables
+    // (ln 100 / −ln(1−p^6)), not 100× the index
+    val t100 = Ann.tablesForRecall(0.45, planes = 6, expectedPairs = 1677800, maxExpectedMisses = 0.05)
+    val deltaT = math.log(100.0) / -math.log(1 - p6)
+    assert(math.abs((t100 - t) - deltaT) <= 1.0, s"t100=$t100 t=$t expected +$deltaT")
+    // recall-target form: 98% recall at sf1 scale needs FEWER tables
+    // than exactness — the budget is spendable in both directions
+    val t98 = Ann.tablesForRecall(0.45, planes = 6, expectedPairs = 16778,
+      maxExpectedMisses = 0.02 * 16778)
+    assert(t98 < t && t98 >= 1)
+  }
 }

@@ -38,6 +38,21 @@ final class DedupSpec extends SparkTestBase {
     assert(pairs.size == 4)
   }
 
+  test("candidateVolume reports the exact join's pre-join pair count") {
+    // three identical docs: every prefix shingle posts all three ids,
+    // so volume = distinct_sh * C(3,2) and max_posting = 3
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+                   (2L, "alpha beta gamma delta epsilon"),
+                   (3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val r = NgramJaccard.candidateVolume(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
+      .collect().head
+    val distinctSh = r.getAs[Long]("distinct_sh")
+    assert(distinctSh > 0)
+    assert(r.getAs[Long]("max_posting") == 3L)
+    assert(r.getAs[Long]("postings") == 3 * distinctSh)
+    assert(r.getAs[Long]("candidate_volume") == 3L * distinctSh)
+  }
+
   test("minhash LSH recovers the exact near-dup pairs (recall check)") {
     val exact = NgramJaccard
       .pairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
