@@ -131,6 +131,13 @@ object Ann {
       expectedPairs > 0 && maxExpectedMisses > 0, "out-of-range recall budget")
     val p = 1.0 - math.acos(minCos) / math.Pi
     val missPerTable = 1.0 - math.pow(p, planes)
+    // when p^planes underflows to 0, missPerTable rounds to exactly
+    // 1.0 and −log(1.0) = 0 → +Infinity → toInt saturates at
+    // Int.MaxValue — a nonsensical "answer" for a configuration NO
+    // table count can satisfy. Fail loudly instead.
+    require(missPerTable < 1.0,
+      s"unsatisfiable recall budget: a $planes-plane table at minCos=$minCos has " +
+      "collision probability that underflows to 0 — use fewer planes per table")
     math.ceil(math.log(expectedPairs / maxExpectedMisses) / -math.log(missPerTable)).toInt.max(1)
   }
 

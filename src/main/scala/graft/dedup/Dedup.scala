@@ -129,19 +129,32 @@ object NgramJaccard {
                       minJaccard: Double): DataFrame = {
     val shSets = df.select(col(idCol).as("id"),
       transform(shingles(col(textCol), n), s => xxhash64(s)).as("shs"))
-    prefixPostings(shSets, minJaccard)
+    volumeOfPostings(prefixPostings(shSets, minJaccard))
+  }
+
+  // the volume aggregate itself, reusable over an already-built (and
+  // possibly checkpointed) posting table. len·(len−1) DIV 2 stays in
+  // LONG arithmetic end to end: the previous `/ 2` divided Long by
+  // Long into a Double, whose 53-bit mantissa silently rounds the
+  // running sum above ~9e15 — precisely the enormous-n² regime this
+  // diagnostic exists to quantify (sf10's closed-vocabulary case is
+  // already ~1e15).
+  private[dedup] def volumeOfPostings(postings: DataFrame): DataFrame =
+    postings
       .groupBy(col("sh")).agg(count(lit(1)).as("len"))
       .agg(sum(col("len")).as("postings"),
         count(lit(1)).as("distinct_sh"),
         max(col("len")).as("max_posting"),
-        sum((col("len") * (col("len") - 1)).cast("long") / lit(2L)).cast("long").as("candidate_volume"))
-  }
+        sum(expr("len * (len - 1) DIV 2")).as("candidate_volume"))
 
   private[dedup] def prefixCandidatesOfSets(shSets: DataFrame,
-                                            minJaccard: Double): DataFrame = {
+                                            minJaccard: Double): DataFrame =
+    candidatesOfPostings(prefixPostings(shSets, minJaccard), minJaccard)
+
+  private def candidatesOfPostings(prefix: DataFrame,
+                                   minJaccard: Double): DataFrame = {
     val num   = math.round(minJaccard * 1e6)
     val denom = 1000000L
-    val prefix = prefixPostings(shSets, minJaccard)
     prefix.select(col("sh"), col("id").as("a"), col("sz").as("sza"), col("rk").as("rka"))
       .join(prefix.select(col("sh"), col("id").as("b"), col("sz").as("szb"), col("rk").as("rkb")),
         Seq("sh"))
@@ -180,8 +193,24 @@ object NgramJaccard {
     * under dynamic allocation — acceptable for a bounded two-reader
     * subplan; a resilient alternative is persist(DISK_ONLY) + unpersist.
     */
+  /** `maxCandidateVolume` is the pre-flight guard (measured at sf10:
+    * a 17.9 M-candidate corpus verifies in seconds; a closed-
+    * vocabulary 2.0 B-candidate one died of local-disk spill — the
+    * default is half the measured DNF). Before building the join, the
+    * exact Σ len·(len−1)/2 posting volume is computed (one cheap
+    * aggregation over the ALREADY-checkpointed posting table — the
+    * join reuses the same materialization, so the guard's scan is not
+    * wasted work) and the operator fails loudly with the measured
+    * number and the scale alternative ([[MinHashLSH.nearDuplicates]],
+    * same verified-pairs contract at a recall budget) instead of
+    * starting a join it cannot finish. Cluster callers with real
+    * shuffle capacity raise it; `Long.MaxValue` disables the
+    * pre-flight action entirely (pure plan construction, the old
+    * behavior).
+    */
   def pairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-            minJaccard: Double): DataFrame = {
+            minJaccard: Double,
+            maxCandidateVolume: Long = 1000000000L): DataFrame = {
     val num   = math.round(minJaccard * 1e6)
     val denom = 1000000L
     // shingles are 64-bit-hashed ONCE at shingling: posting keys,
@@ -194,12 +223,25 @@ object NgramJaccard {
     val shSets = df.select(col(idCol).as("id"),
         transform(shingles(col(textCol), n), s => xxhash64(s)).as("shs"))
       .localCheckpoint(eager = false)
+    val prefix = prefixPostings(shSets, minJaccard).localCheckpoint(eager = false)
+    if (maxCandidateVolume < Long.MaxValue) {
+      val r = volumeOfPostings(prefix).collect().head
+      val vol = r.getAs[Long]("candidate_volume")
+      if (vol > maxCandidateVolume)
+        throw new IllegalStateException(
+          s"NgramJaccard.pairs pre-flight: exact-join candidate volume $vol exceeds " +
+          s"maxCandidateVolume=$maxCandidateVolume (max posting ${r.getAs[Long]("max_posting")}, " +
+          s"${r.getAs[Long]("distinct_sh")} distinct shingles). The exact PPJoin is " +
+          "sub-quadratic only while prefix postings stay short; this corpus' shingle " +
+          "vocabulary is too closed for that. Use MinHashLSH.nearDuplicates (same " +
+          "verified-pairs contract, candidates track TRUE pairs) or raise the budget.")
+    }
     // verify via two equi-joins on id — the candidate rows (two
     // longs) shuffle to each side's sets; sets themselves shuffle
     // once per side (one Exchange on id, reused for both probes),
     // never once per PAIR the way a melt + groupBy(a, b) carrying
     // both arrays through the aggregate shuffle would
-    prefixCandidatesOfSets(shSets, minJaccard)
+    candidatesOfPostings(prefix, minJaccard)
       .join(shSets.select(col("id").as("a"), col("shs").as("sha")), Seq("a"))
       .join(shSets.select(col("id").as("b"), col("shs").as("shb")), Seq("b"))
       .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
@@ -499,6 +541,12 @@ object SimHash {
             joinHint: String = "shuffle_hash"): DataFrame = {
     require(matchChunks >= 1 && maxDist + matchChunks <= 32,
       s"matchChunks=$matchChunks out of range for maxDist=$maxDist")
+    // Spark silently IGNORES unrecognized hint names and falls back
+    // to cost-based join selection — a typo here would quietly
+    // reintroduce the nondeterministic plan drift (broadcast of an
+    // exploded corpus) the pin exists to prevent. Fail fast instead.
+    require(Set("shuffle_hash", "merge").contains(joinHint),
+      s"joinHint must be shuffle_hash or merge, got '$joinHint'")
     // every m-subset of chunk indices → one table; the combined key
     // all 64 bits spread over the chunks, every m-subset of chunks →
     // one packed blocking key, fanned out by ONE custom expression

@@ -35,7 +35,7 @@ object ScaleD10 {
         val tTrain = (System.nanoTime() - t0) / 1e9
         val volume = Ann.assignCells(vecs, cents)
           .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
-          .agg(sum((col("sz") * (col("sz") - 1)).cast("long") / lit(2L)).cast("long"))
+          .agg(sum(expr("sz * (sz - 1) DIV 2"))) // integer DIV: exact past double's 2^53
           .collect().head.getLong(0)
         val t1 = System.nanoTime()
         val survivors = SemDeDup.run(vecs, cents, minCos = 0.45).count()

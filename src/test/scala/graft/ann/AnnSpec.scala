@@ -262,5 +262,11 @@ final class AnnSpec extends SparkTestBase {
     val t98 = Ann.tablesForRecall(0.45, planes = 6, expectedPairs = 16778,
       maxExpectedMisses = 0.02 * 16778)
     assert(t98 < t && t98 >= 1)
+    // unsatisfiable budget (p^planes underflows to 0 ⇒ no table count
+    // helps) fails loudly instead of returning Int.MaxValue
+    intercept[IllegalArgumentException] {
+      Ann.tablesForRecall(-0.999999, planes = 4096, expectedPairs = 10,
+        maxExpectedMisses = 0.05)
+    }
   }
 }

@@ -53,6 +53,34 @@ final class DedupSpec extends SparkTestBase {
     assert(r.getAs[Long]("candidate_volume") == 3L * distinctSh)
   }
 
+  test("pairs pre-flight guard refuses a saturated-vocabulary corpus") {
+    // a closed 6-word vocabulary shared by 60 docs: every prefix
+    // shingle posts a large fraction of the corpus, so the candidate
+    // volume is Θ(n²) — the measured sf10 DNF regime in miniature
+    val words = Array("aa", "bb", "cc", "dd", "ee", "ff")
+    val saturated = (1L to 60L).map { i =>
+      (i, (0 until 12).map(j => words(((i + j) % 6).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      NgramJaccard.pairs(saturated, "doc_id", "text", n = 3, minJaccard = 0.5,
+        maxCandidateVolume = 100L)
+    }
+    assert(e.getMessage.contains("candidate volume"))
+    assert(e.getMessage.contains("MinHashLSH.nearDuplicates"))
+    // same corpus, guard disabled: the exact join still completes and
+    // agrees with the LSH contract's verified-pairs semantics
+    val n = NgramJaccard.pairs(saturated, "doc_id", "text", n = 3, minJaccard = 0.5,
+      maxCandidateVolume = Long.MaxValue).count()
+    assert(n > 0)
+  }
+
+  test("simhash joinHint typo fails fast instead of silently unpinning the plan") {
+    val fps = SimHash.fingerprints(docs, "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      SimHash.pairs(fps, maxDist = 3, matchChunks = 1, joinHint = "sort_merge")
+    }
+  }
+
   test("minhash LSH recovers the exact near-dup pairs (recall check)") {
     val exact = NgramJaccard
       .pairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
