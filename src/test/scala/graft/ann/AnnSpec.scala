@@ -269,4 +269,59 @@ final class AnnSpec extends SparkTestBase {
         maxExpectedMisses = 0.05)
     }
   }
+
+  test("auto table-count default: the sizing law tracks the corpus, and stays exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def corpus(n: Int) = {
+      val base = (0 until n).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+      val dups = base.filter(_._1 % 5 == 0).map { case (i, v) =>
+        (100000L + i) -> v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      }
+      (base ++ dups).toDF("id", "vec")
+    }
+    val small = corpus(100)
+    val big   = corpus(800)
+    // ≤ 2000 rows: the hash-sample covers the whole corpus, so the
+    // estimate IS the exact pair count — and the planted-pair count
+    // grows with n, so the derived table budget must too
+    val estS = Ann.estimatePairCount(small, minCos = 0.9)
+    val estB = Ann.estimatePairCount(big, minCos = 0.9)
+    assert(estS > 0 && estB > 4 * estS, s"estS=$estS estB=$estB")
+    val tS = Ann.autoTables(small, minCos = 0.9, planes = 10)
+    val tB = Ann.autoTables(big, minCos = 0.9, planes = 10)
+    assert(tB > tS, s"auto tables must grow with the pair count: $tS → $tB")
+    // the default IS the validated law, verbatim
+    assert(tB == Ann.tablesForRecall(0.9, 10, estB.max(1.0), 0.05).max(8))
+    // and the un-pinned operator default recovers the exact pair set
+    val exact = Ann.cosineNearDupPairs(small, minCos = 0.9).select("a", "b")
+    val auto  = Ann.cosineNearDupPairsLSH(small, minCos = 0.9, dim = dim).select("a", "b")
+    assert(auto.exceptAll(exact).isEmpty && exact.exceptAll(auto).isEmpty)
+  }
+
+  test("lshProfile: candidate fraction separates gap-less from selective regimes") {
+    import spark.implicits._
+    // the fixture corpus at τ=0.45 is the measured gap-less regime
+    // (SCALE.md: candidates ≈ 82% of all pairs at the d5 gate config):
+    // a recall-budget-sized index cannot prune it
+    val fixture = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val gapless = Ann.lshProfile(fixture, minCos = 0.45, planes = 6)
+    assert(gapless.candidateFraction > 0.5,
+      s"gap-less regime should look dense: $gapless")
+    assert(gapless.estPairs > 0 && gapless.tables >= 8)
+    // a planted near-dup corpus at τ=0.9 is selective: the same
+    // profile shows the index pruning almost everything
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val base = (0 until 300).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val dups = base.filter(_._1 % 5 == 0).map { case (i, v) =>
+      (100000L + i) -> v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    }
+    val planted = (base ++ dups).toDF("id", "vec")
+    val selective = Ann.lshProfile(planted, minCos = 0.9, planes = 10)
+    assert(selective.candidateFraction < 0.5,
+      s"selective regime should look sparse: $selective")
+  }
 }

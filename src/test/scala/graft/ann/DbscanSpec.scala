@@ -62,6 +62,43 @@ final class DbscanSpec extends SparkTestBase {
     assert(run(exact) == run(lsh))
   }
 
+  test("epsCluster auto-dispatch: brute when dense+broadcastable, LSH otherwise, output invariant") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // the v4 regime: gap-less τ → candidate fraction ≈ 1 → a
+    // broadcastable corpus takes the brute scorer...
+    val prof = Ann.lshProfile(vecs, minCos = 0.35, planes = 6)
+    assert(Dbscan.dispatchBrute(500L, prof.candidateFraction), s"profile=$prof")
+    // ...but the SAME density at 100 TB cannot broadcast: LSH by shape
+    assert(!Dbscan.dispatchBrute(500000000L, prof.candidateFraction))
+    // a selective τ dispatches LSH even when broadcastable
+    assert(!Dbscan.dispatchBrute(500L, candidateFraction = 0.02))
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    // end-to-end: the dispatched engine reproduces the pinned v4 path
+    val auto = Dbscan.epsCluster(vecs, minCos = 0.35, minPts = 3, dim = 64)
+    val pinned = Dbscan.fromNeighbors(vecs.select(col("id")),
+      Ann.cosinePairsExact(vecs, minCos = 0.35).select("a", "b"), minPts = 3)
+    assert(canon(auto) == canon(pinned))
+    // and on a planted selective corpus the LSH branch runs (forced by
+    // maxBruteRows = 0) and still equals the exact graph's clustering
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val base = (0 until 200).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val dups = base.filter(_._1 % 5 == 0).map { case (i, v) =>
+      (100000L + i) -> v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    }
+    val planted = (base ++ dups).toDF("id", "vec")
+    val lshAuto = Dbscan.epsCluster(planted, minCos = 0.9, minPts = 2, dim = dim,
+      planes = 10, maxBruteRows = 0L)
+    val bruteRef = Dbscan.fromNeighbors(planted.select(col("id")),
+      Ann.cosineNearDupPairs(planted, minCos = 0.9).select("a", "b"), minPts = 2)
+    assert(canon(lshAuto) == canon(bruteRef))
+  }
+
   test("isolated core (minPts=1) clusters as itself; stable under repartitioning") {
     val nodes = (1L to 9L) :+ 100L
     val pairs = k5 ++ k3 ++ pendant

@@ -40,6 +40,30 @@ final class SemDeDupSpec extends SparkTestBase {
     assert(reps.count() == out.select("cluster_rep").distinct().count())
   }
 
+  test("auto cell count follows the √n law; runAuto preserves the audit invariants") {
+    // the measured n²/k + n·k trade-off (tools/ScaleD10) minimizes at
+    // k* = Θ(√n): 100× the corpus gets 10× the cells — not a fixed
+    // count to outgrow, not a linear one that starves the cells
+    assert(SemDeDup.autoCellCount(10000) == 100)
+    assert(SemDeDup.autoCellCount(1000000) == 1000)
+    assert(SemDeDup.autoCellCount(250000) == 500)
+    assert(SemDeDup.autoCellCount(0) == 2 && SemDeDup.autoCellCount(1) == 2)
+    assert(SemDeDup.autoCellCount(10000, cellsPerSqrtN = 2.0) == 200)
+
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val out = SemDeDup.runAuto(vecs, minCos = 0.45).cache()
+    assert(out.count() == vecs.count())
+    assert(out.select("id").distinct().count() == vecs.count())
+    // the auto quantizer actually refines: cells track √n, not the
+    // 10 fixed labels the gate pins
+    assert(out.select("cell").distinct().count() > 1)
+    // retention invariant: exactly one kept member per duplicate group
+    val groups = out.groupBy(col("cluster_rep"))
+      .agg(sum(col("kept").cast("long")).as("n_kept")).collect()
+    assert(groups.forall(_.getAs[Long]("n_kept") == 1L))
+  }
+
   test("k-means cells refine label cells: more cells than the label quantizer is allowed, never fewer than 2") {
     val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val vecs = all.select(col("vec_id").as("id"), col("embedding").as("vec"))
