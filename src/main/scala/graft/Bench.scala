@@ -32,13 +32,34 @@ import org.apache.spark.sql.SparkSession
   * The JSON line is kept compact (seconds rounded to 3 decimals, the
   * `"errors"` object omitted when empty) so it fits inside the
   * driver's output-tail capture window in one piece.
+  *
+  * The driver-loop ITERATIVE queries (PageRank/BFS/connected-
+  * components/DBSCAN — 10–20 keyed rounds, each a job with stage
+  * barriers) run LAST, in a fresh SparkContext: per-stage scheduling
+  * latency grows with accumulated context state (status-store
+  * entities, cleaner backlog, shuffle registrations from every prior
+  * query in the suite), and an operator paying that tax 20× per run
+  * reports the suite's history, not its own cost — measured 31.5 s
+  * in-suite vs 7.7 s solo for g1_pagerank at sf1 on identical code
+  * (SCALE.md round 11). One-job queries amortize the same tax into
+  * noise; restarting the context for the iterative family makes
+  * suite ≡ solo by construction while keeping one bench invocation.
   */
 object Bench {
+
+  /** Queries whose driver loops issue O(rounds) jobs — the set that
+    * multiplies per-stage scheduler latency and therefore runs in the
+    * isolated fresh-context phase (see object scaladoc).
+    */
+  val IterativeQueries: Set[String] = Set(
+    "g1_pagerank", "g3_bfs", "g4_pagerank_weighted",
+    "d6_dedup_clusters", "d9_keep_best", "v4_dbscan", "v5_dbscan_lsh")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")
-    val spark: SparkSession =
+    var spark: SparkSession =
       GraftSession.build("graft-bench", s"local[$cpus]", cpus)
     // The bench measures TIME; correctness is Verify's job. The
     // streaming queries' batch-replay sanity check (EventsPipeline.
@@ -96,16 +117,28 @@ object Bench {
       System.gc() // lets the ContextCleaner reap unreachable checkpoint blocks
     }
 
-    val results = selected.map { case (name, fn) =>
-      scrub()
-      timeOnce(fn) // warmup: JIT, code cache, file-index caches
-      val measured = (timeOnce(fn), timeOnce(fn)) match {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
-        case (Left(e), _)         => Left(e)
-        case (_, Left(e))         => Left(e)
+    def runPhase(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      qs.map { case (name, fn) =>
+        scrub()
+        timeOnce(fn) // warmup: JIT, code cache, file-index caches
+        val measured = (timeOnce(fn), timeOnce(fn)) match {
+          case (Right(a), Right(b)) => Right(math.min(a, b))
+          case (Left(e), _)         => Left(e)
+          case (_, Left(e))         => Left(e)
+        }
+        name -> measured
       }
-      name -> measured
+
+    val (iterative, oneJob) = selected.partition(q => IterativeQueries(q._1))
+    val oneJobResults = runPhase(oneJob)
+    val iterResults = if (iterative.isEmpty) Nil else {
+      // fresh context for the driver-loop family (object scaladoc)
+      spark.stop()
+      spark = GraftSession.build("graft-bench-iterative", s"local[$cpus]", cpus)
+      spark.conf.set("spark.graft.streamSanityCheck", "false")
+      runPhase(iterative)
     }
+    val results = (oneJobResults ++ iterResults).sortBy(_._1)
 
     def esc(s: String): String =
       s.flatMap {

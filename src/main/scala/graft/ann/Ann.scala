@@ -380,47 +380,75 @@ object Ann {
     * → (id, cell, ccos), each vector's argmax cell (ties to the
     * lowest cell id) and its cosine to that centroid. The coarse-
     * quantizer step shared by [[ivfTopK]] and SemDeDup-style
-    * semantic dedup; the centroid table is tiny and broadcast, the
-    * argmax is one window over narrow (id, cell, csim) rows.
+    * semantic dedup.
+    *
+    * Scale shape: scoring is the broadcast (row × cell) product kept
+    * entirely inside one codegen stage — [[graft.functions.DotProduct]]
+    * (fused loop, float OR double centroid elements, bit-identical to
+    * the HOF form the oracle replays) feeds a `min(struct(-csim,
+    * cell, csim))` aggregate whose partial (map-side) combine reduces
+    * the n·k scored rows to n BEFORE the exchange, so the shuffle
+    * carries one narrow row per vector no matter how many cells the
+    * k* = √n sizing rule asks for. The previous window form shuffled
+    * all n·k rows still carrying both vector arrays — measured 8× on
+    * sf1's auto-k path. The struct ordering replays the window's
+    * `csim DESC, cell ASC` exactly: struct max compares csim first
+    * with Spark's NaN-is-greatest total order (identical to what the
+    * desc sort used), then -cell breaks ties toward the lowest cell.
     */
   def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = broadcast(centroids.select(
       col("cell"), col("vec").as("centvec"),
       sqrt(VectorOps.dot(col("vec"), col("vec"))).as("centnorm")))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("csim").desc, col("cell").asc)
     vecs.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
       .join(cents)
       .withColumn("csim",
-        VectorOps.dot(col("vec"), col("centvec")) / (col("nrm") * col("centnorm")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("id"), col("cell"), col("csim").as("ccos"))
+        VectorOps.fdot(col("vec"), col("centvec")) / (col("nrm") * col("centnorm")))
+      .select(col("id"),
+        struct(col("csim"), (-col("cell")).as("negcell"), col("cell")).as("sc"))
+      .groupBy(col("id"))
+      .agg(max(col("sc")).as("best"))
+      .select(col("id"), col("best.cell").as("cell"), col("best.csim").as("ccos"))
   }
 
   // nearest `n` cells for a (id, vec) side against broadcast
-  // centroids. The argmax is a window over the broadcast-joined
-  // (id × cells) rows — one shuffle of narrow (id, cell, csim) rows.
-  // Centroid sims use the HOF dot (casts every element to double),
-  // so centroids may be array<float> OR array<double> (e.g. exact
-  // decimal/rounded means); the hot corpus×query scoring stays on
-  // the fused float path. The quantizer is tiny, so the interpreted
-  // HOF cost is per-row × |cells|, not corpus².
+  // centroids, (idAs, vecAs, normAs, cell) out. Scoring is the fused
+  // [[graft.functions.DotProduct]] (float or double centroid
+  // elements, bit-identical to the HOF form), and only narrow
+  // (id, cell, csim) rows ever reach an exchange: n=1 (the corpus
+  // side of every IVF build) aggregates the argmax with a map-side
+  // partial combine — one row per vector crosses the wire — and
+  // n>1 windows over the narrow projection; the wide vector columns
+  // rejoin by id afterwards. Both forms replay the original window's
+  // `csim DESC (NaN first), cell ASC` order exactly.
   private def assignN(df: DataFrame, centroids: DataFrame, n: Int,
                       idAs: String, vecAs: String, normAs: String): DataFrame = {
     val cents = broadcast(centroids.select(
       col("cell"), col("vec").as("centvec"),
       sqrt(VectorOps.dot(col("vec"), col("vec"))).as("centnorm")))
-    val w = Window.partitionBy(col(idAs))
-      .orderBy(col("csim").desc, col("cell").asc)
-    df.select(col("id").as(idAs), col("vec").as(vecAs),
-        VectorOps.fnorm(col("vec")).as(normAs))
-      .join(cents)
-      .withColumn("csim",
-        VectorOps.dot(col(vecAs), col("centvec")) / (col(normAs) * col("centnorm")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= n)
-      .drop("centvec", "centnorm", "csim", "crank")
+    val base = df.select(col("id").as(idAs), col("vec").as(vecAs),
+      VectorOps.fnorm(col("vec")).as(normAs))
+    val scored = base.join(cents)
+      .select(col(idAs), col("cell"),
+        (VectorOps.fdot(col(vecAs), col("centvec")) /
+          (col(normAs) * col("centnorm"))).as("csim"))
+    val chosen =
+      if (n == 1)
+        scored
+          .select(col(idAs),
+            struct(col("csim"), (-col("cell")).as("negcell"), col("cell")).as("sc"))
+          .groupBy(col(idAs))
+          .agg(max(col("sc")).as("best"))
+          .select(col(idAs), col("best.cell").as("cell"))
+      else {
+        val w = Window.partitionBy(col(idAs))
+          .orderBy(col("csim").desc, col("cell").asc)
+        scored.withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= n)
+          .select(col(idAs), col("cell"))
+      }
+    base.join(chosen, Seq(idAs))
+      .select(col(idAs), col(vecAs), col(normAs), col("cell"))
   }
 
   /** The corpus side of an IVF index: each vector in its single

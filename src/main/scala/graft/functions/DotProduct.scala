@@ -8,7 +8,10 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen dot product over two `array<float>` columns.
+/** Native codegen dot product over two `array<float|double>` columns
+  * (each side independently float or double — the quantizer paths
+  * score `array<float>` vectors against `array<double>` rounded-mean
+  * centroids).
   *
   * The composable form (`aggregate(zip_with(a, b, _*_), 0d, _+_)`)
   * allocates an intermediate array per row and evaluates three
@@ -17,37 +20,49 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `sum += (double)a[i] * (double)b[i]` — directly over the unsafe
   * array data, with no allocation, inside whole-stage codegen.
   *
-  * Accumulation order (index 0..n-1, double) is identical to the
-  * composable form and to the DuckDB oracle's
-  * `list_sum(list_transform(list_zip(...)))`, so results stay
-  * bit-identical across all three.
+  * Accumulation order (index 0..n-1, every element widened to double
+  * before the multiply) is identical to the composable form and to
+  * the DuckDB oracle's `list_sum(list_transform(list_zip(...)))`, so
+  * results stay bit-identical across all three for BOTH element
+  * types — widening float→double is exact, and double elements pass
+  * through the same sum untouched.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _                                                  => false
+  }
+
+  private def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(t: DataType): Boolean = t match {
-      case ArrayType(FloatType, _) => true
-      case _                       => false
-    }
-    if (ok(left.dataType) && ok(right.dataType))
+    if (elemOk(left.dataType) && elemOk(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"dot_product expects (array<float>, array<float>), got " +
+        s"dot_product expects (array<float|double>, array<float|double>), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left.dataType)
+    val rf = isFloat(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xi * yi
       i += 1
     }
     s
@@ -58,11 +73,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      def get(arr: String, t: DataType): String =
+        if (isFloat(t)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $s += ${get(a, left.dataType)} * ${get(b, right.dataType)};
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -35,20 +35,43 @@ import graft.GraftSession
   */
 object BenchScale {
 
-  /** The distrusted-ratio query set from SCALE.md's decade table. */
+  /** The distrusted-ratio query set from SCALE.md's decade table,
+    * plus `d10_semdedup_auto` — the k* = √n sizing default
+    * ([[graft.dedup.SemDeDup.runAuto]]) measured at the same tiers as
+    * the pinned-k gate config, so the decade-2 ratio of the law the
+    * operator actually ships (not just the fixture constant) is a
+    * standing number.
+    */
   val scaleQueries: Seq[String] = Seq(
-    "a2_ann_lsh_knn", "a4_ann_quantized", "d10_semdedup", "d11_dup_spans",
+    "a2_ann_lsh_knn", "a4_ann_quantized", "d10_semdedup", "d10_semdedup_auto",
+    "d11_dup_spans",
     "d15_simhash_prod", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
     "d5_embed_neardup", "g1_pagerank", "r1_item_similarity",
     "s1_stream_tumbling", "s5_stream_upsert", "s9_stream_neardup",
     "v5_dbscan_lsh")
 
+  /** Sweep-only entries (not oracle queries — runAuto's k-means cells
+    * aren't SQL-expressible, so it can't join the Verify gate; its
+    * CORRECTNESS is spec-gated in SemDeDupSpec).
+    */
+  private val extraQueries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("d10_semdedup_auto" -> { (s, d) =>
+      val vecs = s.read.parquet(s"$d/embeddings.parquet")
+        .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+          org.apache.spark.sql.functions.col("embedding").as("vec"))
+      graft.dedup.SemDeDup.runAuto(vecs, minCos = 0.45)
+    })
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: BenchScale <sfDir> [outFile]")
+    require(args.nonEmpty, "usage: BenchScale <sfDir> [outFile] [query ...]")
     val sfDir = args(0)
     val out   = if (args.length > 1) args(1) else "BENCH_scale.json"
+    // trailing args: run only these queries, print timings, and skip
+    // the artifact append (a filtered line would corrupt the standing
+    // sweep's round-over-round comparison)
+    val only: Set[String] = args.drop(2).toSet
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val spark = GraftSession.build("bench-scale")
+    var spark = GraftSession.build("bench-scale")
     spark.conf.set("spark.graft.streamSanityCheck", "false")
 
     def scrub(): Unit = {
@@ -61,7 +84,7 @@ object BenchScale {
     def timeOnce(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
-        graft.SparkEntry.queries(name)(spark, sfDir).count()
+        extraQueries.getOrElse(name, graft.SparkEntry.queries(name))(spark, sfDir).count()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
         case NonFatal(e) =>
@@ -69,7 +92,7 @@ object BenchScale {
       }
     }
 
-    val results = scaleQueries.map { name =>
+    def runOne(name: String): (String, Either[String, Double]) = {
       scrub()
       val measured = timeOnce(name) match {
         case Left(e) => Left(e) // failed warmup: don't pay it twice
@@ -85,7 +108,25 @@ object BenchScale {
       }
       name -> measured
     }
+
+    // Iterative (driver-loop) queries run LAST in a fresh context so
+    // their number is the operator's, not the suite's accumulated
+    // scheduler tax — same protocol as graft.Bench (its scaladoc has
+    // the measurement; this suite is where the 31.5-vs-7.7 s g1
+    // distortion was first observed).
+    val selected = if (only.isEmpty) scaleQueries else scaleQueries.filter(only)
+    val (iterative, oneJob) = selected.partition(graft.Bench.IterativeQueries)
+    val oneJobResults = oneJob.map(runOne)
+    val iterResults = if (iterative.isEmpty) Nil else {
+      spark.stop()
+      spark = GraftSession.build("bench-scale-iterative")
+      spark.conf.set("spark.graft.streamSanityCheck", "false")
+      iterative.map(runOne)
+    }
+    val byName = (oneJobResults ++ iterResults).toMap
+    val results = selected.map(n => n -> byName(n))
     spark.stop()
+    if (only.nonEmpty) return // filtered probe: timings printed, no artifact
 
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
