@@ -55,6 +55,22 @@ object Bench {
     "g1_pagerank", "g3_bfs", "g4_pagerank_weighted",
     "d6_dedup_clusters", "d9_keep_best", "v4_dbscan", "v5_dbscan_lsh")
 
+  /** Whether a measured time is an outlier against the prior committed
+    * artifact and must be re-measured min-of-3 before it is recorded:
+    * >1.3× the prior AND >0.2 s absolute (a 0.10 → 0.15 s delta is
+    * scheduler noise, not evidence). No prior → nothing to check.
+    */
+  def needsRerun(prior: Option[Double], measured: Double): Boolean =
+    prior.exists(p => measured > 1.3 * p && measured - p > 0.2)
+
+  /** Per-query seconds parsed from a prior BENCH.out JSON line (the
+    * non-query keys it also matches — value/nq/sf — are never looked
+    * up by a query name, so they ride along harmlessly).
+    */
+  def parsePriorQueries(line: String): Map[String, Double] =
+    """"([a-zA-Z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(line)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -117,16 +133,46 @@ object Bench {
       System.gc() // lets the ContextCleaner reap unreachable checkpoint blocks
     }
 
+    // Self-checking bench (the round-12 lesson: a machine-load spike
+    // wrote a contaminated artifact that took a full round to
+    // adjudicate): per-query numbers from the LAST committed artifact
+    // are loaded up front, and any query measuring >1.3× its prior
+    // (and >0.2 s absolute — sub-noise deltas on 0.1 s queries are
+    // not evidence) is re-measured min-of-3 IN ITS OWN PHASE before
+    // the artifact is written. A genuine regression survives the
+    // re-runs; a load spike doesn't. Notes go to stderr — stdout must
+    // stay one JSON line inside the driver's tail window.
+    val priorQ: Map[String, Double] =
+      if (Files.exists(Paths.get(outPath)))
+        parsePriorQueries(new String(Files.readAllBytes(Paths.get(outPath)), StandardCharsets.UTF_8))
+      else Map.empty
+
+    // Diagnostic knob (d6 drift adjudication, round 14): extra
+    // un-measured warmup runs per query. Default 1 — the committed
+    // protocol; raising it distinguishes "suite accumulation" from
+    // "fresh-context JIT not yet warm" for the first queries of the
+    // isolated iterative phase.
+    val warmups = sys.env.get("SPARK_GRAFT_BENCH_WARMUPS").map(_.toInt).getOrElse(1)
+
     def runPhase(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       qs.map { case (name, fn) =>
         scrub()
-        timeOnce(fn) // warmup: JIT, code cache, file-index caches
+        (1 to warmups).foreach(_ => timeOnce(fn)) // warmup: JIT, code cache, file-index caches
         val measured = (timeOnce(fn), timeOnce(fn)) match {
           case (Right(a), Right(b)) => Right(math.min(a, b))
           case (Left(e), _)         => Left(e)
           case (_, Left(e))         => Left(e)
         }
-        name -> measured
+        val checked = measured match {
+          case Right(v) if needsRerun(priorQ.get(name), v) =>
+            val reruns = Seq.fill(3)(timeOnce(fn)).collect { case Right(x) => x }
+            val best = if (reruns.isEmpty) v else math.min(v, reruns.min)
+            System.err.println(
+              f"bench: $name outlier ${priorQ(name)}%.2f->$v%.2f s; min-of-3 re-run -> $best%.2f s")
+            Right(best)
+          case other => other
+        }
+        name -> checked
       }
 
     val (iterative, oneJob) = selected.partition(q => IterativeQueries(q._1))

@@ -196,6 +196,26 @@ object CorpusOps {
         .orderBy(col("id"))
     },
 
+    // SemDeDup's ZERO-CONFIG form — runAuto derives the cell count
+    // from the corpus (k* = ⌈√n⌉, the measured n²/k + n·k optimum)
+    // and trains its own √n-cell quantizer (kmeansCentroids: hash-
+    // sampled seeds, argmax assignment, round-6 mean update, FIXED
+    // 2 iterations — every step a pure function of the data). The
+    // oracle replays the ENTIRE construction: the md5-ordered seed
+    // draw, both unrolled k-means iterations, the final argmax
+    // assignment with its cosine, the within-cell τ-pairs, the
+    // recursive duplicate closure, and the farthest-from-centroid
+    // retention rank. This gates the config a 100 TB user actually
+    // gets — d10 gates the pinned-quantizer form.
+    "d16_semdedup_auto" -> { (s, d) =>
+      graft.dedup.SemDeDup.runAuto(
+          t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+          minCos = 0.45, kmeansIters = 2)
+        .select(col("id"), col("cell"), col("cluster_rep"),
+          round(col("centroid_cos"), 6).as("centroid_cos"), col("kept"))
+        .orderBy(col("id"))
+    },
+
     // Duplicated-substring spans (Lee et al. 2022 recast to hashed
     // rolling windows): maximal per-doc character spans covered by
     // 40-char windows occurring >= 2 times corpus-wide, stride 10.
@@ -331,6 +351,45 @@ object CorpusOps {
       Dbscan.fromNeighbors(nodes,
           v5EpsGraph(s, d).select(col("a"), col("b")), minPts = 2)
         .orderBy(col("id"))
+    },
+
+    // The DBSCAN a 100 TB user actually gets: Dbscan.epsCluster's
+    // automatic ε-graph engine dispatch, oracle-gated on BOTH regimes
+    // at the SAME (τ, minPts) so the hash match proves the dispatch
+    // changes cost, never the clustering. The default arm takes the
+    // brute path (n ≤ maxBruteRows and the sampled candidate fraction
+    // at this gap-less τ exceeds denseFraction); the second arm pins
+    // maxBruteRows below n, forcing the LSH branch with the profile's
+    // recall-budget table count (maxExpectedMisses = 0.05 → a single
+    // dropped pair is 20-to-1 unlikely, and the whole pre-flight is
+    // deterministic hash sampling, so the outcome replays
+    // bit-identically across runs). One exact all-pairs replay in
+    // DuckDB gates both arms verbatim.
+    "v6_dbscan_auto" -> { (s, d) =>
+      import graft.ann.Dbscan
+      val vecs = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val brute = Dbscan.epsCluster(vecs, minCos = 0.45, minPts = 2, dim = 64)
+        .withColumn("regime", lit("brute"))
+      val lsh = Dbscan.epsCluster(vecs, minCos = 0.45, minPts = 2, dim = 64,
+          maxBruteRows = 100L)
+        .withColumn("regime", lit("lsh"))
+      brute.unionByName(lsh).orderBy(col("regime"), col("id"))
+    },
+
+    // d5's UN-PINNED form — every knob at its default, so the table
+    // count comes from the corpus itself (estimatePairCount's
+    // deterministic 2000-vector hash sample → tablesForRecall at the
+    // 0.05 expected-miss budget). This is the config a user who types
+    // nothing gets at ANY scale; the same exact all-pairs oracle as
+    // d5 gates it, so the hash match proves the sizing law's realized
+    // recall is 1.0 here, not just expected.
+    "d17_embed_neardup_auto" -> { (s, d) =>
+      Ann.cosineNearDupPairsLSH(
+          t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+          minCos = 0.45, dim = 64)
+        .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("a"), col("b"))
     },
 
     // JL random projection 64→16: Achlioptas ±1/√16 signs drawn from
@@ -1623,6 +1682,21 @@ object CorpusOps {
          |WHERE $cosineExpr >= 0.45
          |ORDER BY a, b""".stripMargin,
 
+    // identical exact all-pairs replay as d5 — the Spark side differs
+    // only in HOW it prunes (corpus-derived table count instead of the
+    // pinned 48), so a hash match proves the auto-sized index realizes
+    // recall 1.0, not just expects it
+    "d17_embed_neardup_auto" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS a, b.vec_id AS b, round($cosineExpr, 6) AS sim
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE $cosineExpr >= 0.45
+         |ORDER BY a, b""".stripMargin,
+
     // replays the whole SemDeDup structure: a3's cells + argmax
     // assignment, within-cell τ-pairs, d6's recursive closure, and
     // the farthest-from-centroid retention rank (ccos ASC, id ASC)
@@ -1678,6 +1752,88 @@ object CorpusOps {
          |  FROM j)
          |SELECT id, cell, cluster_rep, round(ccos, 6) AS centroid_cos, rn = 1 AS kept
          |FROM r ORDER BY id""".stripMargin,
+
+    // the zero-config SemDeDup, replayed END TO END: the ⌈√n⌉ cell
+    // count (computed from the corpus, not pinned), the md5-ordered
+    // seed draw, both unrolled k-means iterations (a5's recursion at
+    // a data-derived k), the final argmax assignment WITH its cosine,
+    // then d10's pair/closure/retention tail
+    "d16_semdedup_auto" -> {
+      def cn(i: Int) =
+        s"cn$i AS (SELECT cell, cvec, sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm FROM c$i)"
+      def assign(i: Int) =
+        s"""as$i AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, c.cell, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |      list_sum(list_transform(list_zip(v.embedding, c.cvec),
+           |        x -> CAST(x[1] AS DOUBLE) * x[2])) / (v.nrm * c.cnrm) DESC,
+           |      c.cell ASC) AS crank
+           |    FROM v CROSS JOIN cn${i - 1} c) WHERE crank = 1)""".stripMargin
+      def update(i: Int) =
+        s"""c$i AS (
+           |  SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+           |    SELECT a.cell, i AS pos, round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS m
+           |    FROM as$i a JOIN embeddings e USING (vec_id), (SELECT unnest(range(1, 65)) AS i)
+           |    GROUP BY a.cell, i) GROUP BY cell)""".stripMargin
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY
+         |        (CAST('0x' || substr(md5('km|' || CAST(vec_id AS VARCHAR)), 1, 15) AS UBIGINT))::BIGINT ASC,
+         |        vec_id ASC) - 1 AS cell
+         |    FROM embeddings)
+         |  WHERE cell < (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)),
+         |c0 AS (
+         |  SELECT s.cell, list_transform(e.embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+         |  FROM seeds s JOIN embeddings e USING (vec_id)),
+         |${cn(0)},
+         |${assign(1)},
+         |${update(1)},
+         |${cn(1)},
+         |${assign(2)},
+         |${update(2)},
+         |${cn(2)},
+         |csims AS (
+         |  SELECT v.vec_id, c.cell,
+         |    list_sum(list_transform(list_zip(v.embedding, c.cvec),
+         |      x -> CAST(x[1] AS DOUBLE) * x[2])) / (v.nrm * c.cnrm) AS csim,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_sum(list_transform(list_zip(v.embedding, c.cvec),
+         |        x -> CAST(x[1] AS DOUBLE) * x[2])) / (v.nrm * c.cnrm) DESC,
+         |      c.cell ASC) AS crank
+         |  FROM v CROSS JOIN cn2 c),
+         |assigned AS (SELECT vec_id, cell, csim AS ccos FROM csims WHERE crank = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM assigned aa
+         |  JOIN assigned ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+         |  JOIN v a ON a.vec_id = aa.vec_id
+         |  JOIN v b ON b.vec_id = ab.vec_id
+         |  WHERE $cosineExpr >= 0.45),
+         |edges AS (
+         |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+         |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS id, min(dst) AS cluster_rep FROM reach GROUP BY src),
+         |j AS (
+         |  SELECT asg.vec_id AS id, asg.cell,
+         |    coalesce(c.cluster_rep, asg.vec_id) AS cluster_rep, asg.ccos
+         |  FROM assigned asg LEFT JOIN comp c ON c.id = asg.vec_id),
+         |r AS (
+         |  SELECT id, cell, cluster_rep, ccos,
+         |    row_number() OVER (PARTITION BY cluster_rep
+         |      ORDER BY ccos ASC, id ASC) AS rn
+         |  FROM j)
+         |SELECT id, cell, cluster_rep, round(ccos, 6) AS centroid_cos, rn = 1 AS kept
+         |FROM r ORDER BY id""".stripMargin
+    },
 
     "v1_label_centroids" ->
       """SELECT label, i - 1 AS pos,
@@ -1777,6 +1933,55 @@ object CorpusOps {
          |LEFT JOIN corelab c ON c.id = e.vec_id
          |LEFT JOIN borderlab b ON b.id = e.vec_id
          |ORDER BY id""".stripMargin,
+
+    // v5's exact replay at (τ=0.45, minPts=2), emitted once per
+    // dispatch regime: both epsCluster arms must equal the SAME
+    // exact clustering — the dispatch is a cost decision only
+    "v6_dbscan_auto" ->
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  WHERE $cosineExpr >= 0.45),
+         |sym AS (SELECT a AS id, b AS nb FROM pairs
+         |        UNION ALL SELECT b, a FROM pairs),
+         |deg AS (SELECT id, count(*) AS n_nbrs FROM sym GROUP BY id),
+         |core AS (SELECT id FROM deg WHERE n_nbrs >= 1),
+         |ce AS (
+         |  SELECT p.a, p.b FROM pairs p
+         |  JOIN core ca ON ca.id = p.a JOIN core cb ON cb.id = p.b),
+         |edges AS (
+         |  SELECT a, b FROM ce UNION SELECT b, a FROM ce
+         |  UNION SELECT a, a FROM ce UNION SELECT b, b FROM ce),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS id, min(dst) AS cluster_rep FROM reach GROUP BY src),
+         |corelab AS (
+         |  SELECT c.id, coalesce(cp.cluster_rep, c.id) AS cluster
+         |  FROM core c LEFT JOIN comp cp ON cp.id = c.id),
+         |borderlab AS (
+         |  SELECT s.id, min(cl.cluster) AS cluster
+         |  FROM sym s JOIN corelab cl ON cl.id = s.nb
+         |  WHERE s.id NOT IN (SELECT id FROM core)
+         |  GROUP BY s.id)
+         |SELECT e.vec_id AS id,
+         |  coalesce(d.n_nbrs, 0) AS n_nbrs,
+         |  CASE WHEN c.id IS NOT NULL THEN 'core'
+         |       WHEN b.id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  coalesce(c.cluster, b.cluster, -1) AS cluster,
+         |  r.regime
+         |FROM embeddings e
+         |CROSS JOIN (SELECT unnest(['brute', 'lsh']) AS regime) r
+         |LEFT JOIN deg d ON d.id = e.vec_id
+         |LEFT JOIN corelab c ON c.id = e.vec_id
+         |LEFT JOIN borderlab b ON b.id = e.vec_id
+         |ORDER BY regime, id""".stripMargin,
 
     "v3_random_projection" ->
       """WITH proj AS (

@@ -50,9 +50,11 @@ object BenchScale {
     "s1_stream_tumbling", "s5_stream_upsert", "s9_stream_neardup",
     "v5_dbscan_lsh")
 
-  /** Sweep-only entries (not oracle queries — runAuto's k-means cells
-    * aren't SQL-expressible, so it can't join the Verify gate; its
-    * CORRECTNESS is spec-gated in SemDeDupSpec).
+  /** Sweep-only entries: runAuto at the bench tiers under its OWN
+    * key so the artifact's round-over-round comparison stays stable.
+    * (Correctness is no longer spec-only: `d16_semdedup_auto` in the
+    * Verify gate replays the whole √n-cell k-means construction in
+    * DuckDB.)
     */
   private val extraQueries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map("d10_semdedup_auto" -> { (s, d) =>

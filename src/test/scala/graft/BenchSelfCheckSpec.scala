@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's noise defense (round 12: a machine-load spike wrote a
+  * contaminated artifact that took a full round to adjudicate):
+  * queries measuring far above their prior committed number are
+  * re-measured min-of-3 before the artifact is written. These specs
+  * pin the trigger predicate and the prior-artifact parse — the two
+  * pieces a wrong implementation would silently break.
+  */
+final class BenchSelfCheckSpec extends AnyFunSuite {
+
+  test("needsRerun fires only past BOTH the ratio and absolute floors") {
+    assert(Bench.needsRerun(Some(1.0), 1.5))        // 1.5x and +0.5 s
+    assert(!Bench.needsRerun(Some(1.0), 1.25))      // under the 1.3x ratio
+    assert(!Bench.needsRerun(Some(0.10), 0.25))     // 2.5x but only +0.15 s
+    assert(Bench.needsRerun(Some(0.60), 0.85))      // 1.42x and +0.25 s
+    assert(!Bench.needsRerun(Some(2.0), 1.0))       // faster is never an outlier
+    assert(!Bench.needsRerun(None, 99.0))           // no prior, nothing to check
+  }
+
+  test("parsePriorQueries reads a BENCH.out line; non-query keys ride along") {
+    val line = """{"metric":"total","value":72.278,"unit":"sec","nq":130,""" +
+      """"queries":{"q1_pricing_summary":0.493,"d6_dedup_clusters":2.104},"sf":0.1}"""
+    val m = Bench.parsePriorQueries(line)
+    assert(m("q1_pricing_summary") == 0.493)
+    assert(m("d6_dedup_clusters") == 2.104)
+    assert(m("value") == 72.278) // harmless: never looked up by a query name
+    assert(m.get("unit").isEmpty) // non-numeric values don't parse as queries
+  }
+}

@@ -36,9 +36,17 @@ final class PlanAuditSpec extends SparkTestBase {
       "q52_skyline", // dominance is non-equi by nature; the NLJ sides
                      // are the broadcast sample-skyline / pruned
                      // candidate set (skyline-sized, never the table)
-      "v4_dbscan")   // exact ε-graph at an unselective τ is the a1
+      "v4_dbscan",   // exact ε-graph at an unselective τ is the a1
                      // brute-force shape: broadcast side, corpus
                      // never shuffles (LSH ≡-spec'd in DbscanSpec)
+      "v6_dbscan_auto",     // the auto dispatch's brute arm IS v4's
+                            // gated shape (taken only when n fits the
+                            // broadcast bound); the forced-LSH arm's
+                            // ε-graph is the d5 equi-join
+      "d16_semdedup_auto")  // d10's broadcast-quantizer argmax, at
+                            // k-means cells: row × cell scoring is a
+                            // broadcast product reduced map-side —
+                            // the corpus never shuffles for assignment
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
