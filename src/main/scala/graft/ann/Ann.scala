@@ -224,6 +224,34 @@ object Ann {
   /** See [[lshProfile]]. */
   final case class LshProfile(estPairs: Double, tables: Int, candidateFraction: Double)
 
+  /** EXACT candidate volume of a [[cosineNearDupPairsLSH]] config on
+    * THIS corpus — the vector-side analogue of
+    * `NgramJaccard.candidateVolume`: one sketch pass and one
+    * group-by, linear in `tables × n`, no pair ever materialized.
+    * Where [[lshProfile]]'s `candidateFraction` is a sampled
+    * ESTIMATE of the distinct-pair collision probability, this is
+    * the exact MULTISET count Σ c·(c−1)/2 over every (table, bucket)
+    * — the number of fused dot products the join will actually
+    * evaluate (cross-table re-collisions included, exactly as the
+    * join pays for them). The two agree within the multiplicity of
+    * true near-dups (few, by definition at a selective τ), so either
+    * can veto a config; this one also surfaces `max_bucket`, the
+    * skew bound on a single join task. One row:
+    * (bucket_rows, distinct_buckets, max_bucket, candidate_volume).
+    * `candidate_volume` stays in Long arithmetic end to end for the
+    * same ~1e15-regime reason as the n-gram form.
+    */
+  def lshCandidateVolume(df: DataFrame, dim: Int, planes: Int,
+                         tables: Int, seed: Long = 42L): DataFrame =
+    df.select(posexplode(
+        graft.functions.HyperplaneSketches(col("vec"), dim, planes, tables, seed))
+        .as(Seq("table", "bucket")))
+      .groupBy(col("table"), col("bucket")).agg(count(lit(1)).as("len"))
+      .agg(sum(col("len")).as("bucket_rows"),
+        count(lit(1)).as("distinct_buckets"),
+        max(col("len")).as("max_bucket"),
+        sum(expr("len * (len - 1) DIV 2")).as("candidate_volume"))
+
   /** LSH-bucketed approximate top-k: the standard L-table structure.
     * Each of `tables` independent hash tables assigns every vector a
     * `planes`-bit hyperplane-sign bucket; only (query, corpus) pairs

@@ -324,4 +324,25 @@ final class AnnSpec extends SparkTestBase {
     assert(selective.candidateFraction < 0.5,
       s"selective regime should look sparse: $selective")
   }
+
+  test("lshCandidateVolume: exact multiset collision count, vs an independent join") {
+    val (dim, planes, tables, seed) = (64, 6, 4, 42L)
+    val row = Ann.lshCandidateVolume(vecs, dim, planes, tables, seed).collect().head
+    val n = vecs.count()
+    assert(row.getAs[Long]("bucket_rows") == tables * n)
+    assert(row.getAs[Long]("max_bucket") >= 1)
+    // independent count: materialize the same config's bucket
+    // collisions as an actual (table, bucket) self-join and count the
+    // a < b rows — the multiset of dot products the pair join pays for
+    val sketched = vecs.select(col("id"), posexplode(
+        graft.functions.HyperplaneSketches(col("vec"), dim, planes, tables, seed))
+        .as(Seq("table", "bucket")))
+    val joined = sketched.select(col("table"), col("bucket"), col("id").as("a"))
+      .join(sketched.select(col("table"), col("bucket"), col("id").as("b")),
+        Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .count()
+    assert(row.getAs[Long]("candidate_volume") == joined,
+      s"aggregate said ${row.getAs[Long]("candidate_volume")}, join counted $joined")
+  }
 }
