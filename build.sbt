@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JIT code cache (JDK 17 default 240m). A long bench suite generates
+  // thousands of codegen classes; at 240m the cache saturates mid-suite
+  // and iterative queries run partially deoptimized (SCALE.md: g1 at sf1
+  // 13.97 s in-suite vs 5.70 s solo at 240m; 6.27 s in-suite at 1g —
+  // suite ≡ solo once the cache fits). 1g is reserved address space,
+  // committed only as generated code actually fills it.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

@@ -580,11 +580,36 @@ object Ann {
     * pre-flight actions (a count and a 2000-vector sampled pair
     * estimate) to size the index to the corpus. Gate/bench configs
     * pin an explicit count and stay pure plan construction.
+    *
+    * `maxCandidateVolume` is the same loud-refusal guard as
+    * `NgramJaccard.pairs`: when set below `Long.MaxValue`, one extra
+    * linear pre-flight ([[lshCandidateVolume]] — exact, one sketch
+    * pass) counts the dot products the bucket join would evaluate
+    * and throws if the corpus is on the gap-less side of the cliff
+    * (SCALE.md: at τ with no similarity gap, candidates are a
+    * constant fraction of n²/2 NO MATTER the table sizing — the
+    * measured 82% at the d5 gate; at a selective τ the same config
+    * prunes 5–70×, SPOTCHECK_tau.txt). The default keeps the call
+    * pure plan construction.
     */
   def cosineNearDupPairsLSH(df: DataFrame, minCos: Double, dim: Int,
                             planes: Int = 10, tables: Int = -1,
-                            seed: Long = 42L): DataFrame = {
+                            seed: Long = 42L,
+                            maxCandidateVolume: Long = Long.MaxValue): DataFrame = {
     val nTables = if (tables > 0) tables else autoTables(df, minCos, planes, seed)
+    if (maxCandidateVolume < Long.MaxValue) {
+      val r = lshCandidateVolume(df, dim, planes, nTables, seed).collect().head
+      val vol = r.getAs[Long]("candidate_volume")
+      if (vol > maxCandidateVolume)
+        throw new IllegalStateException(
+          s"cosineNearDupPairsLSH pre-flight: bucket-join candidate volume $vol exceeds " +
+          s"maxCandidateVolume=$maxCandidateVolume ($nTables tables × $planes planes, " +
+          s"max bucket ${r.getAs[Long]("max_bucket")}). At this τ the corpus has no " +
+          "similarity gap — candidates are a constant fraction of all pairs however the " +
+          "index is sized. Raise τ to a selective threshold (candidates then track TRUE " +
+          "pairs — SPOTCHECK_tau.txt), add planes per table, use SemDeDup.runAuto " +
+          "(cell-bounded, n^1.5 total work), or raise the budget.")
+    }
     // Vectors ride INTO the bucket rows and collisions are scored
     // inline, so only τ-SURVIVORS ever reach a pair-level shuffle.
     // The shuffled volume is tables × n rows (each carrying one

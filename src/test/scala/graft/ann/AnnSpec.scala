@@ -325,6 +325,22 @@ final class AnnSpec extends SparkTestBase {
       s"selective regime should look sparse: $selective")
   }
 
+  test("near-dup pre-flight guard refuses a gap-less-τ candidate sweep") {
+    // at τ=0.1 on the isotropic fixture every bucket collision is a
+    // candidate the filter can't prune early — the gap-less regime in
+    // miniature; the guard names the measured volume and the outs
+    val e = intercept[IllegalStateException] {
+      Ann.cosineNearDupPairsLSH(vecs, minCos = 0.1, dim = 64, planes = 4,
+        tables = 8, maxCandidateVolume = 10L)
+    }
+    assert(e.getMessage.contains("candidate volume"))
+    assert(e.getMessage.contains("SemDeDup.runAuto"))
+    // same config, default budget: pure plan construction, completes
+    val n = Ann.cosineNearDupPairsLSH(vecs, minCos = 0.1, dim = 64, planes = 4,
+      tables = 8).count()
+    assert(n > 0)
+  }
+
   test("lshCandidateVolume: exact multiset collision count, vs an independent join") {
     val (dim, planes, tables, seed) = (64, 6, 4, 42L)
     val row = Ann.lshCandidateVolume(vecs, dim, planes, tables, seed).collect().head
