@@ -147,7 +147,17 @@ object BenchScale {
     val errs = results.collect { case (k, Left(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    val line = s"""{"sf":$sf,"total":${s2(total)},"queries":$qs$errJson}"""
+    // Self-describe the JIT code-cache size: round 14's A/B showed it
+    // changes iterative-query numbers by >2× (SCALE.md), so a tier
+    // line without it is ambiguous. ("code_cache" has no 'q', so the
+    // comparison parse above — dropWhile(_ != 'q') — is unaffected.)
+    val codeCache = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.collectFirst {
+        case s: String if s.startsWith("-XX:ReservedCodeCacheSize=") =>
+          s.stripPrefix("-XX:ReservedCodeCacheSize=")
+      }
+    val ccJson = codeCache.map(c => s""""code_cache":"${esc(c)}",""").getOrElse("")
+    val line = s"""{"sf":$sf,$ccJson"total":${s2(total)},"queries":$qs$errJson}"""
 
     // round-over-round: compare against the LAST line for the same sf
     val path = Paths.get(out)
