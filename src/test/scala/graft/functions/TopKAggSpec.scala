@@ -31,6 +31,32 @@ final class TopKAggSpec extends SparkTestBase {
     assert(viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("payload variant equals the window formulation and carries the payload intact") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+    // payload = o_shippriority-as-long riding along, never ordered on
+    val viaAgg = orders
+      .groupBy(col("o_custkey"))
+      .agg(TopKPayloadAgg(col("o_totalprice"), col("o_orderkey"),
+        col("o_custkey") * 1000 + col("o_orderkey") % 1000, 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("rank0", "st")))
+      .select(col("o_custkey"), col("st.tag").as("o_orderkey"),
+        col("st.payload").as("payload"), (col("rank0") + 1).as("rank"))
+
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = orders
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("o_custkey") * 1000 + col("o_orderkey") % 1000).as("payload"),
+        col("rank"))
+
+    assert(viaAgg.count() == viaWindow.count())
+    assert(viaAgg.exceptAll(viaWindow).isEmpty)
+    assert(viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
   test("partial aggregation bound holds under repartitioning") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .repartition(13)

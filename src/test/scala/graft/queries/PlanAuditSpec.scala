@@ -77,8 +77,12 @@ final class PlanAuditSpec extends SparkTestBase {
   //   - a3/d10: the IVF/SemDeDup coarse quantizer — the aggregate is
   //     keyed by cell, whose cardinality is the k-means parameter k
   //     (centroids are k×dim by construction), a config constant
+  //   - r1: the item-support table — the hint is dispatch-guarded: a
+  //     scan-only approx-distinct pre-flight proves the catalog under
+  //     a fixed row bound before the hint is applied (SMJ above it),
+  //     so the build side is bounded by construction
   private val keyedBroadcastOk =
-    Set("e5_anomaly", "a3_ann_ivf", "d10_semdedup")
+    Set("e5_anomaly", "a3_ann_ivf", "d10_semdedup", "r1_item_similarity")
 
   test("no broadcast hint on an unbounded aggregate (full registry)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
