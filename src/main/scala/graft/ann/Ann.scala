@@ -39,12 +39,31 @@ object Ann {
       .join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("sim",
         VectorOps.cosinePre(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("nbr_id").asc)
+    // bounded map-side top-k (TopKAgg), not a row_number window: the
+    // window would shuffle + totally sort the |corpus|×|queries|
+    // scored product; the aggregator ships ≤k rows per query per
+    // partition (same (sim desc, nbr_id asc) order)
+    topK(scored, k)
+  }
+
+  // shared tail of every top-k search: per-query bounded aggregation
+  // over (query_id, nbr_id, sim) candidates → (query_id, nbr_id,
+  // sim, rank), ranked (sim desc, nbr_id asc) exactly like the
+  // row_number window it replaces. `dedupTags` additionally keeps one
+  // (best) entry per nbr — subsuming a dropDuplicates(query, nbr)
+  // that would otherwise shuffle the candidate multiset with its
+  // wide vector payloads still attached.
+  private def topK(scored: DataFrame, k: Int,
+                   dedup: Boolean = false): DataFrame = {
+    val agg =
+      if (dedup) graft.functions.TopKAgg.distinct(col("sim"), col("nbr_id"), k)
+      else graft.functions.TopKAgg(col("sim"), col("nbr_id"), k)
     scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+      .groupBy(col("query_id"))
+      .agg(agg.as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.tag").as("nbr_id"),
+        col("t.score").as("sim"), (col("pos") + 1).as("rank"))
   }
 
   /** Two-stage SQ8 search: stage 1 ranks every (query, corpus) pair
@@ -80,27 +99,25 @@ object Ann {
     // interprets its lambdas — stage 1 touches every (query, corpus)
     // pair, so it gets the same fused-loop treatment as the float path
     val intDot = graft.functions.IntDotProduct(col("qq"), col("cq"))
-    val wR = Window.partitionBy(col("query_id"))
-      .orderBy(col("qsim").desc, col("nbr_id").asc)
+    // stage-1 candidate cut is a bounded aggregation (TopKAgg), not a
+    // window: the window would shuffle + sort the full quantized
+    // product; the aggregator ships ≤rerank rows per query per
+    // partition
     val cands = cIdx.join(broadcast(qIdx), col("query_id") =!= col("nbr_id"))
       .withColumn("qsim", intDot.cast("double") * col("qscale") * col("cscale") /
         (col("qnorm") * col("cnorm")))
-      .withColumn("crank", row_number().over(wR))
-      .filter(col("crank") <= rerank)
-      .select(col("query_id"), col("nbr_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg(col("qsim"), col("nbr_id"), rerank).as("top"))
+      .select(col("query_id"), explode(col("top.tag")).as("nbr_id"))
     // stage 2: bare (query, nbr) ids pull full vectors back in
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("nbr_id").asc)
-    cands
+    val rescored = cands
       .join(c.select(col("id").as("nbr_id"), col("vec").as("cvec"),
         col("nrm").as("cnorm")), Seq("nbr_id"))
       .join(broadcast(q.select(col("id").as("query_id"), col("vec").as("qv"),
         col("nrm").as("qnorm"))), Seq("query_id"))
       .withColumn("sim",
         VectorOps.cosinePre(col("qv"), col("cvec"), col("qnorm"), col("cnorm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+    topK(rescored, k)
   }
 
   /** Table count needed to hold the hyperplane-LSH recall budget at a
@@ -285,18 +302,17 @@ object Ann {
     }
     val c = indexed(corpus, "nbr_id", "cvec", "cnorm", probe = false)
     val q = indexed(queries, "query_id", "qvec", "qnorm", probe = multiProbe)
+    // scoring is inline (a repeated collision re-evaluates its fused
+    // dot — map-side CPU) and the multi-table dedup rides the top-k
+    // aggregation itself (TopKAgg.distinct keeps one entry per nbr):
+    // the old dropDuplicates + window pair shuffled the candidate
+    // multiset twice, still carrying both vector arrays
     val scored = c
       .join(broadcast(q), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
-      .dropDuplicates("query_id", "nbr_id")
       .withColumn("sim",
         VectorOps.cosinePre(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("nbr_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+    topK(scored, k, dedup = true)
   }
 
   /** Thresholded kNN graph via LSH: for EVERY vector, its top-k
@@ -341,12 +357,10 @@ object Ann {
       .select(col("a").as("query_id"), col("b").as("nbr_id"), col("sim"))
       .unionByName(undirected
         .select(col("b").as("query_id"), col("a").as("nbr_id"), col("sim")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("nbr_id").asc)
-    directed
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+    // bounded aggregation, not a window: the window would totally
+    // sort both directions of the survivor graph; TopKAgg ships ≤k
+    // rows per vector per partition
+    topK(directed, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a coarse quantizer — a
@@ -495,16 +509,16 @@ object Ann {
     val c = assignments.select(col("cell"), col("id").as("nbr_id"),
       col("vec").as("cvec"), col("nrm").as("cnorm"))
     val q = assignN(queries, centroids, nprobe, "query_id", "qvec", "qnorm")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("nbr_id").asc)
-    c.join(broadcast(q), Seq("cell"))
+    // (query, nbr) pairs are unique by construction (each nbr lives
+    // in exactly one cell and a query's probe cells are distinct) —
+    // the dedup in TopKAgg.distinct is defensive; either way the old
+    // dropDuplicates + window double shuffle collapses into one
+    // bounded aggregation
+    val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
-      .dropDuplicates("query_id", "nbr_id")
       .withColumn("sim",
         VectorOps.cosinePre(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+    topK(scored, k, dedup = true)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,

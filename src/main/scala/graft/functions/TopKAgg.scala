@@ -15,25 +15,38 @@ import org.apache.spark.sql.expressions.Aggregator
   * wire — the right plan when k ≪ rows-per-key, the usual 100 TB
   * top-k case.
   *
+  * `dedupTags = true` additionally keeps at most one entry per tag
+  * (the best-scored one) — it subsumes a
+  * `dropDuplicates(key, tag)` ahead of the top-k, which would
+  * otherwise shuffle the full candidate multiset (with whatever wide
+  * payload columns it carries) just to dedup before ranking.
+  *
   * Result: array of (score, tag) structs, best first; descending
   * score with ascending-tag tie-break for determinism.
   */
-final class TopKAgg(k: Int)
+final class TopKAgg(k: Int, dedupTags: Boolean = false)
     extends Aggregator[ScoredTag, Seq[ScoredTag], Seq[ScoredTag]] {
   require(k > 0)
 
   private def better(a: ScoredTag, b: ScoredTag): Boolean =
     a.score > b.score || (a.score == b.score && a.tag < b.tag)
 
+  private def cap(s: Seq[ScoredTag]): Seq[ScoredTag] = {
+    val sorted = s.sortWith(better)
+    (if (dedupTags) sorted.distinctBy(_.tag) else sorted).take(k)
+  }
+
   override def zero: Seq[ScoredTag] = Vector.empty
 
   override def reduce(buf: Seq[ScoredTag], v: ScoredTag): Seq[ScoredTag] = {
+    // a full buffer whose worst member beats v can only absorb v as a
+    // duplicate-or-worse — safe to reject without looking at tags
     if (buf.length == k && better(buf.last, v)) buf
-    else ((v +: buf).sortWith(better)).take(k)
+    else cap(v +: buf)
   }
 
   override def merge(a: Seq[ScoredTag], b: Seq[ScoredTag]): Seq[ScoredTag] =
-    (a ++ b).sortWith(better).take(k)
+    cap(a ++ b)
 
   override def finish(buf: Seq[ScoredTag]): Seq[ScoredTag] = buf
 
@@ -50,6 +63,16 @@ object TopKAgg {
   /** `top_k(score, tag, k)` column: array<struct<score,tag>>. */
   def apply(score: Column, tag: Column, k: Int): Column = {
     val agg = new TopKAgg(k)
+    org.apache.spark.sql.functions
+      .udaf(agg, Encoders.product[ScoredTag])
+      .apply(score, tag)
+  }
+
+  /** Top-k with at most one (best) entry per tag — replaces
+    * `dropDuplicates(key, tag)` + window in one bounded aggregation.
+    */
+  def distinct(score: Column, tag: Column, k: Int): Column = {
+    val agg = new TopKAgg(k, dedupTags = true)
     org.apache.spark.sql.functions
       .udaf(agg, Encoders.product[ScoredTag])
       .apply(score, tag)

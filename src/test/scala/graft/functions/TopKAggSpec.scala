@@ -57,6 +57,31 @@ final class TopKAggSpec extends SparkTestBase {
     assert(viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("distinct variant equals dropDuplicates + window on a duplicated multiset") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    // triplicate every row — the LSH multi-table collision shape
+    val dup = orders.withColumn("copy", explode(array(lit(1), lit(2), lit(3))))
+
+    val viaAgg = dup
+      .groupBy(col("o_custkey"))
+      .agg(TopKAgg.distinct(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("rank0", "st")))
+      .select(col("o_custkey"), col("st.tag").as("o_orderkey"),
+        (col("rank0") + 1).as("rank"))
+
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = dup
+      .dropDuplicates("o_custkey", "o_orderkey")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+
+    assert(viaAgg.count() == viaWindow.count())
+    assert(viaAgg.exceptAll(viaWindow).isEmpty)
+    assert(viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
   test("partial aggregation bound holds under repartitioning") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .repartition(13)
