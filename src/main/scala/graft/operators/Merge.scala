@@ -56,20 +56,27 @@ object Merge {
     * the result, so a later re-insert after a delete resurrects the
     * key naturally.
     *
-    * Scale shape: one hash shuffle on the key feeding a partial
-    * TakeOrdered-style window (row_number, rn=1) — the standard
-    * "compact the changelog" reduction Debezium/Delta CDF consumers
-    * run; no driver-side state, AQE-skew-splittable.
+    * Scale shape: one `max_by(struct(values), seq)` hash aggregation
+    * on the key — the standard "compact the changelog" reduction
+    * Debezium/Delta CDF consumers run, but with a map-side partial
+    * combine: a hot key's burst of updates collapses to one row per
+    * partition BEFORE the exchange, where the equivalent
+    * `row_number() = 1` window would shuffle and sort every entry.
+    * No driver-side state; (key, seq) uniqueness (the CDC contract
+    * above) makes the two formulations row-identical.
     */
   def applyChangelog(changelog: DataFrame, keyCols: Seq[String],
                      seqCol: String, opCol: String,
                      deleteOp: String = "D"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
-    changelog
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
-      .drop("__rn", opCol)
+    val valueCols = changelog.columns.filterNot(keyCols.contains)
+    val winner = changelog
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), col(seqCol)).as("__w"))
+      .select(keyCols.map(col) ++
+        valueCols.map(c => col(s"__w.`$c`").as(c)): _*)
+    winner
+      .filter(col(opCol) =!= deleteOp)
+      .select(changelog.columns.filterNot(_ == opCol).map(col).toIndexedSeq: _*)
   }
 
   /** CDC apply over a base snapshot: base rows behave as seq = −∞

@@ -728,10 +728,13 @@ object CorpusOps {
     },
 
     // TF-IDF top terms per document: term frequency × inverse
-    // document frequency, windowed top-3 per doc with deterministic
+    // document frequency, top-3 per doc with deterministic
     // tie-breaks. DF/TF are exact ints; idf/score rounded to 6.
+    // Top-3 is a bounded map-side aggregation (TopTermsAgg, ≤3 rows
+    // per doc per partition on the wire), not a row_number window —
+    // the window would shuffle + totally sort the full (doc, term)
+    // relation, which is token-type-sized at corpus scale.
     "t6_tfidf_top_terms" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
       val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       // corpus size as a broadcast 1-row scalar, NOT a driver-side
@@ -740,8 +743,6 @@ object CorpusOps {
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = toks.select(col("doc_id"), col("term")).distinct()
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("term").asc)
       // un-hinted term join: df is an unbounded per-term aggregate
       // (same scale hazard as t11's vocab) — let AQE pick broadcast
       // only when the measured build side is actually small
@@ -749,9 +750,13 @@ object CorpusOps {
         .crossJoin(broadcast(nDocs))
         .withColumn("score",
           round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.TopTermsAgg(
+          col("score"), col("term"), col("tf"), col("df"), 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"),
+          col("t.df").as("df"), col("t.score").as("score"),
+          (col("pos") + 1).as("rank"))
         .orderBy(col("doc_id"), col("rank"))
     },
 
