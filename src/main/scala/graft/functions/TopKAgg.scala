@@ -123,47 +123,3 @@ object TopKPayloadAgg {
       .apply(score, tag, payload)
   }
 }
-
-/** The [[TopKAgg]] contract for STRING-tagged rows with two longs
-  * riding along — the per-document "top k terms" reduction of the
-  * text family (t6 keeps (term, tf, df) per kept term). Ranking is
-  * (score desc, term asc); the string tie-break matches the window's
-  * ascending string sort (both are java.lang.String comparison).
-  */
-final class TopTermsAgg(k: Int)
-    extends Aggregator[ScoredTerm, Seq[ScoredTerm], Seq[ScoredTerm]] {
-  require(k > 0)
-
-  private def better(a: ScoredTerm, b: ScoredTerm): Boolean =
-    a.score > b.score || (a.score == b.score && a.term < b.term)
-
-  override def zero: Seq[ScoredTerm] = Vector.empty
-
-  override def reduce(buf: Seq[ScoredTerm], v: ScoredTerm): Seq[ScoredTerm] = {
-    if (buf.length == k && better(buf.last, v)) buf
-    else ((v +: buf).sortWith(better)).take(k)
-  }
-
-  override def merge(a: Seq[ScoredTerm], b: Seq[ScoredTerm]): Seq[ScoredTerm] =
-    (a ++ b).sortWith(better).take(k)
-
-  override def finish(buf: Seq[ScoredTerm]): Seq[ScoredTerm] = buf
-
-  override def bufferEncoder: Encoder[Seq[ScoredTerm]] =
-    ExpressionEncoder[Seq[ScoredTerm]]()
-
-  override def outputEncoder: Encoder[Seq[ScoredTerm]] =
-    ExpressionEncoder[Seq[ScoredTerm]]()
-}
-
-final case class ScoredTerm(score: Double, term: String, tf: Long, df: Long)
-
-object TopTermsAgg {
-  /** `top_terms(score, term, tf, df, k)`: array<struct<score,term,tf,df>>. */
-  def apply(score: Column, term: Column, tf: Column, df: Column, k: Int): Column = {
-    val agg = new TopTermsAgg(k)
-    org.apache.spark.sql.functions
-      .udaf(agg, Encoders.product[ScoredTerm])
-      .apply(score, term, tf, df)
-  }
-}

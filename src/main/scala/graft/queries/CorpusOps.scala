@@ -728,13 +728,18 @@ object CorpusOps {
     },
 
     // TF-IDF top terms per document: term frequency × inverse
-    // document frequency, top-3 per doc with deterministic
+    // document frequency, windowed top-3 per doc with deterministic
     // tie-breaks. DF/TF are exact ints; idf/score rounded to 6.
-    // Top-3 is a bounded map-side aggregation (TopTermsAgg, ≤3 rows
-    // per doc per partition on the wire), not a row_number window —
-    // the window would shuffle + totally sort the full (doc, term)
-    // relation, which is token-type-sized at corpus scale.
+    // Deliberately a window, NOT a TopKAgg-style bounded aggregation:
+    // the scored relation arrives hash-partitioned by (doc, term), so
+    // each doc's terms are spread across every partition (~1–2 rows
+    // per doc per partition) and partial aggregation reduces nothing
+    // — measured 2.2× slower than the window at sf0.1. The bounded
+    // form wins only where rows-per-key-per-partition ≫ k (r1, the
+    // ANN tails); here the window's one narrow exchange + sort is
+    // the floor.
     "t6_tfidf_top_terms" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
       val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       // corpus size as a broadcast 1-row scalar, NOT a driver-side
@@ -743,6 +748,8 @@ object CorpusOps {
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = toks.select(col("doc_id"), col("term")).distinct()
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
       // un-hinted term join: df is an unbounded per-term aggregate
       // (same scale hazard as t11's vocab) — let AQE pick broadcast
       // only when the measured build side is actually small
@@ -750,13 +757,9 @@ object CorpusOps {
         .crossJoin(broadcast(nDocs))
         .withColumn("score",
           round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
-        .groupBy(col("doc_id"))
-        .agg(graft.functions.TopTermsAgg(
-          col("score"), col("term"), col("tf"), col("df"), 3).as("top"))
-        .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"),
-          col("t.df").as("df"), col("t.score").as("score"),
-          (col("pos") + 1).as("rank"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
         .orderBy(col("doc_id"), col("rank"))
     },
 

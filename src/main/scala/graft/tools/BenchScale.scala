@@ -123,7 +123,12 @@ object BenchScale {
     // scheduler tax — same protocol as graft.Bench (its scaladoc has
     // the measurement; this suite is where the 31.5-vs-7.7 s g1
     // distortion was first observed).
-    val selected = if (only.isEmpty) scaleQueries else scaleQueries.filter(only)
+    // a filtered probe may name ANY registry query, not just sweep
+    // members (the artifact append is skipped either way)
+    val selected =
+      if (only.isEmpty) scaleQueries
+      else (scaleQueries ++ graft.SparkEntry.queries.keys.toSeq.sorted)
+        .distinct.filter(only)
     val (iterative, oneJob) = selected.partition(graft.Bench.IterativeQueries)
     val oneJobResults = oneJob.map(runOne(_))
     val iterResults = if (iterative.isEmpty) Nil else {
