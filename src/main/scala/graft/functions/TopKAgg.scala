@@ -123,3 +123,42 @@ object TopKPayloadAgg {
       .apply(score, tag, payload)
   }
 }
+
+/** Bounded bottom-k over LONGS — the KMV/bottom-k-sketch building
+  * block. A double-scored [[TopKAgg]] cannot hold 60-bit hash values
+  * exactly (doubles lose integer precision past 2^53), so the k
+  * minima keep native long ordering end to end. Output: ascending
+  * array of the k smallest values. Same partial-aggregation contract
+  * as TopKAgg: ≤k longs per key per partition cross the wire, where
+  * the window form sorts the whole relation inside each key's single
+  * partition — for a 3-flag KMV over a corpus-sized distinct-hash
+  * relation that is 3 tasks sorting everything.
+  */
+final class BottomKAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  require(k > 0)
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(buf: Seq[Long], v: Long): Seq[Long] = {
+    if (buf.length == k && buf.last < v) buf
+    else ((v +: buf).sorted).take(k)
+  }
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).sorted.take(k)
+
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
+object BottomKAgg {
+  /** `bottom_k(x, k)`: ascending array<long> of the k smallest x. */
+  def apply(x: Column, k: Int): Column = {
+    val agg = new BottomKAgg(k)
+    org.apache.spark.sql.functions
+      .udaf(agg, Encoders.scalaLong)
+      .apply(x)
+  }
+}

@@ -559,11 +559,15 @@ object Relational {
     // partitions independently and a coordinator merge fixed-size
     // state. Deterministic md5 hashing (the q28/d4 bridge) means the
     // oracle replays every register; the kmin digest pins the whole
-    // sketch, not just the estimate. The merge window is global but
-    // runs over ≤ flags×k rows — sketch-sized, never corpus-sized.
+    // sketch, not just the estimate. Bottom-k is a bounded map-side
+    // aggregation (BottomKAgg — the sketch-building reduction
+    // itself): the window form would sort the whole corpus-sized
+    // distinct-hash relation inside each flag's single partition —
+    // with 3 flags, 3 tasks sorting everything; the aggregator ships
+    // ≤k longs per flag per partition. The ALL row merges the
+    // per-flag k-min sets the same way (≤ flags×k input rows).
     "q43_kmv_distinct" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.Md5Bucket60
+      import graft.functions.{BottomKAgg, Md5Bucket60}
       val k  = 64
       val li = t(s, d, "lineitem")
       val hashed = li.select(
@@ -571,14 +575,15 @@ object Relational {
           Md5Bucket60(concat_ws("|", lit("q43"),
             col("l_partkey").cast("string"))).as("h"))
         .distinct()
-      val byH = Window.partitionBy(col("scope")).orderBy(col("h"))
       val mins = hashed
-        .withColumn("rn", row_number().over(byH))
-        .filter(col("rn") <= k)
+        .groupBy(col("scope"))
+        .agg(BottomKAgg(col("h"), k).as("kmin"))
+        .select(col("scope"), posexplode(col("kmin")).as(Seq("pos", "h")))
+        .select(col("scope"), col("h"), (col("pos") + 1).as("rn"))
       val allMins = mins.select(col("h")).distinct()
-        .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
-        .filter(col("rn") <= k)
-        .select(lit("ALL").as("scope"), col("h"), col("rn"))
+        .agg(BottomKAgg(col("h"), k).as("kmin"))
+        .select(posexplode(col("kmin")).as(Seq("pos", "h")))
+        .select(lit("ALL").as("scope"), col("h"), (col("pos") + 1).as("rn"))
       val sketches = mins.select(col("scope"), col("h"), col("rn"))
         .unionByName(allMins)
         .groupBy(col("scope"))

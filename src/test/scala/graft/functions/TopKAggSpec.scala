@@ -82,6 +82,26 @@ final class TopKAggSpec extends SparkTestBase {
     assert(viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("BottomKAgg equals the ascending window formulation on longs") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+    val viaAgg = orders
+      .groupBy(col("o_custkey"))
+      .agg(BottomKAgg(col("o_orderkey"), 3).as("kmin"))
+      .select(col("o_custkey"), posexplode(col("kmin")).as(Seq("pos", "o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"), (col("pos") + 1).as("rn"))
+
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey").asc)
+    val viaWindow = orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+
+    assert(viaAgg.count() == viaWindow.count())
+    assert(viaAgg.exceptAll(viaWindow).isEmpty)
+    assert(viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
   test("partial aggregation bound holds under repartitioning") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .repartition(13)
