@@ -57,11 +57,14 @@ object Bench {
 
   /** Whether a measured time is an outlier against the prior committed
     * artifact and must be re-measured min-of-3 before it is recorded:
-    * >1.3× the prior AND >0.2 s absolute (a 0.10 → 0.15 s delta is
-    * scheduler noise, not evidence). No prior → nothing to check.
+    * >1.3× the prior AND >0.05 s absolute. The absolute floor only
+    * screens genuine scheduler noise (a 0.02 → 0.04 s delta); it was
+    * 0.2 s through round 14, which waved 1.9× regressions on
+    * sub-0.5 s queries straight into the artifact (VERDICT r14).
+    * No prior → nothing to check.
     */
   def needsRerun(prior: Option[Double], measured: Double): Boolean =
-    prior.exists(p => measured > 1.3 * p && measured - p > 0.2)
+    prior.exists(p => measured > 1.3 * p && measured - p > 0.05)
 
   /** Per-query seconds parsed from a prior BENCH.out JSON line (the
     * non-query keys it also matches — value/nq/sf — are never looked
@@ -135,17 +138,42 @@ object Bench {
 
     // Self-checking bench (the round-12 lesson: a machine-load spike
     // wrote a contaminated artifact that took a full round to
-    // adjudicate): per-query numbers from the LAST committed artifact
-    // are loaded up front, and any query measuring >1.3× its prior
-    // (and >0.2 s absolute — sub-noise deltas on 0.1 s queries are
-    // not evidence) is re-measured min-of-3 IN ITS OWN PHASE before
-    // the artifact is written. A genuine regression survives the
-    // re-runs; a load spike doesn't. Notes go to stderr — stdout must
-    // stay one JSON line inside the driver's tail window.
-    val priorQ: Map[String, Double] =
-      if (Files.exists(Paths.get(outPath)))
-        parsePriorQueries(new String(Files.readAllBytes(Paths.get(outPath)), StandardCharsets.UTF_8))
-      else Map.empty
+    // adjudicate): per-query numbers from the LAST COMMITTED artifact
+    // (`git show HEAD:BENCH.out` — NOT the working-dir file, which any
+    // earlier bench run this round has already overwritten, exactly
+    // how the r14 gate artifact shipped with a 1.22× drift the check
+    // never saw) are loaded up front, and any query measuring >1.3×
+    // its prior (and >0.05 s absolute) is re-measured min-of-3 IN ITS
+    // OWN PHASE before the artifact is written. A genuine regression
+    // survives the re-runs; a load spike doesn't. Re-run-adjusted
+    // query names are recorded in the artifact (`"rerun"`) because
+    // the protocol is one-sided — only slower-than-prior numbers get
+    // the extra min'd runs — and an unmarked artifact would silently
+    // ratchet downward across rounds. Notes go to stderr — stdout
+    // must stay one JSON line inside the driver's tail window.
+    // SPARK_GRAFT_BENCH_PRIOR points the anchor at an explicit file
+    // for diagnosis (or "" to disable the check).
+    val priorQ: Map[String, Double] = {
+      def fromFile(p: String): Option[String] =
+        if (Files.exists(Paths.get(p)))
+          Some(new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8))
+        else None
+      def fromGitHead: Option[String] =
+        try {
+          import scala.sys.process._
+          val out = new StringBuilder
+          val rc = Process(Seq("git", "show", "HEAD:BENCH.out"))
+            .!(ProcessLogger(l => { out.append(l).append('\n') }, _ => ()))
+          if (rc == 0) Some(out.toString) else None
+        } catch { case NonFatal(_) => None }
+      val src = sys.env.get("SPARK_GRAFT_BENCH_PRIOR") match {
+        case Some("")   => None
+        case Some(path) => fromFile(path)
+        case None       => fromGitHead.orElse(fromFile(outPath))
+      }
+      src.map(parsePriorQueries).getOrElse(Map.empty)
+    }
+    val rerunAdjusted = scala.collection.mutable.SortedSet.empty[String]
 
     // Un-measured warmup runs per query. One-job queries keep the
     // historic single warmup. The isolated iterative phase gets 3:
@@ -173,6 +201,7 @@ object Bench {
           case Right(v) if needsRerun(priorQ.get(name), v) =>
             val reruns = Seq.fill(3)(timeOnce(fn)).collect { case Right(x) => x }
             val best = if (reruns.isEmpty) v else math.min(v, reruns.min)
+            rerunAdjusted += name
             System.err.println(
               f"bench: $name outlier ${priorQ(name)}%.2f->$v%.2f s; min-of-3 re-run -> $best%.2f s")
             Right(best)
@@ -213,19 +242,22 @@ object Bench {
       if (bd.scale <= 0) bd.toBigInteger.toString else bd.toPlainString
     }
 
-    // stdout carries the HEADLINE set (every LLM-data-family query +
-    // the flagship relational ones); the full 84-entry map lives in
-    // BENCH.out at 3 decimals. The driver's tail-capture window is
+    // stdout carries a BYTE-BUDGETED headline set; the full map lives
+    // in BENCH.out at 3 decimals. The driver's tail-capture window is
     // 2000 bytes (measured: BENCH_r0{1,2,3}.json all failed to parse
-    // with the full line just past it; r04 fit) and the whole line
-    // must survive it with sbt's success line appended — "nq" makes
-    // the omission explicit rather than silent.
+    // with the full line just past it; r04 fit — and r14 failed AGAIN
+    // because the "all non-q queries" rule grew past the window as
+    // the registry grew, dropping the total and a1–a5 mid-line).
+    // Entries are admitted in a fixed priority order — flagship
+    // relational queries, then the LLM-data families — and the loop
+    // stops BEFORE the line would cross the budget, so the artifact
+    // parses no matter how large the registry gets. "nq" vs the
+    // emitted entry count makes the omission explicit, and BENCH.out
+    // always has everything.
     val flagshipQ = Set("q1_pricing_summary", "q5_join_broadcast",
       "q7_anti_join_theta", "q17_snowflake_join", "q23_correlated_subquery",
       "q24_histogram", "q25_asof_join", "q26_range_join",
       "q35_topk_per_group", "q42_asof_native")
-    def headline(name: String): Boolean = !name.startsWith("q") || flagshipQ(name)
-
     def qJson(entries: Seq[(String, Either[String, Double])],
               fmt: Double => String): String =
       entries.map {
@@ -233,18 +265,44 @@ object Bench {
         case (k, Left(_))  => "\"" + k + "\":-1"
       }.mkString("{", ",", "}")
 
-    val qs     = qJson(results.filter(r => headline(r._1)), sec2)
     val qsFull = qJson(results, sec3)
     val errEntries = results.collect { case (k, Left(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
     val errors =
       if (errEntries.isEmpty) "" else errEntries.mkString(""","errors":{""", ",", "}")
+    val reruns =
+      if (rerunAdjusted.isEmpty) ""
+      else rerunAdjusted.map("\"" + _ + "\"").mkString(""","rerun":[""", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
     // numeric scale factor parsed from the directory name (sf0.1 -> 0.1)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val line =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.length},"queries":$qs$errors,"sf":$sf}"""
-    val fullLine =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.length},"queries":$qsFull$errors,"sf":$sf}"""
+    def mkLine(qs: String, nrerun: String): String =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.length},"queries":$qs$errors$nrerun,"sf":$sf}"""
+    // errored queries always make the headline (a -1 the driver can
+    // see beats a silent omission); then flagships; then the rest of
+    // the registry family-interleaved so every family surfaces its
+    // leading entries even when the budget cuts the tail
+    val priority: Seq[(String, Either[String, Double])] = {
+      val (errored, ok)  = results.partition(_._2.isLeft)
+      val (flag, rest)   = ok.partition(r => flagshipQ(r._1))
+      val fams = rest.groupBy(_._1.takeWhile(_.isLetter)).toSeq.sortBy(_._1)
+      // round-robin: rank i of every family before rank i+1 of any
+      val interleaved = fams.flatMap(_._2.zipWithIndex).sortBy(_._2).map(_._1)
+      errored ++ flag ++ interleaved
+    }
+    val nrerunTag = if (rerunAdjusted.isEmpty) "" else s""","nrerun":${rerunAdjusted.size}"""
+    val budget = 1700 // bytes; leaves headroom inside the 2000-byte window
+    val headline = {
+      var kept = Vector.empty[(String, Either[String, Double])]
+      var done = false
+      for (e <- priority if !done) {
+        val cand = (kept :+ e).sortBy(_._1)
+        if (mkLine(qJson(cand, sec2), nrerunTag).length <= budget) kept = kept :+ e
+        else done = true
+      }
+      kept.sortBy(_._1)
+    }
+    val line     = mkLine(qJson(headline, sec2), nrerunTag)
+    val fullLine = mkLine(qsFull, reruns)
     Files.write(Paths.get(outPath), (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
     // stop BEFORE printing: any shutdown warnings land above the JSON
     // line, so only sbt's one success line can follow it inside the

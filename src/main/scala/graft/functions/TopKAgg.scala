@@ -23,13 +23,23 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Result: array of (score, tag) structs, best first; descending
   * score with ascending-tag tie-break for determinism.
+  *
+  * Ordering is the TOTAL order `java.lang.Double.compare` (NaN
+  * greatest, matching Spark's own `desc` sort order), not primitive
+  * `>`/`==`: a NaN score — e.g. a zero-norm vector's cosine — is
+  * false under both primitive comparisons, which would make its
+  * placement depend on arrival order and let it slip past the
+  * full-buffer early-reject, diverging from the window formulation
+  * this aggregator replaces.
   */
 final class TopKAgg(k: Int, dedupTags: Boolean = false)
     extends Aggregator[ScoredTag, Seq[ScoredTag], Seq[ScoredTag]] {
   require(k > 0)
 
-  private def better(a: ScoredTag, b: ScoredTag): Boolean =
-    a.score > b.score || (a.score == b.score && a.tag < b.tag)
+  private def better(a: ScoredTag, b: ScoredTag): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.tag < b.tag)
+  }
 
   private def cap(s: Seq[ScoredTag]): Seq[ScoredTag] = {
     val sorted = s.sortWith(better)
@@ -90,8 +100,11 @@ final class TopKPayloadAgg(k: Int)
     extends Aggregator[ScoredTagP, Seq[ScoredTagP], Seq[ScoredTagP]] {
   require(k > 0)
 
-  private def better(a: ScoredTagP, b: ScoredTagP): Boolean =
-    a.score > b.score || (a.score == b.score && a.tag < b.tag)
+  // total order (NaN greatest, = Spark desc) — see TopKAgg scaladoc
+  private def better(a: ScoredTagP, b: ScoredTagP): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.tag < b.tag)
+  }
 
   override def zero: Seq[ScoredTagP] = Vector.empty
 

@@ -64,15 +64,33 @@ object Merge {
     * `row_number() = 1` window would shuffle and sort every entry.
     * No driver-side state; (key, seq) uniqueness (the CDC contract
     * above) makes the two formulations row-identical.
+    *
+    * A null `seqCol` ranks LOWEST (= the window form's `desc nulls
+    * last`): any non-null entry beats it, and a key whose entries are
+    * ALL null-seq still keeps a row (bare `max_by(v, seq)` would
+    * silently drop the key — max_by ignores rows whose ordering value
+    * is null). Which row wins among all-null ties is unspecified,
+    * exactly as it is for the window; the CDC contract makes seq
+    * non-null and (key, seq) unique, so neither case arises in
+    * conforming input.
+    *
+    * `keyCols` resolve against the changelog's columns
+    * CASE-INSENSITIVELY (matching Spark's default analyzer
+    * resolution) — a `KEY` spelled `key` must not leak into the
+    * value struct and come back as a duplicate output column.
     */
   def applyChangelog(changelog: DataFrame, keyCols: Seq[String],
                      seqCol: String, opCol: String,
                      deleteOp: String = "D"): DataFrame = {
-    val valueCols = changelog.columns.filterNot(keyCols.contains)
+    val resolvedKeys = keyCols.map(k =>
+      changelog.columns.find(_.equalsIgnoreCase(k)).getOrElse(k))
+    val valueCols = changelog.columns.filterNot(c =>
+      resolvedKeys.exists(_.equalsIgnoreCase(c)))
     val winner = changelog
-      .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(valueCols.map(col): _*), col(seqCol)).as("__w"))
-      .select(keyCols.map(col) ++
+      .groupBy(resolvedKeys.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*),
+        struct(col(seqCol).isNotNull.as("nn"), col(seqCol).as("s"))).as("__w"))
+      .select(resolvedKeys.map(col) ++
         valueCols.map(c => col(s"__w.`$c`").as(c)): _*)
     winner
       .filter(col(opCol) =!= deleteOp)

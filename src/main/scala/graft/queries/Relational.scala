@@ -1039,10 +1039,16 @@ object Relational {
     // (TopKPayloadAgg), not a window: the window totally sorts every
     // scored pair, the aggregator ships ≤3 rows per item per
     // partition. Net: two pair-sized shuffles (baskets, co-counts).
-    // Measured at sf10: 92 → 36 s.
+    // Measured at sf10: 92 → 42 s (SCALE.md round-14 sweep).
     "r1_item_similarity" -> { (s, d) =>
-      // ~20M items × 16 B/(key,count) ≈ 320 MB build side — the cap
-      val maxBroadcastItems = 20000000L
+      // Broadcast cap in CATALOG ROWS, sized by what a HashedRelation
+      // actually costs per entry — UnsafeRow (key + count + header)
+      // plus LongToUnsafeRowMap page/index overhead is ~64 B, not the
+      // 16 B of raw payload — so 4M rows ≈ 256 MB per broadcast, two
+      // live at once, comfortably inside the default 8g driver. (TPC-H
+      // part crosses 4M rows around sf20; above it the same plan runs
+      // SMJ.)
+      val maxBroadcastItems = 4000000L
       val catalogSmall = t(s, d, "part").count() <= maxBroadcastItems
       def dim(df: DataFrame): DataFrame = if (catalogSmall) broadcast(df) else df
       val baskets = t(s, d, "lineitem")

@@ -14,7 +14,13 @@ final class BenchSelfCheckSpec extends AnyFunSuite {
   test("needsRerun fires only past BOTH the ratio and absolute floors") {
     assert(Bench.needsRerun(Some(1.0), 1.5))        // 1.5x and +0.5 s
     assert(!Bench.needsRerun(Some(1.0), 1.25))      // under the 1.3x ratio
-    assert(!Bench.needsRerun(Some(0.10), 0.25))     // 2.5x but only +0.15 s
+    // the absolute floor screens only sub-50 ms scheduler noise — the
+    // r14 0.2 s floor waved a 1.9x regression on a 0.37 s query
+    // (t7) straight into the artifact, so sub-second queries must
+    // trip the check too
+    assert(Bench.needsRerun(Some(0.10), 0.25))      // 2.5x and +0.15 s: fires now
+    assert(Bench.needsRerun(Some(0.37), 0.71))      // the r14 t7 case: fires now
+    assert(!Bench.needsRerun(Some(0.02), 0.06))     // +0.04 s: genuine noise floor
     assert(Bench.needsRerun(Some(0.60), 0.85))      // 1.42x and +0.25 s
     assert(!Bench.needsRerun(Some(2.0), 1.0))       // faster is never an outlier
     assert(!Bench.needsRerun(None, 99.0))           // no prior, nothing to check

@@ -102,6 +102,34 @@ final class TopKAggSpec extends SparkTestBase {
     assert(viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("NaN scores sort greatest and deterministically, matching the window's desc order") {
+    import spark.implicits._
+    // a zero-norm vector's cosine is NaN; Spark's desc sort puts NaN
+    // first. Primitive > / == are both false for NaN, which would make
+    // its placement arrival-order-dependent and let it slip the
+    // full-buffer early-reject — ADVICE r14. Both arrival orders must
+    // agree with each other and with the window formulation.
+    val rows = Seq((1L, 10L, 0.9), (1L, 11L, Double.NaN), (1L, 12L, 0.7),
+      (1L, 13L, Double.NaN), (1L, 14L, 0.8))
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("key"))
+      .agg(TopKAgg(col("score"), col("tag"), 3).as("top"))
+      .select(posexplode(col("top")).as(Seq("rank0", "st")))
+      .select(col("st.tag"), (col("rank0") + 1).as("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    val fwd = run(rows.toDF("key", "tag", "score").repartition(1))
+    val rev = run(rows.reverse.toDF("key", "tag", "score").repartition(1))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("score").desc, col("tag").asc)
+    val viaWindow = rows.toDF("key", "tag", "score")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("tag"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    assert(fwd == rev)
+    assert(fwd == viaWindow) // NaN(11), NaN(13), then 0.9(10)
+    assert(fwd == Set((11L, 1L), (13L, 2L), (10L, 3L)))
+  }
+
   test("partial aggregation bound holds under repartitioning") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .repartition(13)

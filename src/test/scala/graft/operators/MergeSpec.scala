@@ -150,6 +150,31 @@ final class MergeSpec extends SparkTestBase {
     assert(viaOneLog == out)
   }
 
+  test("applyChangelog: null seq ranks lowest — beaten by any non-null, all-null keys survive") {
+    val log = Seq(
+      // key 1: a null-seq entry must lose to the non-null update (the
+      // window form's `desc nulls last`) — bare max_by(v, seq) would
+      // make this nondeterministic
+      (1L, Some(5L), "U", "winner"), (1L, None: Option[Long], "U", "null-seq"),
+      // key 2: ALL entries null-seq — the key must still be present
+      // (bare max_by ignores null ordering values and DROPS the key)
+      (2L, None: Option[Long], "I", "only")
+    ).toDF("id", "seq", "op", "body")
+    val out = Merge.applyChangelog(log, Seq("id"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "winner", 2L -> "only"))
+  }
+
+  test("applyChangelog: keyCols resolve case-insensitively against the changelog") {
+    val log = Seq((1L, 1L, "I", "v1"), (1L, 2L, "U", "v2"))
+      .toDF("Id", "seq", "op", "body")
+    // "id" vs the frame's "Id": the key must not leak into the value
+    // struct (which would duplicate the output column)
+    val out = Merge.applyChangelog(log, Seq("id"), "seq", "op")
+    assert(out.columns.count(_.equalsIgnoreCase("id")) == 1)
+    assert(out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap == Map(1L -> "v2"))
+  }
+
   test("upsert then diff round-trip: the diff of target vs upserted is exactly the batch") {
     val source = Seq((2L, "BETA*"), (9L, "new")).toDF("id", "body")
     val merged = Merge.upsert(target, source, Seq("id"))

@@ -78,9 +78,10 @@ final class PlanAuditSpec extends SparkTestBase {
   //     keyed by cell, whose cardinality is the k-means parameter k
   //     (centroids are k×dim by construction), a config constant
   //   - r1: the item-support table — the hint is dispatch-guarded: a
-  //     scan-only approx-distinct pre-flight proves the catalog under
-  //     a fixed row bound before the hint is applied (SMJ above it),
-  //     so the build side is bounded by construction
+  //     metadata-only row-count pre-flight (part.count() reads parquet
+  //     footers, no column decode) proves the catalog under a fixed
+  //     row bound before the hint is applied (SMJ above it), so the
+  //     build side is bounded by construction
   private val keyedBroadcastOk =
     Set("e5_anomaly", "a3_ann_ivf", "d10_semdedup", "r1_item_similarity")
 
