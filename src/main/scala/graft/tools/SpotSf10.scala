@@ -207,6 +207,72 @@ object SpotSf10 {
           s"pairs=$both onlyM$m1=$only1 onlyM$m2=$only2")
       }
 
+      // --- r1: the round-14 re-plan vs an independent recompute ---
+      // The re-planned r1 (baskets-once + map-side pair explode +
+      // bounded TopKPayloadAgg) is recomputed here via the PLAN IT
+      // REPLACED — distinct → basket self-join → two un-hinted
+      // support joins → row_number window — a genuinely disjoint
+      // dataflow sharing no operator with the production path. Every
+      // (item, other, cxy, jaccard, rank) row must match exactly:
+      // the scores divide identical integers, so even the doubles
+      // compare bitwise.
+      t0 = System.nanoTime()
+      val r1New = graft.SparkEntry.queries("r1_item_similarity")(spark, dir)
+        .localCheckpoint(eager = false)
+      val li = table("lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+      val r1Old = {
+        val cxO = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cx"))
+        val pairs = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cxy"))
+        val symO = pairs.select(explode(array(
+            struct(col("u").as("item"), col("v").as("other"), col("cxy")),
+            struct(col("v").as("item"), col("u").as("other"), col("cxy")))).as("e"))
+          .select(col("e.item").as("item"), col("e.other").as("other"),
+            col("e.cxy").as("cxy"))
+        val j = symO
+          .join(cxO.select(col("l_partkey").as("item"), col("cx").as("c1")), Seq("item"))
+          .join(cxO.select(col("l_partkey").as("other"), col("cx").as("c2")), Seq("other"))
+          .withColumn("j", col("cxy").cast("double") /
+            (col("c1") + col("c2") - col("cxy")).cast("double"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("item")).orderBy(col("j").desc, col("other").asc)
+        j.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+          .select(col("item"), col("other"), col("cxy"),
+            round(col("j"), 6).as("jaccard"), col("rank").cast("int").as("rank"))
+      }
+      val (r1OnlyNew, r1OnlyOld, r1Both) =
+        diff(r1New, r1Old, Seq("item", "other", "cxy", "jaccard", "rank"))
+      check("r1_replan_vs_window_plan")(r1OnlyNew == 0 && r1OnlyOld == 0,
+        f"rows=$r1Both onlyNew=$r1OnlyNew onlyOld=$r1OnlyOld " +
+          f"[${(System.nanoTime() - t0) / 1e9}%.0fs]")
+
+      // --- c8: max_by compaction vs the rn=1 window recompute ---
+      // Same independence argument: the production path is a map-side
+      // max_by combine; the audit recomputes the compacted table with
+      // the row_number window it replaced. (o_custkey, o_orderkey) is
+      // unique, so the formulations must agree row-for-row.
+      t0 = System.nanoTime()
+      val c8New = graft.SparkEntry.queries("c8_cdc_apply")(spark, dir)
+      val c8Old = {
+        val log = table("orders").select(
+          col("o_custkey").as("cust"), col("o_orderkey").as("seq"),
+          when(pmod(col("o_orderkey"), lit(9)) === 0, lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("o_totalprice"), col("o_orderstatus"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cust")).orderBy(col("seq").desc)
+        log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .filter(col("op") =!= "D")
+          .select(col("cust"), col("seq"), col("o_totalprice"), col("o_orderstatus"))
+      }
+      val (c8OnlyNew, c8OnlyOld, c8Both) =
+        diff(c8New, c8Old, Seq("cust", "seq", "o_totalprice", "o_orderstatus"))
+      check("c8_maxby_vs_window_plan")(c8OnlyNew == 0 && c8OnlyOld == 0,
+        f"rows=$c8Both onlyNew=$c8OnlyNew onlyOld=$c8OnlyOld " +
+          f"[${(System.nanoTime() - t0) / 1e9}%.0fs]")
+
       // --- g1: PageRank mass conservation at sf10 ---
       val pr = graft.SparkEntry.queries("g1_pagerank")(spark, dir)
       val Array(nNodes, mass) = pr.agg(count(lit(1)).cast("double"), sum(col("pr")))
