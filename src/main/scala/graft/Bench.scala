@@ -74,10 +74,29 @@ object Bench {
     """"([a-zA-Z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(line)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
+  /** 1-minute load average, or -1 where /proc is unavailable. The
+    * bench records it at start and end in the artifact: the round-15
+    * forensics found a whole round of "drift" (r14's 1.22× median)
+    * was an orphaned 21-CPU sweep running CONCURRENTLY with the gate
+    * bench — uniform contamination the per-query outlier check cannot
+    * see, but a load figure in the committed record exposes at a
+    * glance. A warning (not an abort: the harness's run must still
+    * produce an artifact) goes to stderr when the bench starts on a
+    * loaded host.
+    */
+  def loadAvg1m(): Double =
+    try new String(Files.readAllBytes(Paths.get("/proc/loadavg")),
+      StandardCharsets.UTF_8).split(" ")(0).toDouble
+    catch { case NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")
+    val loadStart = loadAvg1m()
+    if (loadStart > 4.0)
+      System.err.println(f"bench: WARNING host load $loadStart%.1f at start — " +
+        "timings will read high; check for stray JVMs (ps aux --sort=-%cpu)")
     var spark: SparkSession =
       GraftSession.build("graft-bench", s"local[$cpus]", cpus)
     // The bench measures TIME; correctness is Verify's job. The
@@ -275,8 +294,16 @@ object Bench {
     val total = results.collect { case (_, Right(v)) => v }.sum
     // numeric scale factor parsed from the directory name (sf0.1 -> 0.1)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // start/end 1-min load averages: self-describing contamination
+    // record (values ≫ 0 at start, or an end value far above the
+    // bench's own parallelism, mean a co-tenant JVM taxed the run)
+    val loadTag = {
+      val le = loadAvg1m()
+      if (loadStart < 0 && le < 0) ""
+      else f""","load":[$loadStart%.1f,$le%.1f]"""
+    }
     def mkLine(qs: String, nrerun: String): String =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.length},"queries":$qs$errors$nrerun,"sf":$sf}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.length},"queries":$qs$errors$nrerun$loadTag,"sf":$sf}"""
     // errored queries always make the headline (a -1 the driver can
     // see beats a silent omission); then flagships; then the rest of
     // the registry family-interleaved so every family surfaces its

@@ -26,6 +26,15 @@ final class BenchSelfCheckSpec extends AnyFunSuite {
     assert(!Bench.needsRerun(None, 99.0))           // no prior, nothing to check
   }
 
+  test("loadAvg1m reads /proc and the load tag never parses as a query prior") {
+    assert(Bench.loadAvg1m() >= 0.0) // Linux host: /proc/loadavg exists
+    // the artifact's "load":[a,b] array must not pollute prior parsing
+    val line = """{"metric":"total","value":9.1,"unit":"sec","nq":2,""" +
+      """"queries":{"q1_pricing_summary":0.493},"load":[31.5,2.0],"sf":0.1}"""
+    assert(Bench.parsePriorQueries(line).get("load").isEmpty)
+    assert(Bench.parsePriorQueries(line)("q1_pricing_summary") == 0.493)
+  }
+
   test("parsePriorQueries reads a BENCH.out line; non-query keys ride along") {
     val line = """{"metric":"total","value":72.278,"unit":"sec","nq":130,""" +
       """"queries":{"q1_pricing_summary":0.493,"d6_dedup_clusters":2.104},"sf":0.1}"""
