@@ -71,7 +71,14 @@ object Bench {
     * up by a query name, so they ride along harmlessly).
     */
   def parsePriorQueries(line: String): Map[String, Double] =
-    """"([a-zA-Z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(line)
+    // optional backslashes: the driver's BENCH_r{N}.json artifacts store
+    // the stdout line as an ESCAPED JSON string field ("tail":
+    // "...\"q1\":0.49..."), and round 15 found the unescaped-only regex
+    // silently yields ZERO priors from such a file — the self-check ran
+    // the whole suite believing it had an anchor and never re-measured a
+    // single outlier. Accepting \" makes every committed artifact format
+    // (raw BENCH.out line or driver JSON) usable as a prior.
+    """\\?"([a-zA-Z0-9_]+)\\?":([0-9.]+)""".r.findAllMatchIn(line)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
   /** 1-minute load average, or -1 where /proc is unavailable. The

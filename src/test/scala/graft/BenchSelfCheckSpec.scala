@@ -35,6 +35,22 @@ final class BenchSelfCheckSpec extends AnyFunSuite {
     assert(Bench.parsePriorQueries(line)("q1_pricing_summary") == 0.493)
   }
 
+  test("the committed-anchor path is viable: BENCH.out must not be gitignored") {
+    // Round-15 lesson: the self-check anchors to `git show HEAD:BENCH.out`,
+    // but BENCH.out had been .gitignore'd since an early round — so the
+    // anchor could never resolve, AND the working-dir artifact (the only
+    // copy) was erased by the driver's fresh checkout at the round
+    // boundary. An ignored anchor file is a silent double failure:
+    // no committed prior for the check, no survivor for the next round.
+    val gi = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(".gitignore")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(!gi.linesIterator.map(_.trim).contains("BENCH.out"),
+      ".gitignore lists BENCH.out — the bench self-check's committed " +
+        "anchor (git show HEAD:BENCH.out) can never resolve, and the " +
+        "artifact dies with the round's working tree")
+  }
+
   test("parsePriorQueries reads a BENCH.out line; non-query keys ride along") {
     val line = """{"metric":"total","value":72.278,"unit":"sec","nq":130,""" +
       """"queries":{"q1_pricing_summary":0.493,"d6_dedup_clusters":2.104},"sf":0.1}"""
@@ -43,5 +59,17 @@ final class BenchSelfCheckSpec extends AnyFunSuite {
     assert(m("d6_dedup_clusters") == 2.104)
     assert(m("value") == 72.278) // harmless: never looked up by a query name
     assert(m.get("unit").isEmpty) // non-numeric values don't parse as queries
+  }
+
+  test("parsePriorQueries reads the driver's ESCAPED artifact format too") {
+    // BENCH_r{N}.json stores the stdout line as an escaped JSON string
+    // ("tail": "...\"q1\":0.49..."); before round 15 this yielded zero
+    // priors and the self-check silently skipped every outlier re-run
+    val driverJson =
+      """{"n":13,"rc":0,"tail":"{\"queries\":{\"q1_pricing_summary\":0.493,""" +
+        """\"d6_dedup_clusters\":2.104},\"sf\":0.1}"}"""
+    val m = Bench.parsePriorQueries(driverJson)
+    assert(m("q1_pricing_summary") == 0.493)
+    assert(m("d6_dedup_clusters") == 2.104)
   }
 }
