@@ -665,6 +665,206 @@ object Ann {
       .agg(max(col("sim")).as("sim"))
   }
 
+  /** Sampled per-table CATCH RATE of the margin-guided multi-probe
+    * scheme on THIS corpus' true ≥ `minCos` pairs — measured, not
+    * modeled: the analytic multi-probe catch needs the probability
+    * that the disagreeing plane ranks among a vector's `probes`
+    * smallest margins, which depends on the pair-angle distribution
+    * in a way no closed form captures honestly. Instead, the same
+    * hash-sample as [[estimatePairCount]] is self-joined for its true
+    * pairs, both probe-sketch arrays are computed inline over
+    * `trialTables` independent trial tables, and the fraction of
+    * (pair, table) trials where the emission sets intersect IS the
+    * per-table catch probability — unbiased, since tables are iid
+    * draws of the same Gaussian scheme the production index uses.
+    * Returns (rate, catches, trials); callers wanting a conservative
+    * sizing should deflate by the binomial CI (see [[mpAutoTables]]).
+    * Cost: one corpus scan for the sample + |truePairs| × trialTables
+    * small-array intersections — trivial, and interpreted HOFs are
+    * fine OFF the hot path.
+    */
+  def mpCatchRate(df: DataFrame, minCos: Double, dim: Int, planes: Int,
+                  probes: Int, trialTables: Int = 32,
+                  sampleSize: Int = 2000, seed: Long = 42L): (Double, Long, Long) = {
+    val m = mpSample(df, minCos, dim, planes, probes, trialTables, sampleSize, seed)
+    val trials = m.sampledPairs * trialTables
+    (if (trials == 0) 0.0 else m.catches.toDouble / trials, m.catches, trials)
+  }
+
+  private final case class MpSample(n: Long, s: Long, sampledPairs: Long, catches: Long)
+
+  /** One sampled pre-flight pass shared by the multi-probe sizing:
+    * the [[estimatePairCount]] hash-sample is self-joined once, and a
+    * single aggregate returns BOTH the true ≥τ pair count (→ the
+    * recall budget's expected-pair estimate) and the probe-scheme
+    * catch events over `trialTables` trial tables (→ the measured
+    * per-table catch rate). Splitting these into two passes scored
+    * the same s² fused dots twice — measured at ~2× the sizing cost.
+    */
+  private def mpSample(df: DataFrame, minCos: Double, dim: Int, planes: Int,
+                       probes: Int, trialTables: Int,
+                       sampleSize: Int, seed: Long): MpSample = {
+    val n = df.count()
+    if (n < 2) return MpSample(n, 0L, 0L, 0L)
+    val width = probes + 1
+    val s = math.min(sampleSize.toLong, n)
+    val sample = df.select(col("id"), col("vec"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(s.toInt)
+    val v = sample.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
+    val pairs = v.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+      .join(broadcast(v.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))),
+        col("a") < col("b"))
+      .filter(VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")) >= minCos)
+      .select(
+        graft.functions.HyperplaneProbeSketches(col("va"), dim, planes, trialTables, seed, probes).as("sa"),
+        graft.functions.HyperplaneProbeSketches(col("vb"), dim, planes, trialTables, seed, probes).as("sb"))
+    val catchCnt = aggregate(
+      sequence(lit(0), lit(trialTables - 1)), lit(0L),
+      (acc, t) => acc + when(arrays_overlap(
+        slice(col("sa"), t * width + 1, lit(width)),
+        slice(col("sb"), t * width + 1, lit(width))), 1L).otherwise(0L))
+    val row = pairs.agg(coalesce(sum(catchCnt), lit(0L)).as("catches"),
+        count(lit(1)).as("pairs")).collect().head
+    MpSample(n, s, row.getLong(1), row.getLong(0))
+  }
+
+  /** Auto table count for the multi-probe pair join: the recall-
+    * budget law of [[tablesForRecall]] driven by the MEASURED
+    * [[mpCatchRate]] instead of the analytic single-probe p^planes.
+    * The rate is deflated to its 95% binomial lower bound before
+    * sizing (sampling noise must oversize, never undersize), and the
+    * result is clamped by the analytic single-probe answer — probing
+    * strictly adds catch events (the base sketch is emission 0), so
+    * a noisier-than-analytic estimate can only be noise. Floors at 8
+    * like [[autoTables]]. Falls back to the single-probe sizing when
+    * the sample has no true pairs to measure (a super-selective τ) —
+    * conservative, since every emitted probe then only adds recall.
+    */
+  def mpAutoTables(df: DataFrame, minCos: Double, dim: Int, planes: Int,
+                   probes: Int, seed: Long = 42L,
+                   maxExpectedMisses: Double = 0.05,
+                   trialTables: Int = 32, sampleSize: Int = 2000): Int =
+    mpSizing(df, minCos, dim, planes, probes, seed, maxExpectedMisses,
+      trialTables, sampleSize)._1
+
+  /** (table count, catch-rate-was-measurable) from ONE sampled pass —
+    * the second element lets the auto join drop unmeasurable probes.
+    */
+  private def mpSizing(df: DataFrame, minCos: Double, dim: Int, planes: Int,
+                       probes: Int, seed: Long = 42L,
+                       maxExpectedMisses: Double = 0.05,
+                       trialTables: Int = 32, sampleSize: Int = 2000): (Int, Boolean) = {
+    val m = mpSample(df, minCos, dim, planes, probes, trialTables, sampleSize, seed)
+    val est = if (m.s < 2) 1.0 else math.max(
+      m.sampledPairs.toDouble * (m.n.toDouble * (m.n - 1)) / (m.s.toDouble * (m.s - 1)), 1.0)
+    val single = tablesForRecall(minCos, planes, est, maxExpectedMisses)
+    val trials = m.sampledPairs * trialTables
+    val sized =
+      if (m.catches == 0) single
+      else {
+        val rate = m.catches.toDouble / trials
+        val low = math.max(rate - 1.96 * math.sqrt(rate * (1 - rate) / trials),
+          1.0 / (2.0 * trials)) // never let the CI zero out a measured rate
+        math.ceil(math.log(est / maxExpectedMisses) / -math.log1p(-low)).toInt
+      }
+    (math.min(sized, single).max(8), m.catches > 0)
+  }
+
+  /** EXACT candidate volume of a [[cosineNearDupPairsLSHMP]] config —
+    * [[lshCandidateVolume]] for the probe emission: Σ e·(e−1)/2 over
+    * every (table, bucket) of the widened emission multiset, the
+    * number of fused dots the symmetric probe join will evaluate. A
+    * point emits at most one entry per (table, bucket) (distinct
+    * single-bit flips are distinct buckets), so e counts distinct
+    * points and the self-pair term subtracts exactly.
+    */
+  def mpCandidateVolume(df: DataFrame, dim: Int, planes: Int, tables: Int,
+                        probes: Int, seed: Long = 42L): DataFrame = {
+    val width = probes + 1
+    df.select(posexplode(
+        graft.functions.HyperplaneProbeSketches(col("vec"), dim, planes, tables, seed, probes))
+        .as(Seq("pos", "bucket")))
+      .select(expr(s"pos DIV $width").as("table"), col("bucket"))
+      .groupBy(col("table"), col("bucket")).agg(count(lit(1)).as("len"))
+      .agg(sum(col("len")).as("bucket_rows"),
+        count(lit(1)).as("distinct_buckets"),
+        max(col("len")).as("max_bucket"),
+        sum(expr("len * (len - 1) DIV 2")).as("candidate_volume"))
+  }
+
+  /** Margin-guided multi-probe near-dup pair join — the same
+    * τ-thresholded (a, b, sim) contract as [[cosineNearDupPairsLSH]],
+    * at a FRACTION of its table count: each vector emits, per table,
+    * its base bucket plus `probes` one-bit-flips at its smallest
+    * |projection| planes ([[graft.functions.HyperplaneProbeSketches]]),
+    * and the self-join matches on ANY emission collision — so a pair
+    * is caught not only when a table's full signature agrees but also
+    * when it disagrees in one straddled bit (either side's probe) or
+    * two (probe meets probe). Catch probability per table is measured
+    * on the corpus ([[mpCatchRate]]) and fed to the same recall-
+    * budget law, which at the d-family gate config sizes ~4–5× fewer
+    * tables than the single-probe index for the SAME expected-miss
+    * budget. What that buys at 100 TB: the sketch pass, the bucket-
+    * shuffle bytes, and any persisted index all scale with
+    * tables × width × n — the dominant cost at a selective τ where
+    * candidates track true pairs (SPOTCHECK_tau) — while at a
+    * gap-less τ the candidate side grows only by the in-bucket width
+    * factor. Both sides derive from ONE sketched subtree, so the
+    * symmetric join keeps the single-Exchange reuse shape (and the
+    * SHUFFLE_HASH pin) of the single-probe form; a<b canonicalizes
+    * orientation; the final groupBy-max dedups cross-table and
+    * cross-bucket re-collisions on the pair key exactly as in
+    * [[cosineNearDupPairsLSH]].
+    */
+  def cosineNearDupPairsLSHMP(df: DataFrame, minCos: Double, dim: Int,
+                              planes: Int = 6, tables: Int = -1, probes: Int = 2,
+                              seed: Long = 42L,
+                              maxCandidateVolume: Long = Long.MaxValue): DataFrame = {
+    // auto path: when the sizing sample has no true pairs to measure a
+    // catch rate on (a super-selective τ on this corpus), probing buys
+    // nothing the budget can see — the table count falls back to the
+    // single-probe law, and the probes themselves are DROPPED so the
+    // join degenerates to exactly the single-probe emission volume
+    // instead of paying width× rows for unmeasurable benefit. A pinned
+    // `tables` keeps the caller's probes verbatim.
+    val (nTables, effProbes) =
+      if (tables > 0) (tables, probes)
+      else {
+        val (t, measurable) = mpSizing(df, minCos, dim, planes, probes, seed)
+        (t, if (measurable) probes else 0)
+      }
+    val width = effProbes + 1
+    if (maxCandidateVolume < Long.MaxValue) {
+      val r = mpCandidateVolume(df, dim, planes, nTables, probes, seed).collect().head
+      val vol = r.getAs[Long]("candidate_volume")
+      if (vol > maxCandidateVolume)
+        throw new IllegalStateException(
+          s"cosineNearDupPairsLSHMP pre-flight: probe-join candidate volume $vol exceeds " +
+          s"maxCandidateVolume=$maxCandidateVolume ($nTables tables × $planes planes × " +
+          s"width $width, max bucket ${r.getAs[Long]("max_bucket")}). Raise τ, add planes, " +
+          "or raise the budget — same regimes as the single-probe guard.")
+    }
+    val sketched = df.select(col("id"), col("vec"),
+      VectorOps.fnorm(col("vec")).as("nrm"),
+      posexplode(graft.functions.HyperplaneProbeSketches(
+        col("vec"), dim, planes, nTables, seed, probes)).as(Seq("pos", "bucket")))
+      .select(col("id"), col("vec"), col("nrm"),
+        expr(s"pos DIV $width").as("table"), col("bucket"))
+    val l = sketched.select(col("table"), col("bucket"),
+      col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+    val r = sketched.select(col("table"), col("bucket"),
+      col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))
+    l.hint("shuffle_hash").join(r, Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim",
+        VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= minCos)
+      .select("a", "b", "sim")
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("sim")).as("sim"))
+  }
+
   /** Exact-score candidate (a, b) pairs against the vector table and
     * threshold, via two equi-joins on id: the candidate rows (two
     * longs) shuffle to each side's vectors, and the vector table

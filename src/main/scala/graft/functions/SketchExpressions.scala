@@ -331,3 +331,110 @@ object HyperplaneSketches {
   def apply(vec: Column, dim: Int, planes: Int, tables: Int, seed: Long): Column =
     Bridge.column(HyperplaneSketches(Bridge.expression(vec), dim, planes, tables, seed))
 }
+
+/** Margin-guided multi-probe hyperplane sketches (Lv et al., VLDB'07
+  * adapted to the signed-hyperplane family): per table, the base
+  * sketch PLUS `probes` one-bit-flipped sketches at the planes with
+  * the smallest |projection| — the planes this vector most nearly
+  * straddles, which are exactly the bits a near neighbor is most
+  * likely to disagree on. Probing buys catch probability per table,
+  * so a recall budget needs FEWER tables: the sketch pass, the
+  * bucket-shuffle volume, and the index size all shrink by the table
+  * ratio, which is what matters at 100 TB where the emission volume
+  * (tables × width × n rows) IS the near-dup join's dominant cost at
+  * a selective τ (SPOTCHECK_tau: candidates track true pairs there,
+  * so the linear terms dominate).
+  *
+  * Output layout (contract, relied on by `Ann` probe joins): length
+  * `tables × (probes+1)`; entry `t·(probes+1)` is table t's base
+  * sketch (bit-identical to [[HyperplaneSketches]] at the same
+  * (dim, planes, tables, seed) — same `Random(seed + t)` plane-major
+  * draw), followed by its `probes` flips ordered by ascending
+  * |projection|, ties to the lower plane index. A vector emits at
+  * most ONE entry per (table, bucket): distinct single-bit flips are
+  * distinct buckets, so self-collisions across a table's entries are
+  * impossible — the pair-join relies on this to subtract self-matches
+  * exactly.
+  */
+case class HyperplaneProbeSketches(child: Expression, dim: Int, planes: Int,
+                                   tables: Int, seed: Long, probes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(planes >= 1 && planes <= 63, "planes must be in [1, 63]")
+  require(tables >= 1, "tables must be >= 1")
+  require(probes >= 0 && probes < planes, "probes must be in [0, planes)")
+
+  private val width = probes + 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane probe sketches expect array<float>, got ${t.simpleString}")
+  }
+
+  // identical draw to HyperplaneSketches — the base buckets of the two
+  // expressions MUST match so mixed base/probe joins collide correctly
+  @transient private lazy val planeMats: Array[Array[Double]] =
+    Array.tabulate(tables) { t =>
+      val rnd = new scala.util.Random(seed + t)
+      Array.fill(planes * dim)(rnd.nextGaussian())
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n   = math.min(arr.numElements(), dim)
+    val out = new Array[Long](tables * width)
+    val absDot = new Array[Double](planes)
+    val taken  = new Array[Boolean](planes)
+    var t = 0
+    while (t < tables) {
+      val mat  = planeMats(t)
+      var bits = 0L
+      var p    = 0
+      while (p < planes) {
+        val off = p * dim
+        var dot = 0.0
+        var k   = 0
+        while (k < n) {
+          if (!arr.isNullAt(k)) dot += arr.getFloat(k).toDouble * mat(off + k)
+          k += 1
+        }
+        if (dot >= 0) bits |= (1L << p)
+        absDot(p) = math.abs(dot)
+        taken(p) = false
+        p += 1
+      }
+      val base = t * width
+      out(base) = bits
+      // q-smallest |dot| by selection (planes <= 63, probes small):
+      // deterministic — ascending |dot|, ties to the lower plane index
+      var s = 0
+      while (s < probes) {
+        var best = -1
+        var bestV = Double.MaxValue
+        p = 0
+        while (p < planes) {
+          if (!taken(p) && absDot(p) < bestV) { best = p; bestV = absDot(p) }
+          p += 1
+        }
+        taken(best) = true
+        out(base + 1 + s) = bits ^ (1L << best)
+        s += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneProbeSketches =
+    copy(child = newChild)
+}
+
+object HyperplaneProbeSketches {
+  def apply(vec: Column, dim: Int, planes: Int, tables: Int, seed: Long,
+            probes: Int): Column =
+    Bridge.column(HyperplaneProbeSketches(
+      Bridge.expression(vec), dim, planes, tables, seed, probes))
+}

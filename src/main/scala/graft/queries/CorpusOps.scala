@@ -392,6 +392,24 @@ object CorpusOps {
         .orderBy(col("a"), col("b"))
     },
 
+    // Margin-guided multi-probe form (Lv et al. 2007 recast for the
+    // hyperplane family): per table each vector also probes its
+    // `probes` smallest-|projection| one-bit flips, so a table
+    // catches a pair that straddles one or two near-boundary planes
+    // — and the MEASURED per-table catch rate (mpCatchRate on the
+    // same deterministic hash sample as d17's sizing) feeds the same
+    // recall-budget law, landing ~4× fewer tables than d17's
+    // single-probe sizing at this τ. The identical exact all-pairs
+    // oracle gates it: a hash match proves the smaller index still
+    // realizes recall 1.0 on this corpus, not just expects it.
+    "d18_embed_neardup_mp" -> { (s, d) =>
+      Ann.cosineNearDupPairsLSHMP(
+          t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+          minCos = 0.45, dim = 64)
+        .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // JL random projection 64→16: Achlioptas ±1/√16 signs drawn from
     // md5 parity, so DuckDB replays every matrix cell; each output
     // coordinate is one fused DotProduct loop — a pure, shuffle-free
@@ -1695,6 +1713,20 @@ object CorpusOps {
     // pinned 48), so a hash match proves the auto-sized index realizes
     // recall 1.0, not just expects it
     "d17_embed_neardup_auto" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS a, b.vec_id AS b, round($cosineExpr, 6) AS sim
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE $cosineExpr >= 0.45
+         |ORDER BY a, b""".stripMargin,
+
+    // same exact all-pairs replay again: d18 changes only the INDEX
+    // (measured-catch multi-probe, ~4× fewer tables) — the τ-pair
+    // set it must produce is identical
+    "d18_embed_neardup_mp" ->
       s"""WITH v AS (
          |  SELECT vec_id, embedding,
          |    sqrt(list_sum(list_transform(embedding,

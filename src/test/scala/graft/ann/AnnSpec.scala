@@ -341,6 +341,113 @@ final class AnnSpec extends SparkTestBase {
     assert(n > 0)
   }
 
+  test("HyperplaneProbeSketches: base entries ≡ HyperplaneSketches, probes are distinct 1-bit flips") {
+    val (dim, planes, tables, seed, probes) = (64, 6, 5, 42L, 2)
+    val width = probes + 1
+    val rows = vecs.limit(50).select(col("id"),
+        graft.functions.HyperplaneSketches(col("vec"), dim, planes, tables, seed).as("base"),
+        graft.functions.HyperplaneProbeSketches(col("vec"), dim, planes, tables, seed, probes).as("mp"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val base = r.getSeq[Long](1)
+      val mp   = r.getSeq[Long](2)
+      assert(mp.length == tables * width)
+      (0 until tables).foreach { t =>
+        val slot = mp.slice(t * width, (t + 1) * width)
+        // entry 0 is the base sketch, bit-identical to the plain expression
+        assert(slot.head == base(t), s"table $t base mismatch")
+        // probes: distinct single-bit flips of the base
+        slot.tail.foreach { pr =>
+          assert(java.lang.Long.bitCount(pr ^ slot.head) == 1, s"table $t probe not a 1-bit flip")
+        }
+        assert(slot.distinct.length == width, s"table $t emissions not distinct")
+      }
+    }
+    // probes=0 degenerates to the plain expression bit-for-bit — the
+    // auto join relies on this when the catch rate is unmeasurable
+    val degenerate = vecs.limit(10).select(
+        graft.functions.HyperplaneSketches(col("vec"), dim, planes, tables, seed).as("base"),
+        graft.functions.HyperplaneProbeSketches(col("vec"), dim, planes, tables, seed, 0).as("mp"))
+      .collect()
+    degenerate.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("multi-probe near-dup: recovers the exact pairs with FEWER tables than single-probe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 32
+    val base = (0 until 100).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val dups = base.filter(_._1 % 5 == 0).map { case (i, v) =>
+      (1000L + i) -> v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+    }
+    val df = (base ++ dups).toDF("id", "vec")
+    val exact = Ann.cosineNearDupPairs(df, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planes = 10
+    val tSingle = Ann.autoTables(df, minCos = 0.9, planes = planes)
+    val tMp     = Ann.mpAutoTables(df, minCos = 0.9, dim = dim, planes = planes, probes = 3)
+    assert(tMp <= tSingle,
+      s"measured-catch sizing should never exceed the analytic single-probe count ($tMp > $tSingle)")
+    val mp = Ann.cosineNearDupPairsLSHMP(df, minCos = 0.9, dim = dim,
+        planes = planes, probes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(mp.subsetOf(exact)) // in-bucket scoring: no false positives possible
+    assert(mp == exact, s"multi-probe missed ${(exact -- mp).size} of ${exact.size} pairs at T=$tMp")
+  }
+
+  test("multi-probe ≡ single-probe output contract on the shared fixture") {
+    // same (a, b, sim) rows as the single-probe join at a recall-1
+    // config — the pair SET is the contract, not the index layout
+    val df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val sp = Ann.cosineNearDupPairsLSH(df, minCos = 0.45, dim = 64,
+      planes = 6, tables = 48).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6))).toSet
+    val mp = Ann.cosineNearDupPairsLSHMP(df, minCos = 0.45, dim = 64,
+      planes = 6, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6))).toSet
+    assert(sp.nonEmpty && mp == sp)
+    // unmeasurable-catch fallback: a τ with no sampled true pairs must
+    // not blow up — the auto path sizes single-probe and drops probes
+    assert(Ann.cosineNearDupPairsLSHMP(df, minCos = 0.99, dim = 64,
+      planes = 6, probes = 2).count() == 0)
+  }
+
+  test("mpCandidateVolume: exact evaluation count, vs an independent probe join") {
+    val (dim, planes, tables, seed, probes) = (64, 6, 4, 42L, 2)
+    val width = probes + 1
+    val row = Ann.mpCandidateVolume(vecs, dim, planes, tables, probes, seed).collect().head
+    val n = vecs.count()
+    assert(row.getAs[Long]("bucket_rows") == tables * width * n)
+    val sketched = vecs.select(col("id"), posexplode(
+        graft.functions.HyperplaneProbeSketches(col("vec"), dim, planes, tables, seed, probes))
+        .as(Seq("pos", "bucket")))
+      .select(expr(s"pos DIV $width").as("table"), col("bucket"), col("id"))
+    val joined = sketched.select(col("table"), col("bucket"), col("id").as("a"))
+      .join(sketched.select(col("table"), col("bucket"), col("id").as("b")),
+        Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .count()
+    assert(row.getAs[Long]("candidate_volume") == joined,
+      s"aggregate said ${row.getAs[Long]("candidate_volume")}, join counted $joined")
+  }
+
+  test("mpCatchRate: measured catch dominates the analytic single-probe collision rate") {
+    val df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planes = 6
+    val (rate, catches, trials) = Ann.mpCatchRate(df, minCos = 0.45, dim = 64,
+      planes = planes, probes = 2, trialTables = 16)
+    assert(trials > 0 && catches > 0)
+    // the base sketch is emission 0, so the probe scheme's catch rate
+    // is bounded below by the single-probe analytic p^planes
+    val p = 1.0 - math.acos(0.45) / math.Pi
+    assert(rate > math.pow(p, planes),
+      f"measured mp catch $rate%.4f should exceed analytic single-probe ${math.pow(p, planes)}%.4f")
+  }
+
   test("lshCandidateVolume: exact multiset collision count, vs an independent join") {
     val (dim, planes, tables, seed) = (64, 6, 4, 42L)
     val row = Ann.lshCandidateVolume(vecs, dim, planes, tables, seed).collect().head

@@ -197,6 +197,22 @@ final class PlanAuditSpec extends SparkTestBase {
       "d5 must never broadcast the sketched-vector table")
   }
 
+  test("multi-probe bucket self-join stays a shuffle join with one reused exchange (d18)") {
+    // same pin as d5 for the probe join, plus the shape multi-probe
+    // exists to preserve: both sides derive from ONE sketched subtree,
+    // so the symmetric join must reuse a single Exchange — losing the
+    // reuse would recompute the probe-sketch pass per side
+    val df = graft.SparkEntry.queries("d18_embed_neardup_mp")(spark, sfDir)
+    df.collect() // AQE materializes reuse only in THIS plan's final form
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "d18's probe self-join must plan as a shuffle join")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "d18 must never broadcast the probe-sketched table")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      "d18's symmetric probe join must reuse the sketched Exchange")
+  }
+
   test("a2's pair plan (pre-checkpoint) stays a shuffle join") {
     // a2's production form wraps the pair plan behind a lazy
     // localCheckpoint whose lineage truncation hides the join from
