@@ -23,19 +23,40 @@ import graft.ann.Ann
 object TuneMp {
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: TuneMp <sfDir> [minCos]")
+    require(args.nonEmpty, "usage: TuneMp <sfDir> [minCos] [planes] [--plant]")
     val dir = args(0)
-    val minCos = if (args.length > 1) args(1).toDouble else 0.45
+    val flags = args.drop(1)
+    val plant = flags.contains("--plant")
+    val nums = flags.filterNot(_.startsWith("--"))
+    val minCos = if (nums.length > 0) nums(0).toDouble else 0.45
+    val planes = if (nums.length > 1) nums(1).toInt else 6
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build("tune-mp", s"local[$cpus]", cpus)
-    val (dim, planes) = (64, 6)
+    val dim = 64
 
     def loadAvg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
       catch { case _: Throwable => "?" }
 
-    def embeddings: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // --plant: overlay SpotTau's deterministic near-dup tail (cos≈0.93
+    // dups + cos≈0.86 siblings) so a selective τ has true pairs to
+    // find — the regime every REAL near-dup corpus is in and the
+    // isotropic generator deliberately lacks
+    // materialized to a temp parquet, not a localCheckpoint: the scrub
+    // between timed probes unpersists every block, and a truncated-
+    // lineage checkpoint cannot recompute
+    lazy val plantedPath = {
+      val p = java.nio.file.Files.createTempDirectory("tunemp_planted").toString
+      SpotTau.plantNearDups(
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id").as("id"), col("embedding").as("vec")))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    def embeddings: DataFrame =
+      if (plant) spark.read.parquet(plantedPath)
+      else spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
     def scrub(): Unit = {
       spark.catalog.clearCache()
