@@ -45,7 +45,8 @@ object BenchScale {
   val scaleQueries: Seq[String] = Seq(
     "a2_ann_lsh_knn", "a4_ann_quantized", "d10_semdedup", "d10_semdedup_auto",
     "d11_dup_spans",
-    "d15_simhash_prod", "d17_embed_neardup_auto", "d2_ngram_jaccard",
+    "d15_simhash_prod", "d17_embed_neardup_auto", "d18_embed_neardup_mp",
+    "d2_ngram_jaccard",
     "d3_minhash_lsh", "d4_simhash",
     "d5_embed_neardup", "g1_pagerank", "r1_item_similarity",
     "s1_stream_tumbling", "s5_stream_upsert", "s9_stream_neardup",

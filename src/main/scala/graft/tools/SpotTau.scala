@@ -186,6 +186,30 @@ object SpotTau {
             f"[lsh ${(System.nanoTime() - t0) / 1e9}%.0fs]")
       }
 
+      // multi-probe arm (round 15): the production auto path —
+      // measured-catch sizing (mpAutoTables) at the SAME 0.01 miss
+      // budget — must still equal the independent brute force exactly,
+      // at a fraction of the law's single-probe table count. This
+      // chains the SCALE.md sf1 A/B (T 156→9, 6.3×) to decade 2
+      // against TRUE ground truth, not just single-probe equivalence.
+      for (probes <- Seq(2)) {
+        val planes = 12
+        t0 = System.nanoTime()
+        val tMp = Ann.mpAutoTables(planted, tau, dim = 64, planes = planes,
+          probes = probes, maxExpectedMisses = 0.01)
+        val tSingle = Ann.tablesForRecall(tau, planes, nPairs.toDouble, 0.01)
+        val mp = Ann.cosineNearDupPairsLSHMP(planted, minCos = tau, dim = 64,
+          planes = planes, tables = tMp, probes = probes).localCheckpoint(eager = false)
+        val (onlyMp, missedMp, bothMp) = diff(mp, exact, Seq("a", "b", "sim"))
+        println(f"INFO mp planes=$planes probes=$probes tables=$tMp " +
+          f"(single-probe law: $tSingle) [mp ${(System.nanoTime() - t0) / 1e9}%.0fs]")
+        check(s"tau_mp_p${planes}q${probes}_exact_at_budget")(
+          onlyMp == 0 && missedMp == 0,
+          f"pairs=$bothMp only=$onlyMp/$missedMp (sim bitwise) tables=$tMp vs single $tSingle")
+        check(s"tau_mp_p${planes}q${probes}_fewer_tables")(tMp * 3 < tSingle,
+          s"tMp=$tMp not <1/3 of single=$tSingle")
+      }
+
       println(f"INFO total=${(System.nanoTime() - tAll) / 1e9}%.0fs")
       println(if (failures == 0) "ALL PASS" else s"$failures FAILED")
     } finally spark.stop()
