@@ -52,6 +52,21 @@ object BenchScale {
     "s1_stream_tumbling", "s5_stream_upsert", "s9_stream_neardup",
     "v5_dbscan_lsh")
 
+  /** Sweep members the sf10 tier drops. d17/d18 size their AUTO
+    * indexes at the generator's gap-less τ=0.45, where evaluations
+    * grow ~linearly with the table count past collision saturation
+    * (the volume pre-flights predict it): ~160 single-probe / ~40
+    * width-3 multi-probe tables over 200 k vectors is ~1000 s/run ×3
+    * runs EACH — a round-15 sweep attempt hit exactly that and was
+    * killed at the 2 h mark per the no-measurement-outlives-its-
+    * session rule. The decade-2 evidence for both auto paths lives
+    * where τ is selective and the cost honest: SPOTCHECK_tau.txt's
+    * brute-gated arm (d18's sizing: 33 tables vs the law's 236,
+    * 75 s vs 159 s at sf10).
+    */
+  val sf1OnlyQueries: Set[String] =
+    Set("d17_embed_neardup_auto", "d18_embed_neardup_mp")
+
   /** Sweep-only entries: runAuto at the bench tiers under its OWN
     * key so the artifact's round-over-round comparison stays stable.
     * (Correctness is no longer spec-only: `d16_semdedup_auto` in the
@@ -127,7 +142,9 @@ object BenchScale {
     // a filtered probe may name ANY registry query, not just sweep
     // members (the artifact append is skipped either way)
     val selected =
-      if (only.isEmpty) scaleQueries
+      if (only.isEmpty)
+        (if (sf.toDouble >= 10) scaleQueries.filterNot(sf1OnlyQueries)
+         else scaleQueries)
       else (scaleQueries ++ graft.SparkEntry.queries.keys.toSeq.sorted)
         .distinct.filter(only)
     val (iterative, oneJob) = selected.partition(graft.Bench.IterativeQueries)
