@@ -691,7 +691,25 @@ object Ann {
     (if (trials == 0) 0.0 else m.catches.toDouble / trials, m.catches, trials)
   }
 
-  private final case class MpSample(n: Long, s: Long, sampledPairs: Long, catches: Long)
+  private final case class MpSample(n: Long, s: Long, sampledPairs: Long,
+                                    catches: Long, hist: Map[Int, Long])
+
+  /** Exactly-unbiased estimator of a pair's T-table miss probability
+    * (1−r)^T from c catches in K iid trial tables: C(K−c, T)/C(K, T)
+    * — the probability that T trials drawn without replacement from
+    * the K observed are all misses, whose expectation over the
+    * binomial draw is (1−r)^T for every T ≤ K (a U-statistic; no
+    * plug-in bias, no convexity gap). 0 when T > K − c (more tables
+    * demanded than observed misses — the sample can't certify a miss).
+    */
+  private def mpMissProb(trials: Int, c: Int, t: Int): Double =
+    if (t > trials - c) 0.0
+    else {
+      var p = 1.0
+      var j = 0
+      while (j < t) { p *= (trials - c - j).toDouble / (trials - j); j += 1 }
+      p
+    }
 
   /** One sampled pre-flight pass shared by the multi-probe sizing:
     * the [[estimatePairCount]] hash-sample is self-joined once, and a
@@ -705,7 +723,7 @@ object Ann {
                        probes: Int, trialTables: Int,
                        sampleSize: Int, seed: Long): MpSample = {
     val n = df.count()
-    if (n < 2) return MpSample(n, 0L, 0L, 0L)
+    if (n < 2) return MpSample(n, 0L, 0L, 0L, Map.empty)
     val width = probes + 1
     val s = math.min(sampleSize.toLong, n)
     val sample = df.select(col("id"), col("vec"))
@@ -724,9 +742,15 @@ object Ann {
       (acc, t) => acc + when(arrays_overlap(
         slice(col("sa"), t * width + 1, lit(width)),
         slice(col("sb"), t * width + 1, lit(width))), 1L).otherwise(0L))
-    val row = pairs.agg(coalesce(sum(catchCnt), lit(0L)).as("catches"),
-        count(lit(1)).as("pairs")).collect().head
-    MpSample(n, s, row.getLong(1), row.getLong(0))
+    // the full per-pair catch-count HISTOGRAM, not just the sum: the
+    // heterogeneity-aware sizing needs the distribution of c over
+    // pairs (≤ trialTables+1 rows — a scalar-sized collect)
+    val rows = pairs.select(catchCnt.as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("cnt")).collect()
+    val hist = rows.map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val sampledPairs = hist.valuesIterator.sum
+    val catches = hist.iterator.map { case (c, cnt) => c.toLong * cnt }.sum
+    MpSample(n, s, sampledPairs, catches, hist)
   }
 
   /** Auto table count for the multi-probe pair join: the recall-
@@ -734,12 +758,18 @@ object Ann {
     * [[mpCatchRate]] instead of the analytic single-probe p^planes.
     * The rate is deflated to its 95% binomial lower bound before
     * sizing (sampling noise must oversize, never undersize), and the
-    * result is clamped by the analytic single-probe answer — probing
-    * strictly adds catch events (the base sketch is emission 0), so
-    * a noisier-than-analytic estimate can only be noise. Floors at 8
-    * like [[autoTables]]. Falls back to the single-probe sizing when
-    * the sample has no true pairs to measure (a super-selective τ) —
-    * conservative, since every emitted probe then only adds recall.
+    * result is FLOORED by a heterogeneity-aware sizing over the
+    * per-pair catch-count histogram (the average-rate law alone is
+    * average-case: Jensen lets τ-marginal pairs exceed the miss
+    * budget on corpora whose typical dup sits well above τ — see
+    * the `misses(t)` U-statistic in [[mpSizing]]), then clamped by
+    * the analytic single-probe answer — probing strictly adds catch
+    * events (the base sketch is emission 0), so a larger-than-
+    * analytic demand can only be noise or an infeasible budget.
+    * Floors at 8 like [[autoTables]]. Falls back to the single-probe
+    * sizing when the sample has no true pairs to measure (a super-
+    * selective τ) — conservative, since every emitted probe then
+    * only adds recall.
     */
   def mpAutoTables(df: DataFrame, minCos: Double, dim: Int, planes: Int,
                    probes: Int, seed: Long = 42L,
@@ -766,7 +796,26 @@ object Ann {
         val rate = m.catches.toDouble / trials
         val low = math.max(rate - 1.96 * math.sqrt(rate * (1 - rate) / trials),
           1.0 / (2.0 * trials)) // never let the CI zero out a measured rate
-        math.ceil(math.log(est / maxExpectedMisses) / -math.log1p(-low)).toInt
+        val tAvg = math.ceil(math.log(est / maxExpectedMisses) / -math.log1p(-low)).toInt
+        // Heterogeneity floor (round-16 ADVICE): the average-rate law
+        // under-sizes on mixed corpora — (1−r)^T is convex in r, so
+        // E[(1−rᵢ)^T] ≥ (1−r̄)^T (Jensen) and τ-marginal pairs can blow
+        // the budget while well-separated dups drag r̄ up. Instead of
+        // one rate, size against the MEASURED per-pair distribution:
+        // expected misses at T ≈ (est/s)·Σ_c hist(c)·C(K−c,T)/C(K,T),
+        // each term an exactly-unbiased estimate of that pair's
+        // (1−rᵢ)^T ([[mpMissProb]]). Smallest feasible T ≤ K wins; a
+        // never-caught pair (c=0) keeps its term at 1 for every T, so
+        // an infeasible budget falls through to the single-probe
+        // analytic worst-case via the clamp below — probes stay ON
+        // (they were measured to catch; they only add recall).
+        val scale = est / m.sampledPairs.toDouble
+        def misses(t: Int): Double =
+          scale * m.hist.iterator.map { case (c, cnt) =>
+            cnt * mpMissProb(trialTables, c, t) }.sum
+        val tHet = (1 to trialTables).find(t => misses(t) <= maxExpectedMisses)
+          .getOrElse(Int.MaxValue)
+        math.max(tAvg, tHet)
       }
     (math.min(sized, single).max(8), m.catches > 0)
   }
@@ -836,7 +885,11 @@ object Ann {
       }
     val width = effProbes + 1
     if (maxCandidateVolume < Long.MaxValue) {
-      val r = mpCandidateVolume(df, dim, planes, nTables, probes, seed).collect().head
+      // effProbes, not probes: the pre-flight must price the emission
+      // the join below actually builds — measuring the full-probe
+      // config under a dropped-probe fallback both over-counts the
+      // volume (spurious refusals) and mis-prices the real plan
+      val r = mpCandidateVolume(df, dim, planes, nTables, effProbes, seed).collect().head
       val vol = r.getAs[Long]("candidate_volume")
       if (vol > maxCandidateVolume)
         throw new IllegalStateException(
@@ -847,8 +900,14 @@ object Ann {
     }
     val sketched = df.select(col("id"), col("vec"),
       VectorOps.fnorm(col("vec")).as("nrm"),
+      // effProbes, not probes: with probes=2 dropped to 0 the sketch
+      // would still emit width-3 arrays while `pos DIV (0+1)` treats
+      // every probe slot as its own table — slot-wise matching at the
+      // full width× emission cost the fallback exists to avoid
+      // (round-16 ADVICE; AnnSpec pins the fallback plan's sketch
+      // expressions at probes=0 — emission exactly tables × n)
       posexplode(graft.functions.HyperplaneProbeSketches(
-        col("vec"), dim, planes, nTables, seed, probes)).as(Seq("pos", "bucket")))
+        col("vec"), dim, planes, nTables, seed, effProbes)).as(Seq("pos", "bucket")))
       .select(col("id"), col("vec"), col("nrm"),
         expr(s"pos DIV $width").as("table"), col("bucket"))
     val l = sketched.select(col("table"), col("bucket"),

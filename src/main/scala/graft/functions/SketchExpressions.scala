@@ -419,6 +419,16 @@ case class HyperplaneProbeSketches(child: Expression, dim: Int, planes: Int,
           if (!taken(p) && absDot(p) < bestV) { best = p; bestV = absDot(p) }
           p += 1
         }
+        // NaN components make every |dot| NaN and every `<` false, so
+        // `best` stays -1; fall through to the lowest untaken plane so
+        // a degenerate vector degrades (arbitrary-but-deterministic
+        // probes, exact sim filter still decides) like the base
+        // HyperplaneSketches treats NaN (dot >= 0 is just false) —
+        // instead of aborting the whole job on taken(-1)
+        if (best < 0) {
+          p = 0
+          while (best < 0) { if (!taken(p)) best = p; p += 1 }
+        }
         taken(best) = true
         out(base + 1 + s) = bits ^ (1L << best)
         s += 1

@@ -415,6 +415,107 @@ final class AnnSpec extends SparkTestBase {
       planes = 6, probes = 2).count() == 0)
   }
 
+  test("multi-probe fallback DROPS probes in the built plan (emission = tables × n)") {
+    // round-16 ADVICE (medium): the fallback used to keep the width-3
+    // sketch while `pos DIV 1` treated every probe slot as its own
+    // table — correct output, but paying exactly the width× emission
+    // the fallback exists to avoid. Pin the actual plan: at an
+    // unmeasurable τ every HyperplaneProbeSketches in the analyzed
+    // tree must carry probes=0 (emission tables × 1 × n); at a
+    // measurable τ the requested probes survive.
+    val df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def sketchProbes(minCos: Double): Seq[Int] = {
+      val plan = Ann.cosineNearDupPairsLSHMP(df, minCos = minCos, dim = 64,
+        planes = 6, probes = 2).queryExecution.analyzed
+      plan.flatMap(_.expressions.flatMap(_.collect {
+        case h: graft.functions.HyperplaneProbeSketches => h.probes
+      }))
+    }
+    val fallback = sketchProbes(0.99) // no sampled true pairs at this τ
+    assert(fallback.nonEmpty && fallback.forall(_ == 0),
+      s"fallback plan still sketches with probes: $fallback")
+    val measured = sketchProbes(0.45) // the fixture's gap: measurable catch
+    assert(measured.nonEmpty && measured.forall(_ == 2),
+      s"measurable-τ plan lost its probes: $measured")
+  }
+
+  test("HyperplaneProbeSketches: NaN components degrade deterministically, never abort") {
+    import spark.implicits._
+    val dim = 8
+    val rows = Seq(
+      0L -> Array(1f, Float.NaN, 0.5f, -1f, 2f, 0f, 1f, -0.5f), // partial NaN
+      1L -> Array.fill(dim)(Float.NaN),                          // all NaN
+      2L -> Array.fill(dim)(0f)                                  // all-zero margins
+    ).toDF("id", "vec")
+    val got = rows.select(col("id"), graft.functions.HyperplaneProbeSketches(
+        col("vec"), dim, planes = 6, tables = 3, seed = 42L, probes = 2).as("mp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // no ArrayIndexOutOfBounds; full layout; probes remain distinct
+    // 1-bit flips of the base even when every margin is NaN
+    got.values.foreach { mp =>
+      assert(mp.length == 3 * 3)
+      (0 until 3).foreach { t =>
+        val slot = mp.slice(t * 3, (t + 1) * 3)
+        slot.tail.foreach(pr => assert(java.lang.Long.bitCount(pr ^ slot.head) == 1))
+        assert(slot.distinct.length == 3)
+      }
+    }
+    // deterministic: same input, same emission
+    val again = rows.select(col("id"), graft.functions.HyperplaneProbeSketches(
+        col("vec"), dim, planes = 6, tables = 3, seed = 42L, probes = 2).as("mp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == got)
+  }
+
+  test("mpAutoTables: heterogeneous (τ-marginal + easy) pairs raise the sizing, output stays exact") {
+    import spark.implicits._
+    // round-16 ADVICE (low): the average-rate law is average-case —
+    // a corpus of mostly sim≈0.99 dups plus a few τ-marginal pairs
+    // has a high mean catch rate while the marginal pairs' per-table
+    // catch is far lower (Jensen). The per-pair U-statistic floor
+    // must (a) size the mixed corpus at least as large as the
+    // easy-only one and (b) keep the auto join exact on it.
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def orthoTo(v: Array[Float]): Array[Float] = {
+      val r = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val d = v.zip(r).map { case (a, b) => a.toDouble * b }.sum.toFloat
+      unit(r.zip(v).map { case (b, a) => b - d * a })
+    }
+    val base = (0 until 150).map(i => i.toLong -> unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    // 30 easy dups at cos ≈ 0.998
+    val easy = base.take(30).map { case (i, v) =>
+      (1000L + i) -> unit(v.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    // 6 marginal dups planted at cos = 0.905, just above τ = 0.9
+    val cosM = 0.905
+    val marginal = base.slice(30, 36).map { case (i, v) =>
+      val u = orthoTo(v)
+      val w = v.zip(u).map { case (a, b) =>
+        (cosM * a + math.sqrt(1 - cosM * cosM) * b).toFloat }
+      (2000L + i) -> unit(w)
+    }
+    val easyDf  = (base ++ easy).toDF("id", "vec")
+    val mixedDf = (base ++ easy ++ marginal).toDF("id", "vec")
+    val planes = 10
+    val tEasy  = Ann.mpAutoTables(easyDf, minCos = 0.9, dim = dim, planes = planes, probes = 3)
+    val tMixed = Ann.mpAutoTables(mixedDf, minCos = 0.9, dim = dim, planes = planes, probes = 3)
+    assert(tMixed >= tEasy,
+      s"marginal pairs must never SHRINK the sizing ($tMixed < $tEasy)")
+    val exact = Ann.cosineNearDupPairs(mixedDf, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(marginal.nonEmpty && exact.size >= easy.size + marginal.size)
+    val mp = Ann.cosineNearDupPairsLSHMP(mixedDf, minCos = 0.9, dim = dim,
+        planes = planes, probes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mp == exact, s"auto-sized T=$tMixed missed ${(exact -- mp).size} of ${exact.size}")
+  }
+
   test("mpCandidateVolume: exact evaluation count, vs an independent probe join") {
     val (dim, planes, tables, seed, probes) = (64, 6, 4, 42L, 2)
     val width = probes + 1
