@@ -586,14 +586,24 @@ object Ann {
       .select(col("a"), col("b"), col("sim"))
   }
 
-  /** `tables ≤ 0` (the default) derives the table count from THIS
-    * corpus via [[autoTables]] — the r11 audit's lesson made the
-    * default: a fixed table count tuned to measured recall 1.0 at one
-    * scale silently drops pairs at 10× (expected misses grow with the
-    * true-pair count), so the un-pinned path now pays two cheap
-    * pre-flight actions (a count and a 2000-vector sampled pair
-    * estimate) to size the index to the corpus. Gate/bench configs
-    * pin an explicit count and stay pure plan construction.
+  /** `tables ≤ 0` (the default) sizes the index from THIS corpus —
+    * and as of round 16 the un-pinned path IS the margin-guided
+    * multi-probe join ([[cosineNearDupPairsLSHMP]]): identical
+    * (a, b, sim) output on every gated fixture, at 6–9× fewer tables
+    * for the same 0.05 expected-miss budget (sf1: 13 vs 180 tables,
+    * 18.3 vs 69.0 s; sf10: 33 vs 236, 75 vs 159 s — SCALE.md), with
+    * a measured fallback that drops the probes and falls back to the
+    * analytic [[autoTables]] sizing when the corpus has no sampled
+    * true pairs to measure a catch rate on. `probes = 0` forces the
+    * classic single-probe auto sizing; a pinned `tables > 0` keeps
+    * the single-probe emission verbatim (gate/bench configs pin and
+    * stay pure plan construction — the un-pinned path pays the same
+    * two cheap pre-flight actions as before, a count and a
+    * 2000-vector sampled pair estimate, just measuring catch instead
+    * of assuming the analytic worst case). The r11 audit's lesson
+    * still governs: a fixed table count tuned to measured recall 1.0
+    * at one scale silently drops pairs at 10× (expected misses grow
+    * with the true-pair count), so defaults must size to the corpus.
     *
     * `maxCandidateVolume` is the same loud-refusal guard as
     * `NgramJaccard.pairs`: when set below `Long.MaxValue`, one extra
@@ -609,7 +619,12 @@ object Ann {
   def cosineNearDupPairsLSH(df: DataFrame, minCos: Double, dim: Int,
                             planes: Int = 10, tables: Int = -1,
                             seed: Long = 42L,
-                            maxCandidateVolume: Long = Long.MaxValue): DataFrame = {
+                            maxCandidateVolume: Long = Long.MaxValue,
+                            probes: Int = 2): DataFrame = {
+    if (tables <= 0 && probes > 0)
+      return cosineNearDupPairsLSHMP(df, minCos, dim, planes, tables = -1,
+        probes = math.min(probes, planes - 1), seed = seed,
+        maxCandidateVolume = maxCandidateVolume)
     val nTables = if (tables > 0) tables else autoTables(df, minCos, planes, seed)
     if (maxCandidateVolume < Long.MaxValue) {
       val r = lshCandidateVolume(df, dim, planes, nTables, seed).collect().head

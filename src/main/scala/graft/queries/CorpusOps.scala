@@ -377,13 +377,19 @@ object CorpusOps {
       brute.unionByName(lsh).orderBy(col("regime"), col("id"))
     },
 
-    // d5's UN-PINNED form — every knob at its default, so the table
-    // count comes from the corpus itself (estimatePairCount's
-    // deterministic 2000-vector hash sample → tablesForRecall at the
-    // 0.05 expected-miss budget). This is the config a user who types
-    // nothing gets at ANY scale; the same exact all-pairs oracle as
-    // d5 gates it, so the hash match proves the sizing law's realized
-    // recall is 1.0 here, not just expected.
+    // d5's UN-PINNED form — every knob at its default. As of round 16
+    // the default IS the margin-guided multi-probe join: the table
+    // count comes from the corpus via the MEASURED per-table catch
+    // rate (mpCatchRate over the same deterministic 2000-vector hash
+    // sample, CI-deflated, heterogeneity-floored) at the 0.05
+    // expected-miss budget — 6–9× fewer tables than the analytic
+    // single-probe law for identical output (SCALE.md), with the
+    // unmeasurable-τ fallback dropping probes and reverting to the
+    // analytic sizing. This is the config a user who types nothing
+    // gets at ANY scale; the same exact all-pairs oracle as d5 gates
+    // it, so the hash match proves the sizing's realized recall is
+    // 1.0 here, not just expected. (probes = 0 forces the classic
+    // single-probe auto path; d18 gates the mp form at planes = 6.)
     "d17_embed_neardup_auto" -> { (s, d) =>
       Ann.cosineNearDupPairsLSH(
           t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
