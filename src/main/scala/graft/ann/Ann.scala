@@ -1020,6 +1020,67 @@ object Ann {
       .format("parquet")
       .saveAsTable(table)
 
+  /** The persistent MULTI-PROBE index: exploded (id, table, bucket)
+    * rows of the widened emission ([[graft.functions.HyperplaneProbeSketches]]
+    * — base bucket + `probes` one-bit flips per table). Same storage
+    * schema as [[sketchIndex]] (so [[saveSketchIndex]]'s bucketed
+    * layout applies unchanged), `probes + 1` rows per (id, table) —
+    * but the measured-catch sizing needs ~6–9× fewer tables for the
+    * same miss budget, so the PERSISTED index is net ~2–3× smaller
+    * than the single-probe one and every per-batch probe shuffles
+    * proportionally fewer bytes. probes = 0 is bit-identical to
+    * [[sketchIndex]].
+    */
+  def probeSketchIndex(df: DataFrame, dim: Int, planes: Int = 6,
+                       tables: Int = 16, seed: Long = 42L,
+                       probes: Int = 2): DataFrame = {
+    val width = probes + 1
+    df.select(col("id"),
+      posexplode(graft.functions.HyperplaneProbeSketches(
+        col("vec"), dim, planes, tables, seed, probes)).as(Seq("pos", "bucket")))
+      .select(col("id"), expr(s"pos DIV $width").as("table"), col("bucket"))
+  }
+
+  /** [[cosineNearDupPairsLSHIndexed]] with a MULTI-PROBE stored
+    * index: the existing side arrives as persisted widened-emission
+    * (id, table, bucket) rows ([[probeSketchIndex]]) plus the vector
+    * table; the incoming batch is probe-sketched with the SAME
+    * (dim, planes, tables, seed, probes) and candidates are any
+    * emission collision — a pair is caught when a table's base
+    * sketches agree OR either side's probe straddles the disagreeing
+    * plane. Only candidate-touched existing vectors are read for
+    * exact scoring, so per-batch cost is collisions + a semi-join,
+    * never a corpus re-sketch. Every output pair's `b` is a new
+    * vector (new ids sort after existing ids); equivalence with the
+    * full multi-probe self-join restricted to new-touching pairs is
+    * spec'd, and `d19_embed_neardup_incr` gates the whole dataflow
+    * against the exact all-pairs oracle.
+    */
+  def cosineNearDupPairsLSHIndexedMP(existingIndex: DataFrame,
+                                     existingVecs: DataFrame,
+                                     incoming: DataFrame,
+                                     minCos: Double, dim: Int,
+                                     planes: Int = 6, tables: Int = 16,
+                                     probes: Int = 2,
+                                     seed: Long = 42L): DataFrame = {
+    val newSketches = probeSketchIndex(incoming, dim, planes, tables, seed, probes)
+    val allSketches = existingIndex.select(col("id"), col("table"), col("bucket"))
+      .unionByName(newSketches)
+    val cands = allSketches.select(col("table"), col("bucket"), col("id").as("a"))
+      .join(newSketches.select(col("table"), col("bucket"), col("id").as("b")),
+        Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val candIds = cands.select(col("a").as("id"))
+      .unionByName(cands.select(col("b").as("id")))
+      .distinct()
+    val vecsNeeded = existingVecs.select(col("id"), col("vec"))
+      .join(candIds, Seq("id"), "left_semi")
+      .unionByName(incoming.select(col("id"), col("vec")))
+    verifyCandidates(cands, vecsNeeded, minCos)
+  }
+
   /** [[cosineNearDupPairsLSHIncremental]] against a PRECOMPUTED
     * index: the existing side arrives as stored (id, table, bucket)
     * rows plus the vector table — nothing existing is re-sketched,

@@ -415,6 +415,70 @@ final class AnnSpec extends SparkTestBase {
       planes = 6, probes = 2).count() == 0)
   }
 
+  test("stored MULTI-PROBE index path: equals full mp run on new-touching pairs, never re-sketches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val dim = 32
+    val base = (0 until 120).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val dups = base.filter(_._1 % 4 == 0).map { case (i, v) =>
+      (1000L + i) -> v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+    }
+    val df = (base ++ dups).toDF("id", "vec")
+    val split = 60L
+    val existing = df.filter(col("id") < split)
+    val incoming = df.filter(col("id") >= split)
+    val (planes, tables, probes) = (8, 12, 2)
+    val table = "probe_sketch_index_spec"
+    try {
+      // the same bucketed persistence as the single-probe index: the
+      // schema (id, table, bucket) is shared, only the emission widens
+      Ann.saveSketchIndex(
+        Ann.probeSketchIndex(existing, dim, planes, tables, probes = probes),
+        table, nBuckets = 8)
+      val indexed = Ann.cosineNearDupPairsLSHIndexedMP(
+          spark.table(table), existing, incoming, minCos = 0.9, dim = dim,
+          planes = planes, tables = tables, probes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Ann.cosineNearDupPairsLSHMP(df, minCos = 0.9, dim = dim,
+          planes = planes, tables = tables, probes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(indexed.nonEmpty)
+      assert(indexed == full.filter { case (_, b) => b >= split },
+        "stored-index batch loop must find exactly the full run's new-touching pairs")
+      assert(indexed.forall { case (_, b) => b >= split })
+
+      // only the incoming batch is probe-sketched; the existing
+      // emissions come from the stored table
+      import org.apache.spark.sql.catalyst.plans.logical.Filter
+      def sketchedOverExisting(d: org.apache.spark.sql.DataFrame): Boolean =
+        d.queryExecution.analyzed.collect {
+          case p if p.expressions.exists(_.exists(
+                _.isInstanceOf[graft.functions.HyperplaneProbeSketches])) &&
+              p.collect { case f: Filter
+                if f.condition.toString.contains(s"< $split") => f }.nonEmpty => p
+        }.nonEmpty
+      val indexedDf = Ann.cosineNearDupPairsLSHIndexedMP(
+        spark.table(table), existing, incoming, minCos = 0.9, dim = dim,
+        planes = planes, tables = tables, probes = probes)
+      assert(!sketchedOverExisting(indexedDf), "existing side must not be re-sketched")
+      assert(indexedDf.queryExecution.analyzed.toString.contains(table))
+
+      // probes=0 index is bit-identical to the single-probe index
+      val sp = Ann.sketchIndex(existing, dim, planes, tables)
+      val mp0 = Ann.probeSketchIndex(existing, dim, planes, tables, probes = 0)
+      assert(mp0.exceptAll(sp).isEmpty && sp.exceptAll(mp0).isEmpty)
+
+      // append maintenance: stored ≡ fresh full-corpus probe index
+      Ann.saveSketchIndex(
+        Ann.probeSketchIndex(incoming, dim, planes, tables, probes = probes),
+        table, nBuckets = 8, append = true)
+      val stored = spark.table(table)
+      val fresh = Ann.probeSketchIndex(df, dim, planes, tables, probes = probes)
+      assert(stored.count() == fresh.count())
+      assert(stored.exceptAll(fresh).isEmpty && fresh.exceptAll(stored).isEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("multi-probe fallback DROPS probes in the built plan (emission = tables × n)") {
     // round-16 ADVICE (medium): the fallback used to keep the width-3
     // sketch while `pos DIV 1` treated every probe slot as its own
