@@ -793,8 +793,13 @@ object Ann {
     mpSizing(df, minCos, dim, planes, probes, seed, maxExpectedMisses,
       trialTables, sampleSize)._1
 
-  /** (table count, catch-rate-was-measurable) from ONE sampled pass —
-    * the second element lets the auto join drop unmeasurable probes.
+  /** (table count, probes-pay) from ONE sampled pass — the second
+    * element is true only when the measured sizing beats the analytic
+    * single-probe law STRICTLY (and a catch rate was measurable at
+    * all); the auto join drops the probes otherwise, so the plan is
+    * the classic single-probe emission at the analytic count whenever
+    * probing wouldn't shrink the index. When it is false, the first
+    * element ALWAYS equals the floored single-probe sizing.
     */
   private def mpSizing(df: DataFrame, minCos: Double, dim: Int, planes: Int,
                        probes: Int, seed: Long = 42L,
@@ -832,7 +837,18 @@ object Ann {
           .getOrElse(Int.MaxValue)
         math.max(tAvg, tHet)
       }
-    (math.min(sized, single).max(8), m.catches > 0)
+    val tMp = math.min(sized, single).max(8)
+    val tSingle = single.max(8)
+    // Probes must PAY FOR THEMSELVES IN TABLES: width-(probes+1)
+    // emission at T tables costs what single-probe emission costs at
+    // width×T — so unless the measured sizing beats the analytic
+    // single-probe law STRICTLY, probing is all cost and no saving
+    // (round-16 sf1 sweep: d17 at planes=10 measured weak per-table
+    // catch, clamped to the single law's 180 tables, and the kept
+    // probes tripled the emission — 69 → 205 s for identical output).
+    // Equal-or-worse sizing therefore drops the probes and emits the
+    // classic single-probe plan at the analytic count.
+    (tMp, m.catches > 0 && tMp < tSingle)
   }
 
   /** EXACT candidate volume of a [[cosineNearDupPairsLSHMP]] config —
@@ -886,12 +902,14 @@ object Ann {
                               seed: Long = 42L,
                               maxCandidateVolume: Long = Long.MaxValue): DataFrame = {
     // auto path: when the sizing sample has no true pairs to measure a
-    // catch rate on (a super-selective τ on this corpus), probing buys
-    // nothing the budget can see — the table count falls back to the
-    // single-probe law, and the probes themselves are DROPPED so the
-    // join degenerates to exactly the single-probe emission volume
-    // instead of paying width× rows for unmeasurable benefit. A pinned
-    // `tables` keeps the caller's probes verbatim.
+    // catch rate on (a super-selective τ on this corpus), OR when the
+    // measured sizing fails to beat the analytic single-probe law
+    // strictly (weak per-table catch — probing buys tables nothing),
+    // the table count falls back to the single-probe law and the
+    // probes themselves are DROPPED so the join degenerates to exactly
+    // the single-probe emission volume instead of paying width× rows
+    // for no index saving. A pinned `tables` keeps the caller's probes
+    // verbatim.
     val (nTables, effProbes) =
       if (tables > 0) (tables, probes)
       else {

@@ -1295,6 +1295,36 @@ object CorpusOps {
         .orderBy(col("event_type"), col("h"))
     },
 
+    // Cohort retention matrix — the canonical events-table product
+    // query (fills the e-family's e6 numbering gap, present since the
+    // family was added). Users cohort by their FIRST active day; each
+    // (cohort, day-offset) cell counts distinct still-active users,
+    // with retention as the ratio to the cohort's day-0 size. Scale
+    // shape: the raw stream first collapses to DISTINCT (user, day)
+    // pairs — the minimal sufficient statistic, so the heavy shuffle
+    // is bounded by active-pairs, not events — then two user-keyed
+    // hash aggs (first-day min, the matrix count-distinct) and ONE
+    // window over the already-tiny cohort×offset matrix (never over
+    // the data) for the day-0 denominator. No window touches the raw
+    // stream; everything partial-aggregates map-side.
+    "e6_retention_cohorts" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val act = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val fst = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      val m = act.join(fst, Seq("user_id"))
+        .withColumn("offset_days", datediff(col("day"), col("cohort")).cast(LongType))
+        .groupBy(col("cohort"), col("offset_days"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      val day0 = Window.partitionBy(col("cohort"))
+      m.withColumn("retention",
+          round(col("active_users").cast(DoubleType) /
+            max(when(col("offset_days") === 0, col("active_users"))).over(day0)
+              .cast(DoubleType), 6))
+        .orderBy(col("cohort"), col("offset_days"))
+    },
+
     // Time-series resampling to OHLC bars: one keyed aggregate where
     // open/close are min_by/max_by on the event time — the
     // downsampling shape behind every metrics/market rollup. One
@@ -2914,6 +2944,22 @@ object CorpusOps {
         | AND b.h >= a.h - INTERVAL 5 HOUR AND b.h <= a.h
         |GROUP BY 1, 2
         |ORDER BY a.event_type, a.h""".stripMargin,
+
+    "e6_retention_cohorts" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fst AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1),
+        |m AS (
+        |  SELECT f.cohort,
+        |    CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS offset_days,
+        |    CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+        |  FROM act a JOIN fst f ON a.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT cohort, offset_days, active_users,
+        |  round(CAST(active_users AS DOUBLE) /
+        |    CAST(max(CASE WHEN offset_days = 0 THEN active_users END)
+        |           OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
+        |FROM m ORDER BY cohort, offset_days""".stripMargin,
 
     "e7_ohlc_bars" ->
       """WITH e AS (

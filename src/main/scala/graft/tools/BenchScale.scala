@@ -46,6 +46,7 @@ object BenchScale {
     "a2_ann_lsh_knn", "a4_ann_quantized", "d10_semdedup", "d10_semdedup_auto",
     "d11_dup_spans",
     "d15_simhash_prod", "d17_embed_neardup_auto", "d18_embed_neardup_mp",
+    "d19_embed_neardup_incr",
     "d2_ngram_jaccard",
     "d3_minhash_lsh", "d4_simhash",
     "d5_embed_neardup", "g1_pagerank", "r1_item_similarity",
@@ -65,7 +66,12 @@ object BenchScale {
     * 75 s vs 159 s at sf10).
     */
   val sf1OnlyQueries: Set[String] =
-    Set("d17_embed_neardup_auto", "d18_embed_neardup_mp")
+    Set("d17_embed_neardup_auto", "d18_embed_neardup_mp",
+      // d19 pins a width-3 16-table index at the same gap-less τ —
+      // its candidate-pair distinct at 200 k vectors is the regime
+      // the volume guards exist to refuse; sf1 evidences the batch
+      // loop, SPOTCHECK_tau's selective-τ arm evidences decade 2
+      "d19_embed_neardup_incr")
 
   /** Sweep-only entries: runAuto at the bench tiers under its OWN
     * key so the artifact's round-over-round comparison stays stable.

@@ -499,6 +499,17 @@ final class AnnSpec extends SparkTestBase {
     val fallback = sketchProbes(0.99) // no sampled true pairs at this τ
     assert(fallback.nonEmpty && fallback.forall(_ == 0),
       s"fallback plan still sketches with probes: $fallback")
+    // probes-pay invariant: whenever the auto path drops probes, its
+    // table count must equal the analytic single-probe sizing — the
+    // plan degenerates to the classic single-probe join EXACTLY
+    // (round-16 sf1 lesson: clamped-to-single sizing with probes kept
+    // tripled d17's emission for identical output)
+    val fallbackTables = Ann.cosineNearDupPairsLSHMP(df, minCos = 0.99, dim = 64,
+        planes = 6, probes = 2).queryExecution.analyzed
+      .flatMap(_.expressions.flatMap(_.collect {
+        case h: graft.functions.HyperplaneProbeSketches => h.tables
+      })).head
+    assert(fallbackTables == Ann.autoTables(df, minCos = 0.99, planes = 6))
     val measured = sketchProbes(0.45) // the fixture's gap: measurable catch
     assert(measured.nonEmpty && measured.forall(_ == 2),
       s"measurable-τ plan lost its probes: $measured")
