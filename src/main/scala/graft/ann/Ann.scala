@@ -53,8 +53,8 @@ object Ann {
   // (best) entry per nbr — subsuming a dropDuplicates(query, nbr)
   // that would otherwise shuffle the candidate multiset with its
   // wide vector payloads still attached.
-  private def topK(scored: DataFrame, k: Int,
-                   dedup: Boolean = false): DataFrame = {
+  private[ann] def topK(scored: DataFrame, k: Int,
+                        dedup: Boolean = false): DataFrame = {
     val agg =
       if (dedup) graft.functions.TopKAgg.distinct(col("sim"), col("nbr_id"), k)
       else graft.functions.TopKAgg(col("sim"), col("nbr_id"), k)
@@ -463,8 +463,8 @@ object Ann {
   // n>1 windows over the narrow projection; the wide vector columns
   // rejoin by id afterwards. Both forms replay the original window's
   // `csim DESC (NaN first), cell ASC` order exactly.
-  private def assignN(df: DataFrame, centroids: DataFrame, n: Int,
-                      idAs: String, vecAs: String, normAs: String): DataFrame = {
+  private[ann] def assignN(df: DataFrame, centroids: DataFrame, n: Int,
+                           idAs: String, vecAs: String, normAs: String): DataFrame = {
     val cents = broadcast(centroids.select(
       col("cell"), col("vec").as("centvec"),
       sqrt(VectorOps.dot(col("vec"), col("vec"))).as("centnorm")))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
-import graft.ann.{Ann, Quantize}
+import graft.ann.{Ann, Pq, Quantize}
 import graft.dedup.{Dedup, MinHashLSH, NgramJaccard, SimHash}
 import graft.multimodal.Multimodal
 import graft.streaming.EventsPipeline
@@ -543,6 +543,35 @@ object CorpusOps {
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
       val vecs = all.select(col("id"), col("vec"))
       Ann.ivfTopK(vecs, vecs.filter(col("id") < 20), cents, k = 5, nprobe = 2)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IVF·PQ — the canonical billion-scale serving index (coarse
+    // cells + product-quantized in-cell scan + exact re-rank;
+    // FAISS IndexIVFPQ). Same a3 label-mean coarse structure; the
+    // in-cell scan ranks by the PqAdc lookup kernel over 16 codes
+    // instead of 64 floats, and the exact re-rank of the ADC top-96
+    // restores exact ranking WITHIN probed cells — so the
+    // approximation surface is exactly IVF's structural recall and
+    // a3's full-replay oracle gates the whole composition verbatim.
+    // Config is MEASURED on the oracle fixtures (tools/TunePq: worst
+    // true-top-5 in-cell ADC rank ≤31 → rerank=96 is a 3.1× budget;
+    // PqSpec holds the equality down to 48).
+    "a6_ivf_pq" -> { (s, d) =>
+      val all = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      val cents = all
+        .select(col("label").as("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x").cast(DoubleType)), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
+      val vecs = all.select(col("id"), col("vec"))
+      val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
+      Pq.ivfPqTopK(vecs, vecs.filter(col("id") < 20), cents, books,
+          k = 5, m = 16, ksub = 64, nprobe = 2, rerank = 96)
         .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
@@ -1424,6 +1453,51 @@ object CorpusOps {
       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
       |  (a.nrm * b.nrm)""".stripMargin
 
+  /** Full replay of the label-mean IVF structure (a3): rounded
+    * centroids → argmax cell per corpus vector → top-2 probed cells
+    * per query → exact rank within probed cells. Shared by a3 and
+    * a6_ivf_pq — PQ + exact re-rank reproduces exact in-cell ranking,
+    * so both operators' outputs are THIS query.
+    */
+  private lazy val ivfReplaySql =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label AS cell, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+       |  GROUP BY label, i),
+       |cvecs AS (
+       |  SELECT cell, list(m ORDER BY pos) AS cvec FROM cent GROUP BY cell),
+       |cn AS (
+       |  SELECT cell, cvec,
+       |    sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+       |  FROM cvecs),
+       |csims AS (
+       |  SELECT v.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(v.embedding, c.cvec),
+       |        x -> CAST(x[1] AS DOUBLE) * x[2])) / (v.nrm * c.cnrm) DESC,
+       |      c.cell ASC) AS crank
+       |  FROM v CROSS JOIN cn c),
+       |assigned AS (SELECT vec_id, cell FROM csims WHERE crank = 1),
+       |probed AS (SELECT vec_id, cell FROM csims WHERE crank <= 2 AND vec_id < 20),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosineExpr AS sim
+       |  FROM probed p
+       |  JOIN assigned asg ON asg.cell = p.cell
+       |  JOIN v a ON a.vec_id = p.vec_id
+       |  JOIN v b ON b.vec_id = asg.vec_id
+       |  WHERE a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, round(sim, 6) AS sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, sim, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** All-pairs hamming-≤`maxDist` replay of the SimHash pipeline
     * (d4/d15): DuckDB recomputes every fingerprint bit-for-bit, so
     * one helper serves every radius — the Spark side's chunk
@@ -2260,44 +2334,14 @@ object CorpusOps {
     // replicates the IVF index structure: rounded label-mean
     // centroids → argmax cell per corpus vector → top-2 probed cells
     // per query → rank within probed cells
-    "a3_ann_ivf" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(list_sum(list_transform(embedding,
-         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-         |  FROM embeddings),
-         |cent AS (
-         |  SELECT label AS cell, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
-         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
-         |  GROUP BY label, i),
-         |cvecs AS (
-         |  SELECT cell, list(m ORDER BY pos) AS cvec FROM cent GROUP BY cell),
-         |cn AS (
-         |  SELECT cell, cvec,
-         |    sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
-         |  FROM cvecs),
-         |csims AS (
-         |  SELECT v.vec_id, c.cell,
-         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |      list_sum(list_transform(list_zip(v.embedding, c.cvec),
-         |        x -> CAST(x[1] AS DOUBLE) * x[2])) / (v.nrm * c.cnrm) DESC,
-         |      c.cell ASC) AS crank
-         |  FROM v CROSS JOIN cn c),
-         |assigned AS (SELECT vec_id, cell FROM csims WHERE crank = 1),
-         |probed AS (SELECT vec_id, cell FROM csims WHERE crank <= 2 AND vec_id < 20),
-         |scored AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosineExpr AS sim
-         |  FROM probed p
-         |  JOIN assigned asg ON asg.cell = p.cell
-         |  JOIN v a ON a.vec_id = p.vec_id
-         |  JOIN v b ON b.vec_id = asg.vec_id
-         |  WHERE a.vec_id <> b.vec_id),
-         |ranked AS (
-         |  SELECT query_id, nbr_id, round(sim, 6) AS sim,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rank
-         |  FROM scored)
-         |SELECT query_id, nbr_id, sim, CAST(rank AS INT) AS rank
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "a3_ann_ivf" -> ivfReplaySql,
+
+    // IVF·PQ: the PQ stage is exact after the rerank re-score inside
+    // probed cells (PqSpec proves the slack), so the approximation
+    // surface is identical to a3's and the SAME full-structure replay
+    // gates the composition — the oracle verifies the coarse index
+    // AND that compression changed nothing.
+    "a6_ivf_pq" -> ivfReplaySql,
 
     "t1_text_stats" ->
       """SELECT doc_id,

@@ -65,15 +65,23 @@ object GenData {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: GenData <outDir> <sf>")
+    require(args.length >= 2, "usage: GenData <outDir> <sf> [table ...]")
     val outDir = args(0)
     val sf     = args(1).toDouble
+    val only   = args.drop(2).toSet
     val spark  = GraftSession.build("graft-gendata")
-    try generate(spark, outDir, sf)
+    try generate(spark, outDir, sf, only)
     finally spark.stop()
   }
 
-  def generate(spark: SparkSession, outDir: String, sf: Double): Unit = {
+  /** `only` non-empty limits generation to the named tables — a
+    * standing audit that needs one table at sf10 (SpotTau reads just
+    * `embeddings`) shouldn't pay for 15 M orders. Content is
+    * per-table deterministic in (id, sf), so a subset regeneration
+    * is bit-identical to the same table from a full run.
+    */
+  def generate(spark: SparkSession, outDir: String, sf: Double,
+               only: Set[String] = Set.empty): Unit = {
     import spark.implicits._
 
     def n(base: Long): Long = math.max(1L, math.round(base * sf))
@@ -92,6 +100,7 @@ object GenData {
     // into place. (Parquet row groups keep a single file splittable;
     // scan-side parallelism matches the shipped data's shape.)
     def write(df: DataFrame, name: String): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       import org.apache.hadoop.fs.Path
       val conf = spark.sparkContext.hadoopConfiguration
       val tmp  = new Path(s"$outDir/.gen_$name")

@@ -1,0 +1,182 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructType}
+
+import graft.SparkTestBase
+
+/** Product quantization ([[Pq]]) — training determinism, the ADC
+  * kernel (codegen ≡ composable HOF replay), exact-equality gates vs
+  * the uncompressed searches, the saved-index contract, and the
+  * stage-1 compressed-scan plan property.
+  */
+final class PqSpec extends SparkTestBase {
+
+  // The gate config is MEASURED, not guessed: tools/TunePq reports,
+  // per (m, ksub, iters), the worst ADC rank of any true top-5
+  // neighbor on both oracle fixtures (isotropic vectors — PQ's worst
+  // case, nothing for codebooks to exploit). (16, 64, 3) needs ≤64
+  // full-scan / ≤31 in-cell, so the gates below hold with ≥1.5×
+  // slack even at the halved-budget assertions.
+  private val M = 16
+  private val KSUB = 64
+  private val ITERS = 3
+
+  private lazy val vecs =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private lazy val books = Pq.trainCodebooks(vecs, M, KSUB, iters = ITERS)
+    .localCheckpoint(true)
+
+  private def canon(df: DataFrame) = df
+    .select(col("query_id"), col("nbr_id"), round(col("sim"), 9).as("sim"), col("rank"))
+    .collect().map(_.toSeq).toSet
+
+  test("codebooks: deterministic retrain, global code ranges, round-6 doubles") {
+    val again = Pq.trainCodebooks(vecs, M, KSUB, iters = ITERS)
+    val a = books.orderBy("sub", "code").collect().map(_.toSeq)
+    val b = again.orderBy("sub", "code").collect().map(_.toSeq)
+    assert(a.sameElements(b), "retraining the same corpus must be bit-identical")
+    val rows = books.select(col("sub"), col("code")).collect()
+    assert(rows.forall { r =>
+      val (s, c) = (r.getInt(0), r.getInt(1))
+      c >= s * KSUB && c < (s + 1) * KSUB
+    }, "codes are global lut indices inside their subspace's slot range")
+    // every subspace kept a usable codebook (dead codes may drop, but
+    // not a whole subspace) and centroids are round-6 quantized
+    assert(books.select(countDistinct(col("sub"))).head().getLong(0) == M)
+    val cents = books.select(explode(col("cent"))).collect().map(_.getDouble(0))
+    assert(cents.forall(x => math.abs(x * 1e6 - math.round(x * 1e6)) < 1e-6))
+  }
+
+  test("encode: one code per subspace, in-range, deterministic") {
+    val codes = Pq.encode(vecs, books, M)
+    assert(codes.count() == vecs.count())
+    val rows = codes.select(col("codes")).collect().map(_.getSeq[Int](0))
+    assert(rows.forall(_.length == M))
+    assert(rows.forall(_.zipWithIndex.forall { case (c, s) =>
+      c >= s * KSUB && c < (s + 1) * KSUB
+    }))
+    val again = Pq.encode(vecs, books, M).select(col("id"), col("codes"))
+      .collect().map(_.toSeq).toSet
+    assert(codes.select(col("id"), col("codes")).collect().map(_.toSeq).toSet == again)
+  }
+
+  test("PqAdc codegen equals the composable HOF replay; holes and bad codes add 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(0, 3, 5), Array(1.5, 2.0, -0.5, 4.25, 0.0, 10.0)),
+      (Array(1, 1, 1), Array(0.0, 7.0)),
+      (Array(-1, 99, 2), Array(1.0, 2.0, 3.0)), // out-of-range → 0
+      (Array.empty[Int], Array(1.0))
+    ).toDF("codes", "lut")
+    val got = df.select(
+      graft.functions.PqAdc(col("codes"), col("lut")).as("fused"),
+      aggregate(
+        transform(col("codes"), c =>
+          when(c >= 0 && c < size(col("lut")),
+            element_at(col("lut"), c + 1)).otherwise(lit(0.0))),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"fused ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
+    assert(got(0).getDouble(0) == 1.5 + 4.25 + 10.0)
+    assert(got(2).getDouble(0) == 3.0)
+  }
+
+  test("adcLut: m*ksub slots, ADC sum over own codes reconstructs the rounded dot") {
+    // for any vector x, Σₘ lut_x[codes_x[m]] = dot(x, recon(x)) — the
+    // ADC identity that makes stage-1 a meaningful ranking. Verify the
+    // lut layout by recomputing one query's ADC against itself from
+    // first principles (subspace dots vs its own assigned centroids).
+    val q = vecs.filter(col("id") === 0)
+    val lutRow = Pq.adcLut(q, books, M, KSUB).head()
+    val lut = lutRow.getSeq[Double](lutRow.fieldIndex("lut"))
+    assert(lut.length == M * KSUB)
+    val codes = Pq.encode(q, books, M).head().getSeq[Int](1)
+    val adc = codes.map(lut).sum
+    // recompute: dot(q_sub, cent(code)) per subspace, summed
+    val qv = q.head().getSeq[Float](1).map(_.toDouble)
+    val bk = books.collect().map(r =>
+      r.getInt(r.fieldIndex("code")) -> r.getSeq[Double](r.fieldIndex("cent"))).toMap
+    val d = qv.length / M
+    val expect = codes.zipWithIndex.map { case (c, s) =>
+      qv.slice(s * d, (s + 1) * d).zip(bk(c)).map { case (x, y) => x * y }.sum
+    }.sum
+    assert(math.abs(adc - expect) < 1e-9)
+  }
+
+  test("full-scan PQ search equals brute force, with rerank slack") {
+    val queries = vecs.filter(col("id") < 20)
+    val exact = canon(Ann.bruteForceTopK(vecs, queries, k = 5))
+    // TunePq: worst true-top-5 ADC rank on this fixture is 64 — the
+    // gate budget is 2.5× that, and the halved budget (the a4 slack
+    // pattern: fixture drift toward the margin fails HERE, loudly,
+    // before any oracle could flip) still carries 1.5×
+    assert(canon(Pq.pqTopK(vecs, queries, books, k = 5, M, KSUB, rerank = 160)) == exact)
+    assert(canon(Pq.pqTopK(vecs, queries, books, k = 5, M, KSUB, rerank = 96)) == exact)
+  }
+
+  test("IVF-PQ equals IVF over the same centroids, with rerank slack") {
+    val queries = vecs.filter(col("id") < 20)
+    val cents = Ann.kmeansCentroids(vecs, k = 8, iters = 2).localCheckpoint(true)
+    val exact = canon(Ann.ivfTopK(vecs, queries, cents, k = 5, nprobe = 2))
+    // TunePq: worst in-cell rank ≤31 on both fixtures → 96 is the a6
+    // gate budget (3.1×), 48 the slack assertion (1.55×)
+    assert(canon(Pq.ivfPqTopK(vecs, queries, cents, books, k = 5, M, KSUB,
+      nprobe = 2, rerank = 96)) == exact)
+    assert(canon(Pq.ivfPqTopK(vecs, queries, cents, books, k = 5, M, KSUB,
+      nprobe = 2, rerank = 48)) == exact)
+  }
+
+  test("saved IVF-PQ index: indexed search equals recompute; append maintains; stage 1 scans no vectors") {
+    val queries = vecs.filter(col("id") < 20)
+    val cents = Ann.kmeansCentroids(vecs, k = 8, iters = 2).localCheckpoint(true)
+    val old = vecs.filter(col("id") % 5 =!= 0)
+    val add = vecs.filter(col("id") % 5 === 0)
+    // clean any leftover managed-table location from an aborted run
+    for (s <- Seq("centroids", "books", "codes", "vecs")) {
+      spark.sql(s"DROP TABLE IF EXISTS pqspec_idx_$s")
+      val loc = new java.io.File(s"spark-warehouse/pqspec_idx_$s")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete())
+        loc.delete()
+      }
+    }
+    try {
+      Pq.saveIvfPqIndex(old, cents, books, "pqspec_idx", M, nBuckets = 4)
+    Pq.saveIvfPqIndex(add, cents, books, "pqspec_idx", M, append = true, nBuckets = 4)
+    val indexed = Pq.ivfPqTopKIndexed(spark, "pqspec_idx", queries,
+      k = 5, M, KSUB, nprobe = 2, rerank = 96)
+    val recomputed = Pq.ivfPqTopK(vecs, queries, cents, books,
+      k = 5, M, KSUB, nprobe = 2, rerank = 96)
+    assert(canon(indexed) == canon(recomputed))
+    // the compressed-scan property is storage-level: the stage-1 table
+    // has no vector column at all
+    val codesSchema = spark.table("pqspec_idx_codes").schema
+    assert(!codesSchema.fieldNames.contains("vec"))
+    assert(codesSchema.fieldNames.sorted.sameElements(
+      Array("cell", "codes", "id", "nrm")))
+    // and the serving plan reads the codes table, not the vecs table,
+    // on its scan side (vecs enters only via the rerank join)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("pqspec_idx_codes"))
+    } finally {
+      for (s <- Seq("centroids", "books", "codes", "vecs"))
+        spark.sql(s"DROP TABLE IF EXISTS pqspec_idx_$s")
+    }
+  }
+
+  test("index bytes: the codes row is a fraction of the vec row at the gate config") {
+    // 64 floats (256 B logical) vs 16 int codes + norm (72 B as the
+    // Spark array; 6 bits of true entropy per code at ksub=64, so a
+    // packing writer stores 12 B + 8 B norm) — assert the schema
+    // arithmetic the compression claims derive from, independent of
+    // parquet encoding.
+    val perRowVec = 64 * 4
+    assert(perRowVec / (M * 4 + 8) >= 3)           // unpacked int array
+    assert(perRowVec / (M * 6 / 8 + 8) >= 12)      // entropy-packed
+  }
+}

@@ -43,10 +43,17 @@ final class PlanAuditSpec extends SparkTestBase {
                             // gated shape (taken only when n fits the
                             // broadcast bound); the forced-LSH arm's
                             // ε-graph is the d5 equi-join
-      "d16_semdedup_auto")  // d10's broadcast-quantizer argmax, at
+      "d16_semdedup_auto",  // d10's broadcast-quantizer argmax, at
                             // k-means cells: row × cell scoring is a
                             // broadcast product reduced map-side —
                             // the corpus never shuffles for assignment
+      "a6_ivf_pq")          // the NLJ products are (rows × m·ksub
+                            // codebook) assignment and (query batch ×
+                            // codebook) lut build — both sides bounded
+                            // by construction (1024-entry books, a1's
+                            // broadcast-batch query contract); the
+                            // corpus-side scan stays an equi-join on
+                            // cell
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
@@ -83,7 +90,11 @@ final class PlanAuditSpec extends SparkTestBase {
   //     row bound before the hint is applied (SMJ above it), so the
   //     build side is bounded by construction
   private val keyedBroadcastOk =
-    Set("e5_anomaly", "a3_ann_ivf", "d10_semdedup", "r1_item_similarity")
+    Set("e5_anomaly", "a3_ann_ivf", "d10_semdedup", "r1_item_similarity",
+      "a6_ivf_pq") // broadcast keyed aggregates are the (sub, code)
+                   // codebooks (≤ m·ksub rows by construction) and the
+                   // per-query ADC luts (query-batch-sized, the a1
+                   // broadcast contract)
 
   test("no broadcast hint on an unbounded aggregate (full registry)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
