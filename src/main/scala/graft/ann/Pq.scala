@@ -1,15 +1,15 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 
-import graft.functions.{PqAdc, VectorOps}
+import graft.functions.{PqAdc, PqAssign, PqLut, VectorOps}
 
 /** Product quantization (PQ) — the compressed-index half of the
   * canonical billion-scale ANN design (IVF for the coarse partition,
-  * PQ for the in-cell scan; Jégou et al., TPAMI 2011 / FAISS
-  * `IndexIVFPQ`).
+  * PQ for the in-cell scan; Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011 / FAISS `IndexIVFPQ`).
   *
   * The vector is split into `m` contiguous subspaces of `dim/m`
   * elements; each subspace gets its own `ksub`-centroid codebook
@@ -36,54 +36,135 @@ import graft.functions.{PqAdc, VectorOps}
   * search over the same candidate cells while full-precision vectors
   * are touched for only `rerank` rows per query.
   *
-  * Scale shape: codebooks are a broadcast-sized literal table
-  * (m·ksub·(dim/m) doubles); encoding is one broadcast join + a
-  * map-side argmin, no shuffle of the corpus beyond the groupBy id
-  * that assembles code arrays; stage-1 serving scans ONLY
-  * (id, codes, nrm) — the property [[saveIvfPqIndex]] materializes
-  * and `PqSpec` asserts on the plan.
+  * Scale shape — the part that matters at 100 TB: a trained codebook
+  * is m·ksub·(dim/m) doubles (32 KB at the gate config), i.e. DRIVER
+  * state, exactly as every production PQ system holds it. It is
+  * collected once per plan build (a bounded metadata collect, the
+  * sizing-pre-flight class) and BAKED into the
+  * [[graft.functions.PqAssign]]/[[graft.functions.PqLut]] codegen
+  * kernels — so corpus encoding is a PURE MAP (zero shuffles, zero
+  * joins: the first cut's explode→broadcast-join→groupBy→join-back
+  * dataflow cost ~14 tiny shuffle stages on the a6 path and 4 s of
+  * pure scheduling at sf0.1), and per-query luts are map-side
+  * column expressions. The only shuffles left in a serving call are
+  * IVF's own probe join and the bounded TopKAgg tail.
   */
 object Pq {
 
+  /** Driver-side codebook state: flattened centroids
+    * (`arr(code·dsub + d)`, GLOBAL codes `sub·ksub + c` — see
+    * [[graft.functions.PqAdc]] for why global beats stride math),
+    * plus a `present` mask for codes that lost all members during
+    * training (encode never emits them; luts leave their slots 0).
+    */
+  private[ann] case class PqBooks(arr: Array[Double], present: Array[Boolean],
+                                  m: Int, ksub: Int, dsub: Int)
+
+  /** Collect a (sub, code, cent) codebook table into driver state —
+    * m·ksub·dsub doubles, bounded by construction (32 KB at the gate
+    * config): the codebook IS driver state in any real PQ system.
+    */
+  private[ann] def collectBooks(codebooks: DataFrame, m: Int, ksub: Int): PqBooks = {
+    val rows = codebooks.select(col("code"), col("cent")).collect()
+    require(rows.nonEmpty, "empty codebook")
+    val dsub = rows.head.getSeq[Double](1).length
+    val arr = new Array[Double](m * ksub * dsub)
+    val present = new Array[Boolean](m * ksub)
+    rows.foreach { r =>
+      val code = r.getInt(0)
+      require(code >= 0 && code < m * ksub, s"code $code outside m*ksub layout")
+      val cent = r.getSeq[Double](1)
+      require(cent.length == dsub, "ragged codebook")
+      var d = 0
+      while (d < dsub) { arr(code * dsub + d) = cent(d); d += 1 }
+      present(code) = true
+    }
+    PqBooks(arr, present, m, ksub, dsub)
+  }
+
+  private def booksToDf(spark: SparkSession, b: PqBooks): DataFrame = {
+    val rows = (0 until b.m * b.ksub).filter(b.present).map { code =>
+      Row(code / b.ksub, code,
+        (0 until b.dsub).map(d => b.arr(code * b.dsub + d)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("sub", IntegerType, nullable = false),
+        StructField("code", IntegerType, nullable = false),
+        StructField("cent", ArrayType(DoubleType, containsNull = false), nullable = false))))
+  }
+
   /** Per-subspace codebooks: (sub, code, cent: array<double>) with
-    * `code` a GLOBAL lut index in [sub·ksub, (sub+1)·ksub) — see
-    * [[graft.functions.PqAdc]] for why global beats stride math.
+    * `code` a GLOBAL lut index in [sub·ksub, (sub+1)·ksub).
     *
     * Determinism (what makes an operator built on this oracle-able):
-    * seeds are, per subspace, the `ksub` subvectors of the vectors
+    * seeds are, per subspace, the subvectors of the `ksub` vectors
     * with the smallest md5(id) (the [[Ann.kmeansCentroids]] recipe —
     * the SAME seed vectors in every subspace, so one hash ranking
     * drives all m codebooks); assignment argmin breaks ties toward
     * the lowest code; means are rounded to 6 decimals; the iteration
     * count is fixed. A code that loses all members disappears —
-    * encode can never emit it, and the ADC lut fills its slot with a
+    * encode can never emit it, and the ADC lut leaves its slot as a
     * hole that is never read.
+    *
+    * Execution shape per iteration: one map-side [[graft.functions
+    * .PqAssign]] pass + ONE (code, d)-keyed mean aggregate (width
+    * m·ksub·dsub, not corpus size) + a bounded collect that becomes
+    * the next iteration's baked kernel — no corpus shuffle, ever.
     */
   def trainCodebooks(vecs: DataFrame, m: Int, ksub: Int, iters: Int): DataFrame = {
-    val sub = subVectors(vecs, m)
-    val hashed = vecs.select(col("id"),
-      graft.functions.Md5Bucket60(
-        concat_ws("|", lit("pq"), col("id").cast("string"))).as("hkey"))
-    val seedW = Window.orderBy(col("hkey"), col("id"))
-    val seedIds = hashed.orderBy(col("hkey"), col("id")).limit(ksub)
-      .withColumn("cidx", (row_number().over(seedW) - 1).cast("int"))
-      .select(col("id"), col("cidx"))
-    var books = sub.join(broadcast(seedIds), Seq("id"))
-      .select(col("sub"), (col("sub") * ksub + col("cidx")).as("code"),
-        transform(col("svec"), x => round(x.cast("double"), 6)).as("cent"))
-    for (_ <- 1 to iters) {
-      val assigned = assignCodes(sub, books)
-      books = sub.join(assigned, Seq("id", "sub"))
-        .select(col("sub"), col("code"), posexplode(col("svec")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(round(avg(col("x").cast("double")), 6).as("mu"))
-        .groupBy(col("sub"), col("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
-        .select(col("sub"), col("code"),
-          transform(col("pm"), p => p.getField("mu")).as("cent"))
-        .localCheckpoint(false)
+    val spark = vecs.sparkSession
+    // hash-sampled seeds: the ksub smallest-md5 ids, each contributing
+    // its subvector to every subspace's codebook (round-6 like means)
+    val seedRows = vecs.select(col("id"), col("vec"),
+        graft.functions.Md5Bucket60(
+          concat_ws("|", lit("pq"), col("id").cast("string"))).as("hkey"))
+      .orderBy(col("hkey"), col("id")).limit(ksub)
+      .select(col("vec")).collect()
+    require(seedRows.nonEmpty, "no vectors to train on")
+    val dim = seedRows.head.getSeq[Float](0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val arr = new Array[Double](m * ksub * dsub)
+    val present = new Array[Boolean](m * ksub)
+    // round-6 with Spark's HALF_UP semantics, so seed centroids
+    // quantize exactly like the mean updates that follow
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    seedRows.zipWithIndex.foreach { case (r, cidx) =>
+      val v = r.getSeq[Float](0)
+      for (sub <- 0 until m; d <- 0 until dsub) {
+        val code = sub * ksub + cidx
+        arr(code * dsub + d) = r6(v(sub * dsub + d).toDouble)
+        present(code) = true
+      }
     }
-    books
+    var books = PqBooks(arr, present, m, ksub, dsub)
+    for (_ <- 1 to iters) {
+      // posexplode gives the GLOBAL element position; sub = pos/dsub
+      // recovers the subspace, codes(sub) the assigned code — one
+      // narrow (code, d)-keyed aggregate updates every codebook at once
+      val assigned = vecs.select(
+          PqAssign(col("vec"), books.arr, books.present, m, ksub, dsub).as("codes"),
+          col("vec"))
+        .select(posexplode(col("vec")).as(Seq("pos", "x")), col("codes"))
+        .select(
+          element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("code"),
+          (col("pos") % dsub).as("d"), col("x"))
+        .groupBy(col("code"), col("d"))
+        .agg(round(avg(col("x").cast("double")), 6).as("mu"))
+        .collect()
+      val arr2 = new Array[Double](m * ksub * dsub)
+      val present2 = new Array[Boolean](m * ksub)
+      assigned.foreach { r =>
+        val code = r.getInt(0); val d = r.getInt(1)
+        arr2(code * dsub + d) = r.getDouble(2)
+        present2(code) = true
+      }
+      books = PqBooks(arr2, present2, m, ksub, dsub)
+    }
+    booksToDf(spark, books)
   }
 
   /** Probe-cell assignment for external measurement tools: the
@@ -96,86 +177,42 @@ object Pq {
 
   /** PQ-encode: (id, vec) → (id, codes: array<int>) where `codes(s)`
     * is the global lut index of subspace s's nearest codebook entry
-    * (L2 argmin, ties to the lowest code). One broadcast join; the
-    * only shuffle is the m→1 groupBy that assembles each id's code
-    * array.
+    * (L2 argmin, ties to the lowest code). A pure map — the baked
+    * [[graft.functions.PqAssign]] kernel, no shuffle, no join.
     */
-  def encode(vecs: DataFrame, codebooks: DataFrame, m: Int): DataFrame =
-    assignCodes(subVectors(vecs, m), codebooks)
-      .groupBy(col("id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
-      .select(col("id"), transform(col("sc"), p => p.getField("code")).as("codes"))
-
-  // (id, sub, svec): vec split into m contiguous subspaces. slice is
-  // 1-indexed; svec keeps the source element type (float), cast to
-  // double inside the fused dot like every other scoring path.
-  private def subVectors(vecs: DataFrame, m: Int): DataFrame =
-    vecs.select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        col("vec"))
-      .select(col("id"), col("sub"),
-        slice(col("vec"), col("sub") * subDim(col("vec"), m) + lit(1),
-          subDim(col("vec"), m)).as("svec"))
-
-  // dim/m as an int column (Spark's `/` on columns is double division)
-  private def subDim(vec: org.apache.spark.sql.Column, m: Int) =
-    (size(vec) / m).cast("int")
-
-  // argmin-L2 codebook assignment per (id, sub): ‖x−c‖² ordering ≡
-  // (‖c‖² − 2·x·c) ordering (‖x‖² is constant per row), so the scan
-  // needs one fused dot per candidate and no per-pair allocation.
-  // Ties break to the lowest code via the struct-max trick
-  // ([[Ann.assignCells]]): max of (-score, -code) picks min score
-  // then min code.
-  private def assignCodes(sub: DataFrame, codebooks: DataFrame): DataFrame = {
-    val books = broadcast(codebooks.select(col("sub"), col("code"), col("cent"),
-      VectorOps.dot(col("cent"), col("cent")).as("cn2")))
-    sub.join(books, Seq("sub"))
-      .select(col("id"), col("sub"),
-        struct(
-          (lit(2.0) * VectorOps.fdot(col("svec"), col("cent")) - col("cn2")).as("negd"),
-          (-col("code")).as("negcode"), col("code")).as("sc"))
-      .groupBy(col("id"), col("sub"))
-      .agg(max(col("sc")).as("best"))
-      .select(col("id"), col("sub"), col("best.code").as("code"))
+  def encode(vecs: DataFrame, codebooks: DataFrame, m: Int, ksub: Int): DataFrame = {
+    val b = collectBooks(codebooks, m, ksub)
+    vecs.select(col("id"),
+      PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("codes"))
   }
 
   /** Per-query ADC lookup table: (query_id, qvec, qnorm, lut) where
     * `lut` has length m·ksub and `lut(sub·ksub + code) =
     * dot(q_sub, cent)`. Dead-code slots hold 0.0 — encode never
-    * emits them, so the value is never read. Queries are the
-    * broadcast-sized side; the HOF form is fine here (it runs once
-    * per query, not per pair).
+    * emits them, so the value is never read. Map-side
+    * ([[graft.functions.PqLut]]).
     */
   def adcLut(queries: DataFrame, codebooks: DataFrame, m: Int, ksub: Int): DataFrame = {
-    val books = broadcast(codebooks.select(col("sub"), col("code"), col("cent")))
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
-      VectorOps.fnorm(col("vec")).as("qnorm"))
-    q.join(books)
-      .select(col("query_id"), col("qvec"), col("qnorm"), col("code"),
-        VectorOps.fdot(
-          slice(col("qvec"), col("sub") * subDim(col("qvec"), m) + lit(1),
-            subDim(col("qvec"), m)),
-          col("cent")).as("lv"))
-      .groupBy(col("query_id"), col("qvec"), col("qnorm"))
-      .agg(map_from_entries(array_sort(
-        collect_list(struct(col("code"), col("lv"))))).as("lm"))
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        transform(sequence(lit(0), lit(m * ksub - 1)),
-          i => coalesce(element_at(col("lm"), i), lit(0.0))).as("lut"))
+    val b = collectBooks(codebooks, m, ksub)
+    queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      VectorOps.fnorm(col("vec")).as("qnorm"),
+      PqLut(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("lut"))
   }
 
   /** Full-corpus PQ search: ADC-rank every (query, corpus) pair over
     * the compressed index, exact-re-rank the top `rerank`. With
     * rerank slack the output EQUALS [[Ann.bruteForceTopK]]
     * (spec-checked) — a1's oracle gates it verbatim, the SQ8
-    * pattern at 32× (vs 4×) scan compression.
+    * pattern at a far higher compression.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
              k: Int, m: Int, ksub: Int, rerank: Int = 64): DataFrame = {
-    val cIdx = encode(corpus, codebooks, m)
-      .join(corpus.select(col("id"), VectorOps.fnorm(col("vec")).as("nrm")), Seq("id"))
-      .select(col("id").as("nbr_id"), col("codes"), col("nrm").as("cnorm"))
-    val qIdx = adcLut(queries, codebooks, m, ksub)
+    val b = collectBooks(codebooks, m, ksub)
+    val cIdx = corpus.select(col("id").as("nbr_id"),
+      PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("codes"),
+      VectorOps.fnorm(col("vec")).as("cnorm"))
+    val qIdx = queries.select(col("id").as("query_id"),
+      PqLut(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("lut"))
     rerankStage(adcStage(cIdx, qIdx, rerank), corpus, queries, k)
   }
 
@@ -191,14 +228,14 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                 codebooks: DataFrame, k: Int, m: Int, ksub: Int,
                 nprobe: Int = 2, rerank: Int = 64): DataFrame = {
-    val cells = Ann.ivfAssignments(corpus, centroids)
-    val cIdx = cells.select(col("cell"), col("id"), col("nrm"))
-      .join(encode(corpus, codebooks, m), Seq("id"))
-      .select(col("cell"), col("id").as("nbr_id"), col("codes"),
+    val b = collectBooks(codebooks, m, ksub)
+    val cIdx = Ann.ivfAssignments(corpus, centroids)
+      .select(col("cell"), col("id").as("nbr_id"),
+        PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("codes"),
         col("nrm").as("cnorm"))
     val qIdx = Ann.assignN(queries, centroids, nprobe, "query_id", "qvec", "qnorm")
-      .select(col("query_id"), col("cell"))
-      .join(adcLut(queries, codebooks, m, ksub), Seq("query_id"))
+      .select(col("query_id"), col("cell"),
+        PqLut(col("qvec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("lut"))
     rerankStage(adcStage(cIdx, qIdx, rerank, joinKeys = Seq("cell")),
       corpus, queries, k)
   }
@@ -207,14 +244,14 @@ object Pq {
     * (both broadcast-tiny), `<prefix>_codes` (cell, id, codes, nrm —
     * the stage-1 scan table, cell-bucketed so probes join without a
     * shuffle, NO vector column: this table is what a 100 TB serving
-    * scan reads, at ~1/32 of the raw bytes), and `<prefix>_vecs`
+    * scan reads, at a fraction of the raw bytes), and `<prefix>_vecs`
     * (id, vec, nrm — touched only by the rerank semi-join,
     * id-bucketed). `append` encodes a new batch against the FROZEN
     * centroids + codebooks — the [[Ann.saveIvfIndex]] contract: a
     * growing corpus is assigned and encoded once, ever.
     */
   def saveIvfPqIndex(corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
-                     tablePrefix: String, m: Int, nBuckets: Int = 32,
+                     tablePrefix: String, m: Int, ksub: Int, nBuckets: Int = 32,
                      append: Boolean = false): Unit = {
     if (!append) {
       centroids.select(col("cell"), col("vec"))
@@ -224,10 +261,11 @@ object Pq {
         .write.mode("overwrite").format("parquet")
         .saveAsTable(s"${tablePrefix}_books")
     }
+    val b = collectBooks(codebooks, m, ksub)
     val cells = Ann.ivfAssignments(corpus, centroids)
-    cells.select(col("cell"), col("id"), col("nrm"))
-      .join(encode(corpus, codebooks, m), Seq("id"))
-      .select(col("cell"), col("id"), col("codes"), col("nrm"))
+    cells.select(col("cell"), col("id"),
+        PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("codes"),
+        col("nrm"))
       .write.mode(if (append) "append" else "overwrite")
       .bucketBy(nBuckets, "cell").format("parquet")
       .saveAsTable(s"${tablePrefix}_codes")
@@ -240,21 +278,21 @@ object Pq {
   /** [[ivfPqTopK]] against a PRECOMPUTED [[saveIvfPqIndex]] index:
     * stage 1 reads ONLY `<prefix>_codes` — no vector column exists in
     * that table, so the compressed-scan property holds by storage
-    * construction, not just projection (PqSpec asserts the stage-1
-    * subtree's ReadSchema). Full vectors enter via the rerank join
-    * against `<prefix>_vecs`, `rerank` rows per query.
+    * construction, not just projection (PqSpec asserts the plan).
+    * Full vectors enter via the rerank join against `<prefix>_vecs`,
+    * `rerank` rows per query.
     */
   def ivfPqTopKIndexed(spark: SparkSession, tablePrefix: String, queries: DataFrame,
                        k: Int, m: Int, ksub: Int, nprobe: Int = 2,
                        rerank: Int = 64): DataFrame = {
     val centroids = spark.table(s"${tablePrefix}_centroids")
-    val books     = spark.table(s"${tablePrefix}_books")
+    val b = collectBooks(spark.table(s"${tablePrefix}_books"), m, ksub)
     val cIdx = spark.table(s"${tablePrefix}_codes")
       .select(col("cell"), col("id").as("nbr_id"), col("codes"),
         col("nrm").as("cnorm"))
     val qIdx = Ann.assignN(queries, centroids, nprobe, "query_id", "qvec", "qnorm")
-      .select(col("query_id"), col("cell"))
-      .join(adcLut(queries, books, m, ksub), Seq("query_id"))
+      .select(col("query_id"), col("cell"),
+        PqLut(col("qvec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("lut"))
     val vecs = spark.table(s"${tablePrefix}_vecs")
       .select(col("id"), col("vec"), col("nrm"))
     rerankFromVecs(adcStage(cIdx, qIdx, rerank, joinKeys = Seq("cell")),

@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Product-quantization codec expressions with the trained codebooks
+  * BAKED IN as literal state — the piece that makes PQ encode a pure
+  * map over the corpus instead of an explode→broadcast-join→groupBy→
+  * join-back dataflow (measured: the DataFrame form cost ~14 tiny
+  * shuffle stages on the a6 path; this is zero).
+  *
+  * A codebook is m·ksub·dsub doubles (the a6 gate config: 16·64·4 =
+  * 4 K doubles, 32 KB) — driver state in every real PQ system (FAISS
+  * holds codebooks in RAM and ships them to the scan); collecting it
+  * once at plan build is a bounded metadata collect, same class as
+  * the sizing pre-flights. Layout: `books(code·dsub + d)` with
+  * GLOBAL codes (`sub·ksub + c`), matching [[PqAdc]]'s lut indexing.
+  *
+  * Both expressions are one fused loop inside whole-stage codegen
+  * (m·ksub·dsub ≈ 4 K multiplies per row), deterministic
+  * (index-order accumulation, ties to the lowest code), and degrade
+  * on bad input instead of aborting (all-NaN subvector → the slot's
+  * lowest code; the [[PqAdc]]/multi-probe NaN lesson).
+  */
+object PqCodec {
+
+  /** Per-code squared norms, precomputed once at construction. */
+  private[functions] def codeNorms(books: Array[Double], dsub: Int): Array[Double] = {
+    val n = books.length / dsub
+    val out = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      var s = 0.0; var d = 0
+      while (d < dsub) { s += books(c * dsub + d) * books(c * dsub + d); d += 1 }
+      out(c) = s; c += 1
+    }
+    out
+  }
+}
+
+/** `pq_assign(vec)` → array<int> of m GLOBAL codes: per subspace the
+  * L2-argmin codebook entry, via the `2·x·c − ‖c‖²` ordering (‖x‖²
+  * is constant within a subspace) — ties to the lowest code. A hole
+  * code (dead entry, all-zero row in `present=false`) never wins
+  * because it is excluded by the `present` mask.
+  */
+case class PqAssign(child: Expression, books: Array[Double],
+                    present: Array[Boolean], m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression {
+
+  private val cn2 = PqCodec.codeNorms(books, dsub)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_assign expects array<float|double>, got ${t.simpleString}")
+  }
+
+  private def childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var c = sub * ksub
+      val end = (sub + 1) * ksub
+      while (c < end) {
+        if (present(c)) {
+          var s = 0.0; var d = 0
+          while (d < dsub) {
+            val x = if (childIsFloat) v.getFloat(sub * dsub + d).toDouble
+                    else v.getDouble(sub * dsub + d)
+            s += x * books(c * dsub + d); d += 1
+          }
+          val score = 2.0 * s - cn2(c)
+          // strict > keeps the LOWEST code on ties; NaN compares
+          // false, so a degenerate subvector keeps the first present
+          // code — degrade, don't abort
+          if (best < 0 || score > bestScore) { best = c; bestScore = score }
+        }
+        c += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[]")
+    val cn2Ref   = ctx.addReferenceObj("pqCn2", cn2, "double[]")
+    val presRef  = ctx.addReferenceObj("pqPresent", present, "boolean[]")
+    val get = if (childIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val sub = ctx.freshName("sub"); val c = ctx.freshName("c")
+      val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val best = ctx.freshName("best"); val bestScore = ctx.freshName("bestScore")
+      val score = ctx.freshName("score")
+      s"""
+         |int[] $out = new int[$m];
+         |for (int $sub = 0; $sub < $m; $sub++) {
+         |  int $best = -1; double $bestScore = Double.NEGATIVE_INFINITY;
+         |  for (int $c = $sub * $ksub; $c < ($sub + 1) * $ksub; $c++) {
+         |    if (!$presRef[$c]) continue;
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $dsub; $d++) {
+         |      $s += ((double) $v.$get($sub * $dsub + $d)) * $booksRef[$c * $dsub + $d];
+         |    }
+         |    double $score = 2.0 * $s - $cn2Ref[$c];
+         |    if ($best < 0 || $score > $bestScore) { $best = $c; $bestScore = $score; }
+         |  }
+         |  $out[$sub] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAssign =
+    copy(child = newChild)
+}
+
+object PqAssign {
+  def apply(vec: Column, books: Array[Double], present: Array[Boolean],
+            m: Int, ksub: Int, dsub: Int): Column =
+    Bridge.column(PqAssign(Bridge.expression(vec), books, present, m, ksub, dsub))
+}
+
+/** `pq_lut(qvec)` → array<double> of m·ksub ADC lookup values:
+  * `lut(code) = dot(q_sub, cent(code))`, hole codes 0.0 (never read —
+  * [[PqAssign]] cannot emit them). The per-query half of the ADC
+  * identity, one fused loop, map-side.
+  */
+case class PqLut(child: Expression, books: Array[Double],
+                 present: Array[Boolean], m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_lut expects array<float|double>, got ${t.simpleString}")
+  }
+
+  private def childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Double](m * ksub)
+    var c = 0
+    while (c < m * ksub) {
+      if (present(c)) {
+        val sub = c / ksub
+        var s = 0.0; var d = 0
+        while (d < dsub) {
+          val x = if (childIsFloat) v.getFloat(sub * dsub + d).toDouble
+                  else v.getDouble(sub * dsub + d)
+          s += x * books(c * dsub + d); d += 1
+        }
+        out(c) = s
+      }
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[]")
+    val presRef  = ctx.addReferenceObj("pqPresent", present, "boolean[]")
+    val get = if (childIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val s = ctx.freshName("s"); val sub = ctx.freshName("sub")
+      s"""
+         |double[] $out = new double[${m * ksub}];
+         |for (int $c = 0; $c < ${m * ksub}; $c++) {
+         |  if (!$presRef[$c]) continue;
+         |  int $sub = $c / $ksub;
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $dsub; $d++) {
+         |    $s += ((double) $v.$get($sub * $dsub + $d)) * $booksRef[$c * $dsub + $d];
+         |  }
+         |  $out[$c] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+object PqLut {
+  def apply(vec: Column, books: Array[Double], present: Array[Boolean],
+            m: Int, ksub: Int, dsub: Int): Column =
+    Bridge.column(PqLut(Bridge.expression(vec), books, present, m, ksub, dsub))
+}

@@ -34,7 +34,7 @@ object TunePq {
       for (m <- Seq(8, 16); ksub <- Seq(16, 32, 64); iters <- Seq(2, 3)) {
         val books = Pq.trainCodebooks(vecs, m, ksub, iters).localCheckpoint(true)
         // ADC rank of every corpus vector per query, full scan
-        val cIdx = Pq.encode(vecs, books, m)
+        val cIdx = Pq.encode(vecs, books, m, ksub)
           .join(vecs.select(col("id"),
             graft.functions.VectorOps.fnorm(col("vec")).as("nrm")), Seq("id"))
           .select(col("id").as("nbr_id"), col("codes"), col("nrm").as("cnorm"))

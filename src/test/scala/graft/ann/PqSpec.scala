@@ -52,14 +52,14 @@ final class PqSpec extends SparkTestBase {
   }
 
   test("encode: one code per subspace, in-range, deterministic") {
-    val codes = Pq.encode(vecs, books, M)
+    val codes = Pq.encode(vecs, books, M, KSUB)
     assert(codes.count() == vecs.count())
     val rows = codes.select(col("codes")).collect().map(_.getSeq[Int](0))
     assert(rows.forall(_.length == M))
     assert(rows.forall(_.zipWithIndex.forall { case (c, s) =>
       c >= s * KSUB && c < (s + 1) * KSUB
     }))
-    val again = Pq.encode(vecs, books, M).select(col("id"), col("codes"))
+    val again = Pq.encode(vecs, books, M, KSUB).select(col("id"), col("codes"))
       .collect().map(_.toSeq).toSet
     assert(codes.select(col("id"), col("codes")).collect().map(_.toSeq).toSet == again)
   }
@@ -95,7 +95,7 @@ final class PqSpec extends SparkTestBase {
     val lutRow = Pq.adcLut(q, books, M, KSUB).head()
     val lut = lutRow.getSeq[Double](lutRow.fieldIndex("lut"))
     assert(lut.length == M * KSUB)
-    val codes = Pq.encode(q, books, M).head().getSeq[Int](1)
+    val codes = Pq.encode(q, books, M, KSUB).head().getSeq[Int](1)
     val adc = codes.map(lut).sum
     // recompute: dot(q_sub, cent(code)) per subspace, summed
     val qv = q.head().getSeq[Float](1).map(_.toDouble)
@@ -146,8 +146,8 @@ final class PqSpec extends SparkTestBase {
       }
     }
     try {
-      Pq.saveIvfPqIndex(old, cents, books, "pqspec_idx", M, nBuckets = 4)
-    Pq.saveIvfPqIndex(add, cents, books, "pqspec_idx", M, append = true, nBuckets = 4)
+      Pq.saveIvfPqIndex(old, cents, books, "pqspec_idx", M, KSUB, nBuckets = 4)
+    Pq.saveIvfPqIndex(add, cents, books, "pqspec_idx", M, KSUB, append = true, nBuckets = 4)
     val indexed = Pq.ivfPqTopKIndexed(spark, "pqspec_idx", queries,
       k = 5, M, KSUB, nprobe = 2, rerank = 96)
     val recomputed = Pq.ivfPqTopK(vecs, queries, cents, books,

@@ -47,13 +47,12 @@ final class PlanAuditSpec extends SparkTestBase {
                             // k-means cells: row × cell scoring is a
                             // broadcast product reduced map-side —
                             // the corpus never shuffles for assignment
-      "a6_ivf_pq")          // the NLJ products are (rows × m·ksub
-                            // codebook) assignment and (query batch ×
-                            // codebook) lut build — both sides bounded
-                            // by construction (1024-entry books, a1's
-                            // broadcast-batch query contract); the
-                            // corpus-side scan stays an equi-join on
-                            // cell
+      "a6_ivf_pq")          // the NLJ product is a3's own shape: the
+                            // (rows × cells) coarse-assignment scan
+                            // against broadcast centroids (codebooks
+                            // are BAKED into the PqAssign/PqLut
+                            // kernels, never joined); the ADC scan
+                            // stays an equi-join on cell
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
@@ -91,9 +90,9 @@ final class PlanAuditSpec extends SparkTestBase {
   //     build side is bounded by construction
   private val keyedBroadcastOk =
     Set("e5_anomaly", "a3_ann_ivf", "d10_semdedup", "r1_item_similarity",
-      "a6_ivf_pq") // broadcast keyed aggregates are the (sub, code)
-                   // codebooks (≤ m·ksub rows by construction) and the
-                   // per-query ADC luts (query-batch-sized, the a1
+      "a6_ivf_pq") // broadcast keyed aggregates are a3's label-mean
+                   // centroids (cell-count-bounded) and the per-query
+                   // probe/lut side (query-batch-sized, the a1
                    // broadcast contract)
 
   test("no broadcast hint on an unbounded aggregate (full registry)") {
