@@ -57,14 +57,14 @@ object Pq {
     * plus a `present` mask for codes that lost all members during
     * training (encode never emits them; luts leave their slots 0).
     */
-  private[ann] case class PqBooks(arr: Array[Double], present: Array[Boolean],
+  private[graft] case class PqBooks(arr: Array[Double], present: Array[Boolean],
                                   m: Int, ksub: Int, dsub: Int)
 
   /** Collect a (sub, code, cent) codebook table into driver state —
     * m·ksub·dsub doubles, bounded by construction (32 KB at the gate
     * config): the codebook IS driver state in any real PQ system.
     */
-  private[ann] def collectBooks(codebooks: DataFrame, m: Int, ksub: Int): PqBooks = {
+  private[graft] def collectBooks(codebooks: DataFrame, m: Int, ksub: Int): PqBooks = {
     val rows = codebooks.select(col("code"), col("cent")).collect()
     require(rows.nonEmpty, "empty codebook")
     val dsub = rows.head.getSeq[Double](1).length
@@ -81,6 +81,11 @@ object Pq {
     }
     PqBooks(arr, present, m, ksub, dsub)
   }
+
+  // session shuffle-partition count, for the deferral-pinning
+  // exchanges below (see pqTopK's repartition note)
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
   private def booksToDf(spark: SparkSession, b: PqBooks): DataFrame = {
     val rows = (0 until b.m * b.ksub).filter(b.present).map { code =>
@@ -142,16 +147,22 @@ object Pq {
     }
     var books = PqBooks(arr, present, m, ksub, dsub)
     for (_ <- 1 to iters) {
-      // posexplode gives the GLOBAL element position; sub = pos/dsub
-      // recovers the subspace, codes(sub) the assigned code — one
-      // narrow (code, d)-keyed aggregate updates every codebook at once
-      val assigned = vecs.select(
-          PqAssign(col("vec"), books.arr, books.present, m, ksub, dsub).as("codes"),
-          col("vec"))
-        .select(posexplode(col("vec")).as(Seq("pos", "x")), col("codes"))
-        .select(
-          element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("code"),
-          (col("pos") % dsub).as("d"), col("x"))
+      // one narrow (code, d)-keyed mean aggregate updates every
+      // codebook at once. The code rides INSIDE the generator input
+      // (zip_with pairs each element with its subspace's code), so
+      // the PqAssign expression is referenced exactly once per ROW —
+      // referencing a projected `codes` column downstream of the
+      // explode would let codegen defer it and re-encode per exploded
+      // ELEMENT (dim× the work), and an exchange to pin it would
+      // shuffle the full vector corpus once per iteration
+      val codeByPos = flatten(transform(
+        PqAssign(col("vec"), books.arr, books.present, m, ksub, dsub),
+        c => array_repeat(c, dsub)))
+      val assigned = vecs
+        .select(posexplode(zip_with(col("vec"), codeByPos,
+          (x, c) => struct(x.as("x"), c.as("c")))).as(Seq("pos", "zx")))
+        .select(col("zx.c").as("code"), (col("pos") % dsub).as("d"),
+          col("zx.x").as("x"))
         .groupBy(col("code"), col("d"))
         .agg(round(avg(col("x").cast("double")), 6).as("mu"))
         .collect()
@@ -208,9 +219,19 @@ object Pq {
   def pqTopK(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
              k: Int, m: Int, ksub: Int, rerank: Int = 64): DataFrame = {
     val b = collectBooks(codebooks, m, ksub)
+    // The repartition after the PqAssign projection is load-bearing,
+    // not cosmetic: whole-stage codegen DEFERS a projected variable to
+    // its use sites, and under the broadcast join that means
+    // re-encoding the row once per matched query — measured 4.6× on
+    // the scan (and 16× more on a single-partition source, which the
+    // exchange also fixes). What shuffles is the COMPRESSED index
+    // (~72 B/row), 3.5× smaller than the vectors it stands in for —
+    // the same once-ever materialization the saved-index path does in
+    // storage.
     val cIdx = corpus.select(col("id").as("nbr_id"),
-      PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("codes"),
-      VectorOps.fnorm(col("vec")).as("cnorm"))
+        PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("codes"),
+        VectorOps.fnorm(col("vec")).as("cnorm"))
+      .repartition(shufflePartitions(corpus))
     val qIdx = queries.select(col("id").as("query_id"),
       PqLut(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("lut"))
     rerankStage(adcStage(cIdx, qIdx, rerank), corpus, queries, k)
@@ -229,10 +250,14 @@ object Pq {
                 codebooks: DataFrame, k: Int, m: Int, ksub: Int,
                 nprobe: Int = 2, rerank: Int = 64): DataFrame = {
     val b = collectBooks(codebooks, m, ksub)
+    // repartition: pins PqAssign evaluation map-side (the pqTopK
+    // deferral note — under the cell join it would re-encode once per
+    // probing query) and shuffles only the compressed codes relation
     val cIdx = Ann.ivfAssignments(corpus, centroids)
       .select(col("cell"), col("id").as("nbr_id"),
         PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("codes"),
         col("nrm").as("cnorm"))
+      .repartition(shufflePartitions(corpus))
     val qIdx = Ann.assignN(queries, centroids, nprobe, "query_id", "qvec", "qnorm")
       .select(col("query_id"), col("cell"),
         PqLut(col("qvec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("lut"))
