@@ -20,7 +20,13 @@ import org.apache.spark.sql.SparkSession
   * (the min of warmed runs estimates the noise floor; a single
   * measurement carries GC/compilation jitter) — in sorted name order
   * so timings are stable run-to-run. The action is `count()` (forces
-  * the full plan, no driver collection cost).
+  * the full plan, no driver collection cost). Caveat discovered in
+  * round 16: count() PRUNES a terminal aggregate's functions
+  * (`functions=[]` in the plan) when nothing consumes their columns —
+  * registry queries are safe because every one ends in an
+  * orderBy/projection that references its aggregates (the oracle
+  * needs deterministic order), but a future aggregate-terminated
+  * query would be under-timed here; keep the terminal orderBy.
   *
   * A query that throws is NOT silently dropped: its error is recorded
   * in the JSON (`"errors"`) and the process exits non-zero, so a

@@ -24,9 +24,15 @@ object ProfilePq {
         println(s"== round $round")
         val books = time("train")(
           Pq.trainCodebooks(vecs, 16, 64, 3).localCheckpoint(true))
-        val codes = time("encode")(Pq.encode(vecs, books, 16, 64).count())
+        // consume the computed columns — count() over a bare
+        // projection PRUNES it (SCALE.md round 16: Catalyst removes
+        // unconsumed expressions/aggregate functions under count, so
+        // the "fast" timing measures nothing)
+        val codes = time("encode")(Pq.encode(vecs, books, 16, 64)
+          .agg(sum(size(col("codes")))).head().getLong(0))
         val lut = time("lut")(
-          Pq.adcLut(vecs.filter(col("id") < 20), books, 16, 64).count())
+          Pq.adcLut(vecs.filter(col("id") < 20), books, 16, 64)
+            .agg(sum(size(col("lut")))).head().getLong(0))
         val cents = time("kmeans8")(
           Ann.kmeansCentroids(vecs, 8, 2).localCheckpoint(true))
         val full = time("ivfPqTopK")(
