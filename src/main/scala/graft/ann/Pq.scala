@@ -237,6 +237,67 @@ object Pq {
     rerankStage(adcStage(cIdx, qIdx, rerank), corpus, queries, k)
   }
 
+  /** The measured half of [[pqTopKAuto]]'s dispatch: the worst
+    * full-scan ADC rank of any true top-k neighbor of the sampled
+    * queries — the TunePq/SpotPq measurement as a library function.
+    * The ranked relation stays distributed; only the 1-row max is
+    * collected (the pre-flight scalar class).
+    */
+  def measuredScanRank(corpus: DataFrame, sampleQueries: DataFrame,
+                       codebooks: DataFrame, k: Int, m: Int, ksub: Int): Int = {
+    val b = collectBooks(codebooks, m, ksub)
+    val tops = Ann.bruteForceTopK(corpus, sampleQueries, k)
+      .select(col("query_id"), col("nbr_id"))
+    val cIdx = corpus.select(col("id").as("nbr_id"),
+        PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("codes"),
+        VectorOps.fnorm(col("vec")).as("cnorm"))
+      .repartition(shufflePartitions(corpus))
+    val qIdx = sampleQueries.select(col("id").as("query_id"),
+      PqLut(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("lut"))
+    cIdx.join(broadcast(qIdx), col("query_id") =!= col("nbr_id"))
+      .withColumn("qsim", PqAdc(col("codes"), col("lut")) / col("cnorm"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("qsim").desc, col("nbr_id").asc)))
+      .join(broadcast(tops), Seq("query_id", "nbr_id"))
+      .agg(max(col("r"))).head().getInt(0)
+  }
+
+  /** Measured-budget auto dispatch — the v6/d16/d17 pattern applied
+    * to PQ: sample queries, brute-force their true top-k (one bounded
+    * broadcast scan), measure the worst ADC rank those answers sit at
+    * (tools/SpotPq's law), and run the compressed scan ONLY when the
+    * margined budget is a small fraction of the corpus. On corpora
+    * with similarity structure the budget is O(k) and PQ pays
+    * (SPOTCHECK_pq planted arm: rank 4–14 across two decades); on
+    * structureless corpora the measured law itself comes back as
+    * whole percents of the corpus (405/2222 at sf1) and the dispatch
+    * refuses the index — exactly the gap-less-τ honesty rule the LSH
+    * family enforces with volume guards.
+    *
+    * Output is EXACT either way: the fallback is the brute scan, and
+    * the PQ arm re-ranks `marginX × measured` candidates — the
+    * sample-measured budget is average-case like d17's miss budget
+    * (margin covers unsampled queries; the gate fixture samples every
+    * query, making the arm exact by construction there).
+    */
+  def pqTopKAuto(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+                 k: Int, m: Int, ksub: Int, sampleQueries: Int = 32,
+                 budgetFrac: Double = 0.02, marginX: Int = 2): DataFrame = {
+    val sample = queries.orderBy(col("id")).limit(sampleQueries)
+    val needed = measuredScanRank(corpus, sample, codebooks, k, m, ksub)
+    val budget = math.max(16, marginX * needed)
+    val n = corpus.count()
+    if (budget <= (budgetFrac * n).toLong) {
+      pqTopK(corpus, queries, codebooks, k, m, ksub, rerank = budget)
+    } else {
+      // the measured law says the corpus has no structure for the
+      // index to exploit at this k — exact scan, loudly the same
+      // answer for a linear (not rerank-inflated) cost
+      Ann.bruteForceTopK(corpus, queries, k)
+    }
+  }
+
   /** IVF·PQ: coarse-probe `nprobe` cells ([[Ann.assignN]], the a3/a5
     * structure), ADC-rank ONLY the probed cells' members on the
     * compressed index, exact-re-rank the top `rerank`. With rerank

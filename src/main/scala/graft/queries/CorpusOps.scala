@@ -576,6 +576,26 @@ object CorpusOps {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Measured-budget PQ auto dispatch (the v6/d16/d17 pattern):
+    // sample queries, brute their true top-k, measure the worst ADC
+    // rank (the SpotPq law), run the compressed scan only when the
+    // margined budget is a small corpus fraction — else the exact
+    // scan. Output is exact either way, so a1's brute replay gates
+    // whichever arm runs. budgetFrac=0.5 here so the GATE exercises
+    // the measured-PQ arm end-to-end on the isotropic fixture (the
+    // production default 0.02 refuses structureless corpora — the
+    // honest-dispatch evidence is SPOTCHECK_pq's arm 2); the fixture
+    // samples every query, making the arm exact by construction.
+    "a7_pq_auto" -> { (s, d) =>
+      val all = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val books = Pq.trainCodebooks(all, m = 16, ksub = 64, iters = 3)
+      Pq.pqTopKAuto(all, all.filter(col("id") < 20), books,
+          k = 5, m = 16, ksub = 64, budgetFrac = 0.5)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // ---- text analysis ----
     "t1_text_stats" -> { (s, d) =>
       val doc = t(s, d, "documents")
@@ -1453,6 +1473,26 @@ object CorpusOps {
       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
       |  (a.nrm * b.nrm)""".stripMargin
 
+  /** Exact brute-force top-5 per query (vec_id < 20) — shared by a1
+    * and every compressed-search operator whose contract is "output
+    * equals brute force" (a7's auto dispatch).
+    */
+  private lazy val bruteTopKSql =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosineExpr AS sim
+       |  FROM v a JOIN v b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, round(sim, 6) AS sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, sim, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Full replay of the label-mean IVF structure (a3): rounded
     * centroids → argmax cell per corpus vector → top-2 probed cells
     * per query → exact rank within probed cells. Shared by a3 and
@@ -2213,21 +2253,12 @@ object CorpusOps {
         |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale))), 0.0)), 6) AS recon_err
         |FROM q ORDER BY vec_id""".stripMargin,
 
-    "a1_ann_topk" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(list_sum(list_transform(embedding,
-         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-         |  FROM embeddings),
-         |scored AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosineExpr AS sim
-         |  FROM v a JOIN v b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
-         |ranked AS (
-         |  SELECT query_id, nbr_id, round(sim, 6) AS sim,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rank
-         |  FROM scored)
-         |SELECT query_id, nbr_id, sim, CAST(rank AS INT) AS rank
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "a1_ann_topk" -> bruteTopKSql,
+
+    // the auto dispatch's contract is "exact either way" (PQ arm at
+    // the measured budget, brute fallback) — the same brute replay
+    // gates it verbatim
+    "a7_pq_auto" -> bruteTopKSql,
 
     // identical contract to a1: the quantized two-stage search is
     // exact by construction once the rerank margin holds

@@ -131,6 +131,25 @@ final class PqSpec extends SparkTestBase {
       nprobe = 2, rerank = 48)) == exact)
   }
 
+  test("auto dispatch: both arms exact; budget picks the arm; plan proves which ran") {
+    val queries = vecs.filter(col("id") < 20)
+    val exact = canon(Ann.bruteForceTopK(vecs, queries, k = 5))
+    // generous budget → the measured-PQ arm runs (plan carries the ADC
+    // kernel) and is exact: the fixture samples every query, so the
+    // measured budget IS the true worst rank, margined 2×
+    val pqArm = Pq.pqTopKAuto(vecs, queries, books, k = 5, M, KSUB, budgetFrac = 0.5)
+    assert(pqArm.queryExecution.executedPlan.toString.contains("pqadc"),
+      "generous budget must dispatch to the compressed scan")
+    assert(canon(pqArm) == exact)
+    // tight budget on the isotropic fixture → the measured law comes
+    // back as a whole-percent corpus fraction and the dispatch refuses
+    // the index (the SPOTCHECK_pq arm-2 rule) — exact via brute
+    val bruteArm = Pq.pqTopKAuto(vecs, queries, books, k = 5, M, KSUB, budgetFrac = 0.02)
+    assert(!bruteArm.queryExecution.executedPlan.toString.contains("pqadc"),
+      "tight budget on a structureless corpus must dispatch to the exact scan")
+    assert(canon(bruteArm) == exact)
+  }
+
   test("saved IVF-PQ index: indexed search equals recompute; append maintains; stage 1 scans no vectors") {
     val queries = vecs.filter(col("id") < 20)
     val cents = Ann.kmeansCentroids(vecs, k = 8, iters = 2).localCheckpoint(true)

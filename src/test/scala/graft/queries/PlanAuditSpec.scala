@@ -47,12 +47,17 @@ final class PlanAuditSpec extends SparkTestBase {
                             // k-means cells: row × cell scoring is a
                             // broadcast product reduced map-side —
                             // the corpus never shuffles for assignment
-      "a6_ivf_pq")          // the NLJ product is a3's own shape: the
+      "a6_ivf_pq",          // the NLJ product is a3's own shape: the
                             // (rows × cells) coarse-assignment scan
                             // against broadcast centroids (codebooks
                             // are BAKED into the PqAssign/PqLut
                             // kernels, never joined); the ADC scan
                             // stays an equi-join on cell
+      "a7_pq_auto")         // both dispatch arms are the a1 broadcast
+                            // full-scan shape (query batch broadcast,
+                            // corpus never shuffles beyond the codes
+                            // exchange) — the measurement pass and
+                            // the chosen arm alike
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
@@ -90,10 +95,14 @@ final class PlanAuditSpec extends SparkTestBase {
   //     build side is bounded by construction
   private val keyedBroadcastOk =
     Set("e5_anomaly", "a3_ann_ivf", "d10_semdedup", "r1_item_similarity",
-      "a6_ivf_pq") // broadcast keyed aggregates are a3's label-mean
+      "a6_ivf_pq", // broadcast keyed aggregates are a3's label-mean
                    // centroids (cell-count-bounded) and the per-query
                    // probe/lut side (query-batch-sized, the a1
                    // broadcast contract)
+      "a7_pq_auto") // the broadcast keyed aggregate is the sampled
+                    // queries' brute top-k (≤ sample × k rows by
+                    // construction — the measurement side of the
+                    // dispatch)
 
   test("no broadcast hint on an unbounded aggregate (full registry)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
