@@ -254,13 +254,18 @@ object Pq {
       .repartition(shufflePartitions(corpus))
     val qIdx = sampleQueries.select(col("id").as("query_id"),
       PqLut(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("lut"))
-    cIdx.join(broadcast(qIdx), col("query_id") =!= col("nbr_id"))
+    val row = cIdx.join(broadcast(qIdx), col("query_id") =!= col("nbr_id"))
       .withColumn("qsim", PqAdc(col("codes"), col("lut")) / col("cnorm"))
       .withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("qsim").desc, col("nbr_id").asc)))
       .join(broadcast(tops), Seq("query_id", "nbr_id"))
-      .agg(max(col("r"))).head().getInt(0)
+      .agg(max(col("r"))).head()
+    // empty sample/corpus → no true pairs → max is null; 0 keeps the
+    // caller's dispatch well-defined (budget floors at 16) instead of
+    // NPE-ing the one search API that would otherwise not return
+    // empty gracefully
+    if (row.isNullAt(0)) 0 else row.getInt(0)
   }
 
   /** Measured-budget auto dispatch — the v6/d16/d17 pattern applied
@@ -348,7 +353,10 @@ object Pq {
         .saveAsTable(s"${tablePrefix}_books")
     }
     val b = collectBooks(codebooks, m, ksub)
-    val cells = Ann.ivfAssignments(corpus, centroids)
+    // materialize once: the assignment scan (n×cells broadcast dots)
+    // is the expensive half, and it feeds BOTH writes — without the
+    // checkpoint each build/append batch would run it twice
+    val cells = Ann.ivfAssignments(corpus, centroids).localCheckpoint(false)
     cells.select(col("cell"), col("id"),
         PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("codes"),
         col("nrm"))

@@ -27,7 +27,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * per-row allocation, inside whole-stage codegen: the same reason
   * [[DotProduct]]/[[IntDotProduct]] exist — stage 1 of a PQ search
   * touches every (query, candidate) pair, and m lookups per pair
-  * (8 here) vs dim multiplies (64) is the whole point of PQ.
+  * (16 at the measured gate config) vs dim multiplies (64) is the
+  * point of PQ on compute — and the index being ~21× fewer bytes is
+  * the point at scan scale.
   */
 case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
 

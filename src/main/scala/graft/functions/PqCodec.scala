@@ -65,11 +65,15 @@ case class PqAssign(child: Expression, books: Array[Double],
         s"pq_assign expects array<float|double>, got ${t.simpleString}")
   }
 
-  private def childIsFloat: Boolean =
+  // hoisted out of the per-element loops: a def here would pattern-
+  // match dataType m·ksub·dsub times per row on the interpreted path
+  @transient private lazy val childIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    val isFloat = childIsFloat
+    val n = v.numElements()
     val out = new Array[Int](m)
     var sub = 0
     while (sub < m) {
@@ -80,9 +84,15 @@ case class PqAssign(child: Expression, books: Array[Double],
         if (present(c)) {
           var s = 0.0; var d = 0
           while (d < dsub) {
-            val x = if (childIsFloat) v.getFloat(sub * dsub + d).toDouble
-                    else v.getDouble(sub * dsub + d)
-            s += x * books(c * dsub + d); d += 1
+            // short or null-holed vectors contribute 0 for the missing
+            // elements — degrade like the other kernels (PqAdc,
+            // HyperplaneSketches), never read past the array or abort
+            val i = sub * dsub + d
+            if (i < n && !v.isNullAt(i)) {
+              val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+              s += x * books(c * dsub + d)
+            }
+            d += 1
           }
           val score = 2.0 * s - cn2(c)
           // strict > keeps the LOWEST code on ties; NaN compares
@@ -109,7 +119,9 @@ case class PqAssign(child: Expression, books: Array[Double],
       val d = ctx.freshName("d"); val s = ctx.freshName("s")
       val best = ctx.freshName("best"); val bestScore = ctx.freshName("bestScore")
       val score = ctx.freshName("score")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
       s"""
+         |int $n = $v.numElements();
          |int[] $out = new int[$m];
          |for (int $sub = 0; $sub < $m; $sub++) {
          |  int $best = -1; double $bestScore = Double.NEGATIVE_INFINITY;
@@ -117,7 +129,10 @@ case class PqAssign(child: Expression, books: Array[Double],
          |    if (!$presRef[$c]) continue;
          |    double $s = 0.0;
          |    for (int $d = 0; $d < $dsub; $d++) {
-         |      $s += ((double) $v.$get($sub * $dsub + $d)) * $booksRef[$c * $dsub + $d];
+         |      int $i = $sub * $dsub + $d;
+         |      if ($i < $n && !$v.isNullAt($i)) {
+         |        $s += ((double) $v.$get($i)) * $booksRef[$c * $dsub + $d];
+         |      }
          |    }
          |    double $score = 2.0 * $s - $cn2Ref[$c];
          |    if ($best < 0 || $score > $bestScore) { $best = $c; $bestScore = $score; }
@@ -159,11 +174,14 @@ case class PqLut(child: Expression, books: Array[Double],
         s"pq_lut expects array<float|double>, got ${t.simpleString}")
   }
 
-  private def childIsFloat: Boolean =
+  // hoisted — see PqAssign's note
+  @transient private lazy val childIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    val isFloat = childIsFloat
+    val n = v.numElements()
     val out = new Array[Double](m * ksub)
     var c = 0
     while (c < m * ksub) {
@@ -171,9 +189,14 @@ case class PqLut(child: Expression, books: Array[Double],
         val sub = c / ksub
         var s = 0.0; var d = 0
         while (d < dsub) {
-          val x = if (childIsFloat) v.getFloat(sub * dsub + d).toDouble
-                  else v.getDouble(sub * dsub + d)
-          s += x * books(c * dsub + d); d += 1
+          // missing/null elements contribute 0 — degrade, don't abort
+          // (PqAssign's guard, same rationale)
+          val i = sub * dsub + d
+          if (i < n && !v.isNullAt(i)) {
+            val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+            s += x * books(c * dsub + d)
+          }
+          d += 1
         }
         out(c) = s
       }
@@ -190,14 +213,19 @@ case class PqLut(child: Expression, books: Array[Double],
       val out = ctx.freshName("out")
       val c = ctx.freshName("c"); val d = ctx.freshName("d")
       val s = ctx.freshName("s"); val sub = ctx.freshName("sub")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
       s"""
+         |int $n = $v.numElements();
          |double[] $out = new double[${m * ksub}];
          |for (int $c = 0; $c < ${m * ksub}; $c++) {
          |  if (!$presRef[$c]) continue;
          |  int $sub = $c / $ksub;
          |  double $s = 0.0;
          |  for (int $d = 0; $d < $dsub; $d++) {
-         |    $s += ((double) $v.$get($sub * $dsub + $d)) * $booksRef[$c * $dsub + $d];
+         |    int $i = $sub * $dsub + $d;
+         |    if ($i < $n && !$v.isNullAt($i)) {
+         |      $s += ((double) $v.$get($i)) * $booksRef[$c * $dsub + $d];
+         |    }
          |  }
          |  $out[$c] = $s;
          |}

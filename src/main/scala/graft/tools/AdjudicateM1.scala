@@ -83,6 +83,12 @@ object AdjudicateM1 {
     def decodeArm(useCache: Boolean, grouped: Boolean): () => DataFrame = () => {
       import spark.implicits._
       media.as[Multimodal.MediaRow].mapPartitions { rows =>
+        // force MediaDecoder's object init FIRST: it sets
+        // ImageIO.setUseCache(false) once per JVM, and if it ran
+        // lazily on the first decode below it would silently reset
+        // the cache-ON arm to cache-OFF (the A/B would compare
+        // OFF vs OFF and adjudicate "no effect")
+        MediaDecoder
         javax.imageio.ImageIO.setUseCache(useCache)
         val it = if (grouped) rows.grouped(64).flatMap(_.iterator) else rows
         it.map(MediaDecoder.decode)

@@ -188,6 +188,28 @@ final class PqSpec extends SparkTestBase {
     }
   }
 
+  test("kernels degrade on malformed vectors; auto dispatch returns empty on empty queries") {
+    import spark.implicits._
+    // a short vector (missing elements contribute 0) and an all-NaN
+    // vector (lowest present code per slot) must not abort the query —
+    // the PqAdc/multi-probe degrade rule applied to the codec kernels
+    val bad = Seq(
+      (1L, Array.fill(64)(0.1f)),
+      (2L, Array.fill(32)(0.2f)),
+      (3L, Array.fill(64)(Float.NaN))
+    ).toDF("id", "vec")
+    val codes = Pq.encode(bad, books, M, KSUB).collect()
+    assert(codes.length == 3)
+    assert(codes.forall(_.getSeq[Int](1).length == M))
+    val lutRow = Pq.adcLut(bad.filter(col("id") === 2), books, M, KSUB).head()
+    assert(lutRow.getSeq[Double](lutRow.fieldIndex("lut")).length == M * KSUB)
+    // empty query set: measuredScanRank has no true pairs (max = null)
+    // → budget floors, dispatch stays defined, result is empty — not
+    // an NPE from the one search API that wouldn't degrade
+    assert(Pq.pqTopKAuto(vecs, vecs.filter(col("id") < 0), books,
+      k = 5, M, KSUB).count() == 0)
+  }
+
   test("index bytes: the codes row is a fraction of the vec row at the gate config") {
     // 64 floats (256 B logical) vs 16 int codes + norm (72 B as the
     // Spark array; 6 bits of true entropy per code at ksub=64, so a
