@@ -122,13 +122,16 @@ object Pq {
     val spark = vecs.sparkSession
     // hash-sampled seeds: the ksub smallest-md5 ids, each contributing
     // its subvector to every subspace's codebook (round-6 like means)
+    // seeds collect as array<double> whatever the input element type:
+    // float widens exactly, and a getSeq[Float] here would CCE on the
+    // array<double> corpora the kernels themselves accept
     val seedRows = vecs.select(col("id"), col("vec"),
         graft.functions.Md5Bucket60(
           concat_ws("|", lit("pq"), col("id").cast("string"))).as("hkey"))
       .orderBy(col("hkey"), col("id")).limit(ksub)
-      .select(col("vec")).collect()
+      .select(col("vec").cast("array<double>")).collect()
     require(seedRows.nonEmpty, "no vectors to train on")
-    val dim = seedRows.head.getSeq[Float](0).length
+    val dim = seedRows.head.getSeq[Double](0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val arr = new Array[Double](m * ksub * dsub)
@@ -138,10 +141,10 @@ object Pq {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     seedRows.zipWithIndex.foreach { case (r, cidx) =>
-      val v = r.getSeq[Float](0)
+      val v = r.getSeq[Double](0)
       for (sub <- 0 until m; d <- 0 until dsub) {
         val code = sub * ksub + cidx
-        arr(code * dsub + d) = r6(v(sub * dsub + d).toDouble)
+        arr(code * dsub + d) = r6(v(sub * dsub + d))
         present(code) = true
       }
     }
@@ -280,17 +283,34 @@ object Pq {
     * refuses the index — exactly the gap-less-τ honesty rule the LSH
     * family enforces with volume guards.
     *
-    * Output is EXACT either way: the fallback is the brute scan, and
-    * the PQ arm re-ranks `marginX × measured` candidates — the
-    * sample-measured budget is average-case like d17's miss budget
-    * (margin covers unsampled queries; the gate fixture samples every
-    * query, making the arm exact by construction there).
+    * Exactness contract, stated precisely: the fallback arm is the
+    * brute scan (exact by definition), and the PQ arm re-ranks
+    * `marginX × measured` candidates — EXACT on every sampled query
+    * (their true worst rank is inside the budget by construction) and
+    * margin-covered on unsampled ones, the same average-case stance
+    * as d17's miss budget. When the query set fits inside
+    * `sampleQueries` — the gate fixture does — every query is
+    * sampled and the arm is exact outright; a larger query set gets
+    * best-effort-within-margin on the unsampled tail, not a
+    * guarantee.
+    *
+    * Cost note: the measurement pass brute-forces the sample AND
+    * ADC-ranks the full corpus×sample product, so the REFUSE arm
+    * costs roughly 2× a plain brute scan (measurement + fallback).
+    * That is the price of an honest dispatch on a structureless
+    * corpus; callers that already know the law for this corpus skip
+    * it by passing `knownRank` (e.g. from a prior [[measuredScanRank]]
+    * over the same corpus/k — the SpotPq protocol), which makes the
+    * call pure plan construction except for the corpus count.
     */
   def pqTopKAuto(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
                  k: Int, m: Int, ksub: Int, sampleQueries: Int = 32,
-                 budgetFrac: Double = 0.02, marginX: Int = 2): DataFrame = {
-    val sample = queries.orderBy(col("id")).limit(sampleQueries)
-    val needed = measuredScanRank(corpus, sample, codebooks, k, m, ksub)
+                 budgetFrac: Double = 0.02, marginX: Int = 2,
+                 knownRank: Option[Int] = None): DataFrame = {
+    val needed = knownRank.getOrElse {
+      val sample = queries.orderBy(col("id")).limit(sampleQueries)
+      measuredScanRank(corpus, sample, codebooks, k, m, ksub)
+    }
     val budget = math.max(16, marginX * needed)
     val n = corpus.count()
     if (budget <= (budgetFrac * n).toLong) {

@@ -144,6 +144,24 @@ case class PqAssign(child: Expression, books: Array[Double],
     })
   }
 
+  // Content-based equality: the case-class default compares the
+  // Array params by REFERENCE, so two semantically identical kernels
+  // built from separate collectBooks calls never compare equal —
+  // defeating expression canonicalization, common-subexpression
+  // elimination, and ReusedExchange matching across plan branches.
+  override def equals(o: Any): Boolean = o match {
+    case p: PqAssign =>
+      p.m == m && p.ksub == ksub && p.dsub == dsub &&
+        java.util.Arrays.equals(p.books, books) &&
+        java.util.Arrays.equals(p.present, present) &&
+        p.child == child
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Int.box(m), Int.box(ksub),
+      Int.box(dsub), Int.box(java.util.Arrays.hashCode(books)),
+      Int.box(java.util.Arrays.hashCode(present)))
+
   override protected def withNewChildInternal(newChild: Expression): PqAssign =
     copy(child = newChild)
 }
@@ -233,6 +251,20 @@ case class PqLut(child: Expression, books: Array[Double],
        """.stripMargin
     })
   }
+
+  // content-based equality — see PqAssign's note
+  override def equals(o: Any): Boolean = o match {
+    case p: PqLut =>
+      p.m == m && p.ksub == ksub && p.dsub == dsub &&
+        java.util.Arrays.equals(p.books, books) &&
+        java.util.Arrays.equals(p.present, present) &&
+        p.child == child
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Int.box(m), Int.box(ksub),
+      Int.box(dsub), Int.box(java.util.Arrays.hashCode(books)),
+      Int.box(java.util.Arrays.hashCode(present)))
 
   override protected def withNewChildInternal(newChild: Expression): PqLut =
     copy(child = newChild)

@@ -30,9 +30,28 @@ final class BenchSelfCheckSpec extends AnyFunSuite {
     assert(Bench.loadAvg1m() >= 0.0) // Linux host: /proc/loadavg exists
     // the artifact's "load":[a,b] array must not pollute prior parsing
     val line = """{"metric":"total","value":9.1,"unit":"sec","nq":2,""" +
-      """"queries":{"q1_pricing_summary":0.493},"load":[31.5,2.0],"sf":0.1}"""
+      """"queries":{"q1_pricing_summary":0.493},"load":[31.5,2.0],"load15":[3.3,2.1],"sf":0.1}"""
     assert(Bench.parsePriorQueries(line).get("load").isEmpty)
+    assert(Bench.parsePriorQueries(line).get("load15").isEmpty)
     assert(Bench.parsePriorQueries(line)("q1_pricing_summary") == 0.493)
+  }
+
+  test("idle gate blocks on EITHER load window (the r16 15-min lesson)") {
+    assert(Bench.loadAvg15m() >= 0.0)
+    // the two adjudicated contaminated shapes from round 16: a struck
+    // sweep at 1-min 0.8 / 15-min 3.7 (+28% on untouched queries), and
+    // the BENCH_r16.json re-run at 1-min 1.9 / 15-min 3.3 that the
+    // 1-min-only gate waved through — both must block now
+    assert(Bench.idleGateBlocked(0.8, 3.7))
+    assert(Bench.idleGateBlocked(1.9, 3.3))
+    // live co-tenant with a clean 15-min history still blocks
+    assert(Bench.idleGateBlocked(5.0, 1.0))
+    // the committed clean anchor's band [0.9, 2.0] passes
+    assert(!Bench.idleGateBlocked(0.9, 2.0))
+    assert(!Bench.idleGateBlocked(2.0, 2.5)) // thresholds are strict >
+    // no /proc (-1) never blocks — the gate cannot stall a host that
+    // cannot report load
+    assert(!Bench.idleGateBlocked(-1.0, -1.0))
   }
 
   test("the committed-anchor path is viable: BENCH.out must not be gitignored") {

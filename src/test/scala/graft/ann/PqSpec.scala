@@ -34,6 +34,11 @@ final class PqSpec extends SparkTestBase {
     .select(col("query_id"), col("nbr_id"), round(col("sim"), 9).as("sim"), col("rank"))
     .collect().map(_.toSeq).toSet
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   test("codebooks: deterministic retrain, global code ranges, round-6 doubles") {
     val again = Pq.trainCodebooks(vecs, M, KSUB, iters = ITERS)
     val a = books.orderBy("sub", "code").collect().map(_.toSeq)
@@ -155,14 +160,14 @@ final class PqSpec extends SparkTestBase {
     val cents = Ann.kmeansCentroids(vecs, k = 8, iters = 2).localCheckpoint(true)
     val old = vecs.filter(col("id") % 5 =!= 0)
     val add = vecs.filter(col("id") % 5 === 0)
-    // clean any leftover managed-table location from an aborted run
+    // clean any leftover managed-table location from an aborted run —
+    // recursively: an aborted write can leave nested dirs (_temporary/)
+    // that a flat listFiles().delete() silently skips, leaving the
+    // location non-empty and failing the saveAsTable(overwrite) with
+    // an unrelated-looking error
     for (s <- Seq("centroids", "books", "codes", "vecs")) {
       spark.sql(s"DROP TABLE IF EXISTS pqspec_idx_$s")
-      val loc = new java.io.File(s"spark-warehouse/pqspec_idx_$s")
-      if (loc.exists()) {
-        loc.listFiles().foreach(_.delete())
-        loc.delete()
-      }
+      deleteRecursively(new java.io.File(s"spark-warehouse/pqspec_idx_$s"))
     }
     try {
       Pq.saveIvfPqIndex(old, cents, books, "pqspec_idx", M, KSUB, nBuckets = 4)
@@ -208,6 +213,53 @@ final class PqSpec extends SparkTestBase {
     // an NPE from the one search API that wouldn't degrade
     assert(Pq.pqTopKAuto(vecs, vecs.filter(col("id") < 0), books,
       k = 5, M, KSUB).count() == 0)
+  }
+
+  test("training accepts array<double> corpora and matches the float-trained books") {
+    // float widens to double exactly, so training on the cast corpus
+    // must be bit-identical — and must not CCE (the seed collect read
+    // getSeq[Float] through round 16, crashing any double-vector
+    // caller even though the kernels themselves accept both)
+    val dvecs = vecs.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val dbooks = Pq.trainCodebooks(dvecs, M, KSUB, iters = ITERS)
+    val a = books.orderBy("sub", "code").collect().map(_.toSeq)
+    val b = dbooks.orderBy("sub", "code").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("kernels from separate collectBooks calls compare equal (canonicalization)") {
+    // two builds collect two distinct Array instances; reference-based
+    // case-class equality would make semantically identical kernels
+    // unequal, defeating CSE and ReusedExchange matching
+    import org.apache.spark.sql.graft.Bridge
+    val e1 = Bridge.expression(col("vec"))
+    val b1 = books.collect(); val b2 = books.collect() // distinct row arrays
+    def mk(rows: Array[org.apache.spark.sql.Row]) = {
+      val dsub = rows.head.getSeq[Double](rows.head.fieldIndex("cent")).length
+      val arr = new Array[Double](M * KSUB * dsub)
+      val present = new Array[Boolean](M * KSUB)
+      rows.foreach { r =>
+        val code = r.getInt(r.fieldIndex("code"))
+        val cent = r.getSeq[Double](r.fieldIndex("cent"))
+        var d = 0
+        while (d < dsub) { arr(code * dsub + d) = cent(d); d += 1 }
+        present(code) = true
+      }
+      (arr, present, dsub)
+    }
+    val (a1, p1, ds) = mk(b1); val (a2, p2, _) = mk(b2)
+    assert(!(a1 eq a2))
+    val k1 = graft.functions.PqAssign(e1, a1, p1, M, KSUB, ds)
+    val k2 = graft.functions.PqAssign(e1, a2, p2, M, KSUB, ds)
+    assert(k1 == k2 && k1.hashCode == k2.hashCode)
+    assert(k1.semanticEquals(k2))
+    val l1 = graft.functions.PqLut(e1, a1, p1, M, KSUB, ds)
+    val l2 = graft.functions.PqLut(e1, a2, p2, M, KSUB, ds)
+    assert(l1 == l2 && l1.hashCode == l2.hashCode)
+    assert(l1 != k1) // class still discriminates
+    // a genuinely different codebook is unequal
+    val a3 = a1.clone(); a3(0) += 1.0
+    assert(k1 != graft.functions.PqAssign(e1, a3, p1, M, KSUB, ds))
   }
 
   test("index bytes: the codes row is a fraction of the vec row at the gate config") {
