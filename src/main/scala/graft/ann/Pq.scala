@@ -1,10 +1,10 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 
-import graft.functions.{PqAdc, PqAssign, PqLut, VectorOps}
+import graft.functions.{PqAdc, PqAdcPacked, PqAssign, PqCodec, PqLut, PqPack, VectorOps}
 
 /** Product quantization (PQ) — the compressed-index half of the
   * canonical billion-scale ANN design (IVF for the coarse partition,
@@ -352,14 +352,25 @@ object Pq {
   }
 
   /** Persist an IVF·PQ index: `<prefix>_centroids` + `<prefix>_books`
-    * (both broadcast-tiny), `<prefix>_codes` (cell, id, codes, nrm —
-    * the stage-1 scan table, cell-bucketed so probes join without a
-    * shuffle, NO vector column: this table is what a 100 TB serving
-    * scan reads, at a fraction of the raw bytes), and `<prefix>_vecs`
-    * (id, vec, nrm — touched only by the rerank semi-join,
-    * id-bucketed). `append` encodes a new batch against the FROZEN
-    * centroids + codebooks — the [[Ann.saveIvfIndex]] contract: a
-    * growing corpus is assigned and encoded once, ever.
+    * (both broadcast-tiny), `<prefix>_codes` (cell, id, codes:
+    * BINARY — the stage-1 scan table, cell-bucketed so probes join
+    * without a shuffle), and `<prefix>_vecs` (id, vec, nrm — touched
+    * only by the rerank semi-join, id-bucketed). `append` encodes a
+    * new batch against the FROZEN centroids + codebooks — the
+    * [[Ann.saveIvfIndex]] contract: a growing corpus is assigned and
+    * encoded once, ever.
+    *
+    * The codes column is the [[graft.functions.PqPack]] bit-packed
+    * layout (⌈log₂ ksub⌉ bits per code — 12 bytes at the gate config,
+    * the FAISS `IndexIVFPQ` code layout), and the table stores NO
+    * norm and NO vector: the serving scan reconstructs each
+    * candidate's norm from its own codes (`‖recon‖² = Σ_sub ‖cent‖²`,
+    * one [[graft.functions.PqAdcPacked]] pass over the per-code
+    * squared norms — driver state like the codebooks). So the claimed
+    * compression is ON DISK: the stage-1 table is ≥15× smaller than
+    * `<prefix>_vecs` (measured in PqSpec on the gate fixture), which
+    * at 100 TB of vectors is the difference between scanning
+    * terabytes and scanning hundreds of gigabytes per serving call.
     */
   def saveIvfPqIndex(corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
                      tablePrefix: String, m: Int, ksub: Int, nBuckets: Int = 32,
@@ -378,9 +389,13 @@ object Pq {
     // checkpoint each build/append batch would run it twice
     val cells = Ann.ivfAssignments(corpus, centroids).localCheckpoint(false)
     cells.select(col("cell"), col("id"),
-        PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("codes"),
-        col("nrm"))
+        PqPack(PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub),
+          b.m, b.ksub).as("codes"))
       .write.mode(if (append) "append" else "overwrite")
+      // v2 data pages: DELTA_LENGTH_BYTE_ARRAY stores the (constant)
+      // code-blob length once per page instead of v1 PLAIN's 4-byte
+      // prefix on every value — a 25% tax on a 12-byte blob
+      .option("parquet.writer.version", "v2")
       .bucketBy(nBuckets, "cell").format("parquet")
       .saveAsTable(s"${tablePrefix}_codes")
     cells.select(col("id"), col("vec"), col("nrm"))
@@ -395,21 +410,36 @@ object Pq {
     * construction, not just projection (PqSpec asserts the plan).
     * Full vectors enter via the rerank join against `<prefix>_vecs`,
     * `rerank` rows per query.
+    *
+    * Stage-1 scoring over the packed layout: the candidate's norm is
+    * RECONSTRUCTED from its codes (a second [[graft.functions
+    * .PqAdcPacked]] pass over the per-code squared norms — 2·m array
+    * reads per pair total, still ≪ dim multiplies) instead of read
+    * from storage. Ranking by `dot(q, recon(x)) / ‖recon(x)‖` is the
+    * self-consistent quantized cosine; its measured worst true-top-k
+    * rank is the SAME TunePq law as the stored-norm ranking (re-
+    * measured: ≤30 in-cell on the gate fixtures vs ≤31 stored-norm),
+    * and the exact re-rank restores exact output under the same
+    * budget. The `greatest(…, 1e-12)` floor keeps a degenerate
+    * all-hole candidate finite (it ranks arbitrarily, burns one
+    * rerank slot, and exact re-rank disposes of it).
     */
   def ivfPqTopKIndexed(spark: SparkSession, tablePrefix: String, queries: DataFrame,
                        k: Int, m: Int, ksub: Int, nprobe: Int = 2,
                        rerank: Int = 64): DataFrame = {
     val centroids = spark.table(s"${tablePrefix}_centroids")
     val b = collectBooks(spark.table(s"${tablePrefix}_books"), m, ksub)
+    val cn2 = typedLit(PqCodec.codeNorms(b.arr, b.dsub).toSeq)
     val cIdx = spark.table(s"${tablePrefix}_codes")
-      .select(col("cell"), col("id").as("nbr_id"), col("codes"),
-        col("nrm").as("cnorm"))
+      .select(col("cell"), col("id").as("nbr_id"), col("codes"))
     val qIdx = Ann.assignN(queries, centroids, nprobe, "query_id", "qvec", "qnorm")
       .select(col("query_id"), col("cell"),
         PqLut(col("qvec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("lut"))
     val vecs = spark.table(s"${tablePrefix}_vecs")
       .select(col("id"), col("vec"), col("nrm"))
-    rerankFromVecs(adcStage(cIdx, qIdx, rerank, joinKeys = Seq("cell")),
+    val qsim = PqAdcPacked(col("codes"), col("lut"), b.m, b.ksub) /
+      sqrt(greatest(PqAdcPacked(col("codes"), cn2, b.m, b.ksub), lit(1e-12)))
+    rerankFromVecs(adcStage(cIdx, qIdx, rerank, joinKeys = Seq("cell"), qsim = qsim),
       vecs, queries, k)
   }
 
@@ -417,16 +447,21 @@ object Pq {
   // equi-keyed on `joinKeys` when probing cells, the full product
   // when scanning — and keep the top `rerank` ids per query with the
   // bounded TopKAgg (map-side combine; ≤rerank rows per query per
-  // partition cross the shuffle, never the scored product).
+  // partition cross the shuffle, never the scored product). `qsim` is
+  // the post-join scoring expression: the default reads a stored
+  // cnorm (in-memory paths, where norms are free); the packed indexed
+  // path passes the recon-norm form instead.
   private def adcStage(cIdx: DataFrame, qIdx: DataFrame, rerank: Int,
-                       joinKeys: Seq[String] = Nil): DataFrame = {
+                       joinKeys: Seq[String] = Nil,
+                       qsim: Column = PqAdc(col("codes"), col("lut")) / col("cnorm"))
+      : DataFrame = {
     val q = broadcast(qIdx.select(
       (col("query_id") +: joinKeys.map(col)) :+ col("lut"): _*))
     val joined =
       if (joinKeys.isEmpty) cIdx.join(q, col("query_id") =!= col("nbr_id"))
       else cIdx.join(q, joinKeys).filter(col("query_id") =!= col("nbr_id"))
     joined
-      .withColumn("qsim", PqAdc(col("codes"), col("lut")) / col("cnorm"))
+      .withColumn("qsim", qsim)
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.distinct(col("qsim"), col("nbr_id"), rerank).as("top"))
       .select(col("query_id"), explode(col("top.tag")).as("nbr_id"))

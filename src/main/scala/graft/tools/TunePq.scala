@@ -69,7 +69,31 @@ object TunePq {
         val neededIvf = ivfExact.map { case (q, tops) =>
           byQ2(q).filter(r => tops(r.getLong(1))).map(_.getInt(2)).max
         }.max
-        println(f"TUNEPQ m=$m%2d ksub=$ksub%2d iters=$iters  neededFull=$neededFull%3d  neededIvf=$neededIvf%3d")
+        // the PACKED/no-stored-norm serving ranking (ivfPqTopKIndexed):
+        // dot(q, recon(x)) / ‖recon(x)‖ with the norm reconstructed
+        // from the codes — the budget law the saved-index spec gates on
+        val b = Pq.collectBooks(books, m, ksub)
+        val cn2 = typedLit(graft.functions.PqCodec.codeNorms(b.arr, b.dsub).toSeq)
+        def reconSim(codes: org.apache.spark.sql.Column) = {
+          val packed = graft.functions.PqPack(codes, m, ksub)
+          graft.functions.PqAdcPacked(packed, col("lut"), m, ksub) /
+            sqrt(greatest(graft.functions.PqAdcPacked(packed, cn2, m, ksub), lit(1e-12)))
+        }
+        val ranked3 = cIdx
+          .join(cells.select(col("cell"), col("id").as("nbr_id")), Seq("nbr_id"))
+          .join(broadcast(probed.join(qIdx, Seq("query_id"))), Seq("cell"))
+          .filter(col("query_id") =!= col("nbr_id"))
+          .withColumn("qsim", reconSim(col("codes")))
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+              .orderBy(col("qsim").desc, col("nbr_id").asc)))
+          .select(col("query_id"), col("nbr_id"), col("r")).collect()
+        val byQ3 = ranked3.groupBy(_.getLong(0))
+        val neededIvfRecon = ivfExact.map { case (q, tops) =>
+          byQ3(q).filter(r => tops(r.getLong(1))).map(_.getInt(2)).max
+        }.max
+        println(f"TUNEPQ m=$m%2d ksub=$ksub%2d iters=$iters  neededFull=$neededFull%3d  " +
+          f"neededIvf=$neededIvf%3d  neededIvfRecon=$neededIvfRecon%3d")
       }
     } finally spark.stop()
   }

@@ -178,11 +178,20 @@ final class PqSpec extends SparkTestBase {
       k = 5, M, KSUB, nprobe = 2, rerank = 96)
     assert(canon(indexed) == canon(recomputed))
     // the compressed-scan property is storage-level: the stage-1 table
-    // has no vector column at all
+    // has no vector column, no norm column — codes are the bit-packed
+    // binary layout and the serving scan reconstructs norms from them
     val codesSchema = spark.table("pqspec_idx_codes").schema
     assert(!codesSchema.fieldNames.contains("vec"))
+    assert(!codesSchema.fieldNames.contains("nrm"))
     assert(codesSchema.fieldNames.sorted.sameElements(
-      Array("cell", "codes", "id", "nrm")))
+      Array("cell", "codes", "id")))
+    assert(codesSchema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    // every stored code blob is exactly ceil(m*bits/8) bytes (12 at
+    // the gate config — the claimed true entropy)
+    val lens = spark.table("pqspec_idx_codes")
+      .select(length(col("codes"))).distinct().collect().map(_.getInt(0))
+    assert(lens.sameElements(Array(M * 6 / 8)))
     // and the serving plan reads the codes table, not the vecs table,
     // on its scan side (vecs enters only via the rerank join)
     val plan = indexed.queryExecution.executedPlan.toString
@@ -213,6 +222,84 @@ final class PqSpec extends SparkTestBase {
     // an NPE from the one search API that wouldn't degrade
     assert(Pq.pqTopKAuto(vecs, vecs.filter(col("id") < 0), books,
       k = 5, M, KSUB).count() == 0)
+  }
+
+  test("packed codec: PqAdcPacked over PqPack equals PqAdc over the raw codes") {
+    import graft.functions.{PqAdc, PqAdcPacked, PqPack}
+    // real encoded corpus: every row's packed ADC must equal the
+    // unpacked kernel bit-for-bit (same lut, same double accumulation
+    // order), so the packed storage layout changes NOTHING semantically
+    val lut = Pq.adcLut(vecs.filter(col("id") === 7), books, M, KSUB)
+      .select(col("lut")).head().getSeq[Double](0)
+    val codes = Pq.encode(vecs, books, M, KSUB)
+    val both = codes.select(
+      PqAdc(col("codes"), typedLit(lut)).as("raw"),
+      PqAdcPacked(PqPack(col("codes"), M, KSUB), typedLit(lut), M, KSUB).as("packed"))
+      .collect()
+    assert(both.length == 500)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // degrade cases: short code arrays pack their missing slots as
+    // local 0; out-of-slot-range codes clamp to local 0 — never abort
+    import spark.implicits._
+    val bad = Seq(
+      Array(0, KSUB + 1),            // short (m=16) + in-range slot 1
+      Array(-5, 999999),             // out of range both slots
+      Array.empty[Int]
+    ).toDF("codes")
+    val packed = bad.select(PqPack(col("codes"), M, KSUB).as("p")).collect()
+    assert(packed.forall(_.getAs[Array[Byte]](0).length == M * 6 / 8))
+    // slot 0 packs local 0, slot 1 packs local 1 (KSUB+1 − 1·KSUB),
+    // the rest local 0 — expected bytes built from first principles
+    val first = packed(0).getAs[Array[Byte]](0)
+    val exp2 = new Array[Byte](M * 6 / 8)
+    for ((local, slot) <- Seq((0, 0), (1, 1)); b <- 0 until 6
+         if ((local >> (5 - b)) & 1) != 0) {
+      val bit = slot * 6 + b
+      exp2(bit >> 3) = (exp2(bit >> 3) | (1 << (7 - (bit & 7)))).toByte
+    }
+    assert(first.sameElements(exp2))
+    assert(packed(1).getAs[Array[Byte]](0).forall(_ == 0))
+    assert(packed(2).getAs[Array[Byte]](0).forall(_ == 0))
+  }
+
+  test("on-disk bytes: the saved codes table is >=15x smaller than the vecs table") {
+    // the compression claim, measured where it matters — parquet files
+    // on disk, footers and encodings included. sf0.1's 2000 vectors in
+    // one bucket amortize the per-file footer the way any production
+    // file (128 MB row groups) would; the data-page arithmetic is
+    // 12 B packed codes vs 256 B of floats + 8 B norm per row.
+    val big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Ann.kmeansCentroids(big, k = 8, iters = 2).localCheckpoint(true)
+    val bBooks = Pq.trainCodebooks(big, M, KSUB, iters = ITERS).localCheckpoint(true)
+    for (s <- Seq("centroids", "books", "codes", "vecs")) {
+      spark.sql(s"DROP TABLE IF EXISTS pqsize_idx_$s")
+      deleteRecursively(new java.io.File(s"spark-warehouse/pqsize_idx_$s"))
+    }
+    try {
+      Pq.saveIvfPqIndex(big, cents, bBooks, "pqsize_idx", M, KSUB, nBuckets = 1)
+      def dirBytes(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+        else if (f.getName.startsWith("part-")) f.length()
+        else 0L
+      val codesBytes = dirBytes(new java.io.File("spark-warehouse/pqsize_idx_codes"))
+      val vecsBytes  = dirBytes(new java.io.File("spark-warehouse/pqsize_idx_vecs"))
+      assert(codesBytes > 0 && vecsBytes > 0)
+      val ratio = vecsBytes.toDouble / codesBytes
+      info(f"codes $codesBytes B, vecs $vecsBytes B, ratio $ratio%.1f x")
+      assert(ratio >= 15.0,
+        f"on-disk ratio $ratio%.1f below the claimed 15x (codes $codesBytes B, vecs $vecsBytes B)")
+      // and the serving path over THIS index still answers exactly
+      val queries = big.filter(col("id") < 5)
+      val indexed = Pq.ivfPqTopKIndexed(spark, "pqsize_idx", queries,
+        k = 5, M, KSUB, nprobe = 2, rerank = 96)
+      val recomputed = Pq.ivfPqTopK(big, queries, cents, bBooks,
+        k = 5, M, KSUB, nprobe = 2, rerank = 96)
+      assert(canon(indexed) == canon(recomputed))
+    } finally {
+      for (s <- Seq("centroids", "books", "codes", "vecs"))
+        spark.sql(s"DROP TABLE IF EXISTS pqsize_idx_$s")
+    }
   }
 
   test("training accepts array<double> corpora and matches the float-trained books") {
