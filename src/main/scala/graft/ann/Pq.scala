@@ -323,6 +323,134 @@ object Pq {
     }
   }
 
+  /** The cell half of the measured dispatch law: the worst COARSE
+    * rank, over the sampled queries' true top-k answers, of the cell
+    * the answer lives in within its query's centroid-similarity
+    * ordering (csim desc, cell asc — [[Ann.assignN]]'s exact order).
+    * An IVF probe depth of `nprobe ≥` this value covers every sampled
+    * true answer's cell; a value that comes back as a large fraction
+    * of the cell count is the law saying the coarse quantizer does
+    * not separate this corpus at this k — the honest-dispatch refuse
+    * signal, same family as [[measuredScanRank]]. Only a 1-row max is
+    * collected.
+    */
+  def measuredCellRank(corpus: DataFrame, sampleQueries: DataFrame,
+                       centroids: DataFrame, k: Int): Int =
+    measuredCellRankFrom(
+      Ann.bruteForceTopK(corpus, sampleQueries, k).select(col("query_id"), col("nbr_id")),
+      corpus, sampleQueries, centroids)
+
+  private[ann] def measuredCellRankFrom(tops: DataFrame, corpus: DataFrame,
+                                        sampleQueries: DataFrame,
+                                        centroids: DataFrame): Int = {
+    val nbrCell = Ann.assignCells(corpus, centroids)
+      .select(col("id").as("nbr_id"), col("cell"))
+    val cents = broadcast(centroids.select(col("cell"), col("vec").as("centvec"),
+      sqrt(VectorOps.dot(col("vec"), col("vec"))).as("centnorm")))
+    val qRanks = sampleQueries
+      .select(col("id").as("query_id"), col("vec").as("qvec"),
+        VectorOps.fnorm(col("vec")).as("qnorm"))
+      .join(cents)
+      .withColumn("csim",
+        VectorOps.fdot(col("qvec"), col("centvec")) / (col("qnorm") * col("centnorm")))
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("csim").desc, col("cell").asc)))
+      .select(col("query_id"), col("cell"), col("crank"))
+    val row = tops.join(nbrCell, Seq("nbr_id"))
+      .join(qRanks, Seq("query_id", "cell"))
+      .agg(max(col("crank"))).head()
+    if (row.isNullAt(0)) 0 else row.getInt(0)
+  }
+
+  /** The in-cell half: worst ADC rank of any sampled true top-k
+    * answer among the `nprobe` probed cells' candidates — the TunePq
+    * `neededIvf` law as a library function, for sizing `rerank` once
+    * `nprobe` is chosen. Every sampled answer is inside the probed
+    * set whenever `nprobe ≥` [[measuredCellRank]] (the caller's
+    * contract — [[ivfPqTopKAuto]] guarantees it by construction).
+    */
+  def measuredProbeRank(corpus: DataFrame, sampleQueries: DataFrame,
+                        centroids: DataFrame, codebooks: DataFrame,
+                        k: Int, m: Int, ksub: Int, nprobe: Int): Int =
+    measuredProbeRankFrom(
+      Ann.bruteForceTopK(corpus, sampleQueries, k).select(col("query_id"), col("nbr_id")),
+      corpus, sampleQueries, centroids, codebooks, m, ksub, nprobe)
+
+  private[ann] def measuredProbeRankFrom(tops: DataFrame, corpus: DataFrame,
+                                         sampleQueries: DataFrame,
+                                         centroids: DataFrame, codebooks: DataFrame,
+                                         m: Int, ksub: Int, nprobe: Int): Int = {
+    val b = collectBooks(codebooks, m, ksub)
+    val cIdx = Ann.ivfAssignments(corpus, centroids)
+      .select(col("cell"), col("id").as("nbr_id"),
+        PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("codes"),
+        col("nrm").as("cnorm"))
+      .repartition(shufflePartitions(corpus))
+    val qIdx = Ann.assignN(sampleQueries, centroids, nprobe, "query_id", "qvec", "qnorm")
+      .select(col("query_id"), col("cell"),
+        PqLut(col("qvec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("lut"))
+    val row = cIdx.join(broadcast(qIdx), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("qsim", PqAdc(col("codes"), col("lut")) / col("cnorm"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("qsim").desc, col("nbr_id").asc)))
+      .join(broadcast(tops), Seq("query_id", "nbr_id"))
+      .agg(max(col("r"))).head()
+    if (row.isNullAt(0)) 0 else row.getInt(0)
+  }
+
+  /** Fully-measured IVF·PQ auto dispatch — [[pqTopKAuto]]'s recipe
+    * applied to BOTH index dials instead of taking `nprobe` as a
+    * hand-set constant: sample queries, brute-force their true top-k
+    * once, then (1) size `nprobe` from the worst measured cell rank
+    * ([[measuredCellRank]], ×marginX, so every sampled answer's cell
+    * is probed with margin), refusing to the exact scan when the
+    * margined depth exceeds `probeFrac` of the cells (the coarse
+    * quantizer does not separate this corpus — probing most cells is
+    * a worse brute force); then (2) size `rerank` from the worst
+    * in-cell ADC rank at that depth ([[measuredProbeRank]],
+    * ×marginX, floor 16), refusing when the budget exceeds
+    * `budgetFrac` of the corpus (the a7 rule: ADC error displaces
+    * candidates by whole percents on structureless data).
+    *
+    * Exactness stance is [[pqTopKAuto]]'s, one notch weaker on the
+    * index arm: exact on every SAMPLED query (both its laws are
+    * measured over the sample), margin-covered on unsampled ones —
+    * and unlike the full-scan arm, an unsampled query's true answer
+    * can sit in an unprobed CELL (IVF's structural recall), which no
+    * rerank slack recovers. A query set inside `sampleQueries` (the
+    * gate fixture) is fully sampled, making the arm exact outright.
+    * The refuse arm is the brute scan, exact by definition.
+    */
+  def ivfPqTopKAuto(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                    codebooks: DataFrame, k: Int, m: Int, ksub: Int,
+                    sampleQueries: Int = 32, probeFrac: Double = 0.5,
+                    budgetFrac: Double = 0.02, marginX: Int = 2): DataFrame = {
+    val sample = queries.orderBy(col("id")).limit(sampleQueries)
+    val nCells = centroids.count()
+    // one brute pass over the sample feeds BOTH measured laws — the
+    // tops relation is sample×k rows, materialized once (bounded)
+    val tops = Ann.bruteForceTopK(corpus, sample, k)
+      .select(col("query_id"), col("nbr_id")).localCheckpoint(true)
+    val cellNeeded = measuredCellRankFrom(tops, corpus, sample, centroids)
+    // the UNMARGINED law is the structure signal (needing most cells
+    // = the quantizer does not separate); the margin pads the
+    // accepted dial for unsampled queries and caps at the cell count
+    if (cellNeeded > probeFrac * nCells)
+      return Ann.bruteForceTopK(corpus, queries, k)
+    val nprobe = math.min(math.max(1L, marginX.toLong * cellNeeded), nCells).toInt
+    val adcNeeded = measuredProbeRankFrom(tops, corpus, sample, centroids,
+      codebooks, m, ksub, nprobe)
+    val rerank = math.max(16, marginX * adcNeeded)
+    val n = corpus.count()
+    if (rerank <= (budgetFrac * n).toLong)
+      ivfPqTopK(corpus, queries, centroids, codebooks, k, m, ksub, nprobe, rerank)
+    else
+      Ann.bruteForceTopK(corpus, queries, k)
+  }
+
   /** IVF·PQ: coarse-probe `nprobe` cells ([[Ann.assignN]], the a3/a5
     * structure), ADC-rank ONLY the probed cells' members on the
     * compressed index, exact-re-rank the top `rerank`. With rerank

@@ -596,6 +596,36 @@ object CorpusOps {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Fully-measured IVF·PQ auto dispatch: BOTH index dials sized
+    // from sampled laws instead of hand constants — nprobe from the
+    // worst true-answer CELL rank (the coarse-separation law; round
+    // 17), rerank from the worst in-cell ADC rank at that depth (the
+    // a7 law). Either law coming back as a large fraction refuses to
+    // the exact scan. Output exact either way on this fully-sampled
+    // fixture, so a1's brute replay gates whichever arm runs.
+    // probeFrac/budgetFrac=1.0 here so the GATE exercises the
+    // measured-index arm end-to-end (on the isotropic fixture the
+    // cell law measures 8-of-8 — no coarse structure — so the
+    // production probeFrac=0.5 refuses: that regime is PqSpec's
+    // second arm and SPOTCHECK_pq's planted-vs-isotropic evidence).
+    "a8_ivf_pq_auto" -> { (s, d) =>
+      val all = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      val cents = all
+        .select(col("label").as("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x").cast(DoubleType)), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
+      val vecs = all.select(col("id"), col("vec"))
+      val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
+      Pq.ivfPqTopKAuto(vecs, vecs.filter(col("id") < 20), cents, books,
+          k = 5, m = 16, ksub = 64, probeFrac = 1.0, budgetFrac = 1.0)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // ---- text analysis ----
     "t1_text_stats" -> { (s, d) =>
       val doc = t(s, d, "documents")
@@ -2259,6 +2289,12 @@ object CorpusOps {
     // the measured budget, brute fallback) — the same brute replay
     // gates it verbatim
     "a7_pq_auto" -> bruteTopKSql,
+    // a8: the index arm probes ALL cells on this fixture (nprobe
+    // capped at the cell count — the measured cell law says 8-of-8)
+    // with a measured rerank, and the fixture samples every query, so
+    // the output is exactly brute force — the same replay gates both
+    // arms.
+    "a8_ivf_pq_auto" -> bruteTopKSql,
 
     // identical contract to a1: the quantized two-stage search is
     // exact by construction once the rerank margin holds

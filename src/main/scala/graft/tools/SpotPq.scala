@@ -245,6 +245,30 @@ object SpotPq {
       check("pq_planted_fullscan_equals_brute")(pPqRes == pBruteRes,
         f"adc $tpPq%.1f s vs float $tpBrute%.1f s at rerank=$pRerank, identical output")
 
+      // (4) auto-nprobe (a8, round 17): the CELL law separates the
+      // regimes the same way the ADC law does. On the planted corpus
+      // a structured query's true neighbor shares its direction, so
+      // its cell sits at the top of the coarse ranking — the measured
+      // worst cell rank is O(1) of `cells` and the auto picks a small
+      // nprobe; on the isotropic corpus true answers scatter across
+      // most cells and the production probeFrac refuses the index.
+      val pCents = Ann.kmeansCentroids(planted, cells, iters = 2).localCheckpoint(true)
+      val pCellNeeded = Pq.measuredCellRank(planted, pQueries, pCents, k = 1)
+      val pNprobe = math.min(2L * pCellNeeded, cells.toLong).toInt
+      println(s"INFO planted: measured worst cell rank=$pCellNeeded of $cells cells " +
+        s"-> auto nprobe=$pNprobe (2x, capped)")
+      check("pq_autonprobe_planted_accepts")(pCellNeeded <= cells / 2,
+        s"cell law $pCellNeeded of $cells — the quantizer separates the planted corpus")
+      val (autoRes, tAuto) = time(canon(Pq.ivfPqTopKAuto(
+        planted, pQueries, pCents, pBooks, k = 1, m, ksub,
+        sampleQueries = pQueries.count().toInt)))
+      check("pq_autonprobe_planted_exact")(autoRes == pBruteRes,
+        f"fully-sampled auto (nprobe from the cell law) equals brute [$tAuto%.1f s]")
+      val isoCellNeeded = Pq.measuredCellRank(vecs, queries, cents, k)
+      println(s"INFO isotropic: measured worst cell rank=$isoCellNeeded of $cells cells")
+      check("pq_autonprobe_refuses_isotropic")(isoCellNeeded > cells / 2,
+        s"cell law $isoCellNeeded of $cells — production probeFrac=0.5 refuses the index")
+
       println(f"== total ${(System.nanoTime() - tAll) / 1e9}%.0f s, failures=$failures")
       if (failures > 0) sys.exit(1)
     } finally spark.stop()

@@ -155,6 +155,31 @@ final class PqSpec extends SparkTestBase {
     assert(canon(bruteArm) == exact)
   }
 
+  test("auto nprobe: both laws measured; both arms exact; plan proves which ran") {
+    val queries = vecs.filter(col("id") < 20)
+    val cents = Ann.kmeansCentroids(vecs, k = 8, iters = 2).localCheckpoint(true)
+    val exact = canon(Ann.bruteForceTopK(vecs, queries, k = 5))
+    val cellNeeded = Pq.measuredCellRank(vecs, queries, cents, k = 5)
+    info(s"measured worst cell rank on the isotropic fixture: $cellNeeded of 8 cells")
+    assert(cellNeeded >= 1 && cellNeeded <= 8)
+    // generous fractions -> the index arm runs (margined nprobe capped
+    // at the cell count, rerank from the in-cell law) and is exact:
+    // the fixture samples every query
+    val idxArm = Pq.ivfPqTopKAuto(vecs, queries, cents, books, k = 5, M, KSUB,
+      probeFrac = 1.0, budgetFrac = 1.0)
+    assert(idxArm.queryExecution.executedPlan.toString.contains("pqadc"),
+      "generous fractions must dispatch to the IVF-PQ index")
+    assert(canon(idxArm) == exact)
+    // production fractions on the isotropic fixture: the cell law
+    // comes back as most of the cell count (no coarse structure for
+    // the quantizer to exploit) -> the dispatch refuses the index
+    val bruteArm = Pq.ivfPqTopKAuto(vecs, queries, cents, books, k = 5, M, KSUB,
+      probeFrac = 0.5, budgetFrac = 0.02)
+    assert(!bruteArm.queryExecution.executedPlan.toString.contains("pqadc"),
+      "production fractions on a structureless corpus must dispatch to the exact scan")
+    assert(canon(bruteArm) == exact)
+  }
+
   test("saved IVF-PQ index: indexed search equals recompute; append maintains; stage 1 scans no vectors") {
     val queries = vecs.filter(col("id") < 20)
     val cents = Ann.kmeansCentroids(vecs, k = 8, iters = 2).localCheckpoint(true)
