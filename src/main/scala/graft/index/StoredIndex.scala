@@ -1,0 +1,163 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ann.{Ann, Pq}
+import graft.dedup.MinHashLSH
+
+/** One maintenance contract over every persisted near-dup/ANN index
+  * the library ships — MinHash bands (d7), multi-probe hyperplane
+  * sketches (d19), IVF·PQ (a6). Each already persisted a bucketed
+  * catalog table with its own save/append function; a 100 TB
+  * deployment runs ONE maintenance loop, so the shared invariants
+  * live here, spec'd once (`StoredIndexSpec`), instead of once per
+  * index family:
+  *
+  *   - **Frozen parameters.** Everything that determines an index
+  *     row's value is fixed at construction (case-class fields), or —
+  *     for trained state like PQ centroids/codebooks — persisted at
+  *     `build` and READ BACK from the catalog on `append`, so a batch
+  *     can never be encoded against drifted parameters.
+  *   - **append ≡ fresh.** `build(p₁); append(p₂); …; append(pₙ)`
+  *     leaves every table equal (as a bag of rows) to
+  *     `build(p₁ ∪ … ∪ pₙ)`: an existing corpus is signed/encoded
+  *     once, ever, and batch order cannot change what the serving
+  *     scan sees.
+  *   - **Vec-free scan side.** The tables a serving/candidate scan
+  *     reads ([[scanTableNames]]) carry NO raw vector or text column
+  *     — the compressed/sketched representation is the storage
+  *     format, not a projection of it (bands/sketches: (id, band|
+  *     table, bucket); PQ: bit-packed codes).
+  *   - **Bucketed for shuffle-free probes.** Each scan table is
+  *     hash-bucketed on (a prefix of) its candidate-join key, so the
+  *     stored side of every per-batch probe joins without an
+  *     exchange.
+  *
+  * `compact` rewrites each table's current contents in place (same
+  * bucketing, same writer options) — the small-file maintenance step
+  * after many appends; contents are unchanged by contract.
+  */
+trait StoredIndex {
+
+  /** Every catalog table this index owns. */
+  def tableSpecs: Seq[StoredIndex.TableSpec]
+
+  final def tableNames: Seq[String] = tableSpecs.map(_.name)
+
+  /** The subset a serving/candidate scan reads — the tables the
+    * vec-free invariant is asserted on (metadata tables like PQ
+    * centroids/codebooks are broadcast-tiny and exempt).
+    */
+  def scanTableNames: Seq[String]
+
+  /** Build from scratch (overwrite every table). */
+  def build(corpus: DataFrame): Unit
+
+  /** Encode ONE batch against the frozen parameters and append its
+    * rows. Contract: after any build/append sequence, every table
+    * equals the fresh build over the union of the batches.
+    */
+  def append(batch: DataFrame): Unit
+
+  /** Rewrite each table in place — one pass per table, same
+    * bucketing/options — to collapse the small files many appends
+    * leave. Contents unchanged (spec'd).
+    */
+  final def compact(spark: SparkSession): Unit =
+    tableSpecs.foreach { ts =>
+      // eager checkpoint: materializes the rows off the table before
+      // the overwrite drops it (Spark refuses to overwrite a relation
+      // still being read otherwise)
+      val snap = spark.table(ts.name).localCheckpoint(true)
+      val w0 = snap.write.mode("overwrite").format("parquet")
+      val w1 = ts.options.foldLeft(w0) { case (w, (k, v)) => w.option(k, v) }
+      ts.bucketCol.fold(w1)(c => w1.bucketBy(ts.nBuckets, c)).saveAsTable(ts.name)
+    }
+
+  final def drop(spark: SparkSession): Unit =
+    tableNames.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+}
+
+object StoredIndex {
+  /** One owned catalog table: its name, the bucketing that makes the
+    * stored side join shuffle-free (None for unbucketed metadata
+    * tables), and writer options `compact` must preserve.
+    */
+  case class TableSpec(name: String, bucketCol: Option[String], nBuckets: Int,
+                       options: Map[String, String] = Map.empty)
+}
+
+/** d7's persisted MinHash band index under the shared contract:
+  * one table of (id, band, bucket) rows, bucketed on `bucket` (a
+  * prefix of the (band, bucket) candidate key). Batches are signed
+  * with the frozen (numHashes, bands, n) — deterministic xxhash64
+  * seeds, so an appended row equals what a fresh build would write.
+  * Serving path: [[graft.dedup.MinHashLSH.nearDuplicatesIncrementalIndexed]].
+  */
+case class MinHashBandIndex(table: String, idCol: String, textCol: String,
+                            numHashes: Int = 16, bands: Int = 4, n: Int = 1,
+                            nBuckets: Int = 32) extends StoredIndex {
+  override def tableSpecs: Seq[StoredIndex.TableSpec] =
+    Seq(StoredIndex.TableSpec(table, Some("bucket"), nBuckets))
+  override def scanTableNames: Seq[String] = Seq(table)
+  override def build(corpus: DataFrame): Unit =
+    MinHashLSH.saveBandIndex(
+      MinHashLSH.bandIndex(corpus, idCol, textCol, numHashes, bands, n),
+      table, nBuckets, append = false)
+  override def append(batch: DataFrame): Unit =
+    MinHashLSH.saveBandIndex(
+      MinHashLSH.bandIndex(batch, idCol, textCol, numHashes, bands, n),
+      table, nBuckets, append = true)
+}
+
+/** d19's persisted multi-probe hyperplane-sketch index under the
+  * shared contract: one table of (id, table, bucket) widened-emission
+  * rows, bucketed on `bucket`. Sketches are deterministic in the
+  * frozen (dim, planes, tables, seed, probes). Serving path:
+  * [[graft.ann.Ann.cosineNearDupPairsLSHIndexedMP]].
+  */
+case class ProbeSketchIndex(table: String, dim: Int, planes: Int = 6,
+                            nTables: Int = 16, seed: Long = 42L, probes: Int = 2,
+                            nBuckets: Int = 32) extends StoredIndex {
+  override def tableSpecs: Seq[StoredIndex.TableSpec] =
+    Seq(StoredIndex.TableSpec(table, Some("bucket"), nBuckets))
+  override def scanTableNames: Seq[String] = Seq(table)
+  override def build(corpus: DataFrame): Unit =
+    Ann.saveSketchIndex(
+      Ann.probeSketchIndex(corpus, dim, planes, nTables, seed, probes),
+      table, nBuckets, append = false)
+  override def append(batch: DataFrame): Unit =
+    Ann.saveSketchIndex(
+      Ann.probeSketchIndex(batch, dim, planes, nTables, seed, probes),
+      table, nBuckets, append = true)
+}
+
+/** a6's persisted IVF·PQ index under the shared contract: the
+  * vec-free bit-packed codes table (cell-bucketed — the scan side),
+  * the id-bucketed full-vector table the rerank join touches, and
+  * the two broadcast-tiny metadata tables. The trained state
+  * (centroids + codebooks) is supplied ONCE at construction for
+  * `build`; `append` deliberately re-reads both from the CATALOG —
+  * the frozen-parameter invariant is enforced by storage, not by the
+  * caller holding the right DataFrames. Serving path:
+  * [[graft.ann.Pq.ivfPqTopKIndexed]].
+  */
+case class IvfPqIndex(prefix: String, centroids: DataFrame, codebooks: DataFrame,
+                      m: Int, ksub: Int, nBuckets: Int = 32) extends StoredIndex {
+  override def tableSpecs: Seq[StoredIndex.TableSpec] = Seq(
+    StoredIndex.TableSpec(s"${prefix}_centroids", None, nBuckets),
+    StoredIndex.TableSpec(s"${prefix}_books", None, nBuckets),
+    StoredIndex.TableSpec(s"${prefix}_codes", Some("cell"), nBuckets,
+      Map("parquet.writer.version" -> "v2")),
+    StoredIndex.TableSpec(s"${prefix}_vecs", Some("id"), nBuckets))
+  override def scanTableNames: Seq[String] = Seq(s"${prefix}_codes")
+  override def build(corpus: DataFrame): Unit =
+    Pq.saveIvfPqIndex(corpus, centroids, codebooks, prefix, m, ksub, nBuckets)
+  override def append(batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    Pq.saveIvfPqIndex(batch,
+      spark.table(s"${prefix}_centroids"),
+      spark.table(s"${prefix}_books"),
+      prefix, m, ksub, nBuckets, append = true)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ann.{Ann, Pq}
+
+/** The ONE spec for the shared [[StoredIndex]] invariants, run
+  * against all three implementations (d7 MinHash bands, d19 probe
+  * sketches, a6 IVF·PQ): append ≡ fresh at the table level, compact
+  * preserves contents, and the scan side carries no raw vector/text
+  * column. The per-index SERVING equivalences (indexed search equals
+  * recompute) stay in their own suites — this spec pins the
+  * maintenance contract a 100 TB deployment runs one loop of.
+  */
+final class StoredIndexSpec extends SparkTestBase {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+  private lazy val vecs =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Bag-of-rows snapshot with array/binary values normalized to Seqs
+    * (Array[Byte] equality is reference-based in a raw Row.toSeq).
+    */
+  private def snapshot(df: DataFrame): Map[Seq[Any], Int] =
+    df.collect().toSeq
+      .map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      })
+      .groupBy(identity).view.mapValues(_.size).toMap
+
+  private def contract(idx: StoredIndex, p1: DataFrame, p2: DataFrame): Unit = {
+    idx.drop(spark)
+    try {
+      // append ≡ fresh: build(p1) + append(p2) leaves every table equal
+      // (as a bag of rows) to build(p1 ∪ p2)
+      idx.build(p1)
+      idx.append(p2)
+      val appended = idx.tableNames.map(t => t -> snapshot(spark.table(t))).toMap
+      idx.build(p1.unionByName(p2))
+      val fresh = idx.tableNames.map(t => t -> snapshot(spark.table(t))).toMap
+      for (t <- idx.tableNames)
+        assert(appended(t) == fresh(t), s"append != fresh for $t")
+      // compact preserves contents (and keeps the tables readable)
+      idx.compact(spark)
+      for (t <- idx.tableNames)
+        assert(snapshot(spark.table(t)) == fresh(t), s"compact changed $t")
+      // the scan side is representation-only: no raw vector/text column
+      for (t <- idx.scanTableNames; f <- spark.table(t).schema.fieldNames)
+        assert(f != "vec" && f != "text" && f != "embedding",
+          s"scan table $t carries raw column $f")
+    } finally idx.drop(spark)
+  }
+
+  test("MinHash band index (d7) honors the shared contract") {
+    contract(
+      MinHashBandIndex("sidx_bands", "doc_id", "text", nBuckets = 4),
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  test("probe-sketch index (d19) honors the shared contract") {
+    contract(
+      ProbeSketchIndex("sidx_sketch", dim = 64, nBuckets = 4),
+      vecs.filter(col("id") % 5 =!= 0),
+      vecs.filter(col("id") % 5 === 0))
+  }
+
+  test("IVF-PQ index (a6) honors the shared contract; append uses the FROZEN catalog state") {
+    val cents = Ann.kmeansCentroids(vecs, k = 8, iters = 2).localCheckpoint(true)
+    val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
+      .localCheckpoint(true)
+    contract(
+      IvfPqIndex("sidx_pq", cents, books, m = 16, ksub = 64, nBuckets = 4),
+      vecs.filter(col("id") % 5 =!= 0),
+      vecs.filter(col("id") % 5 === 0))
+  }
+}
