@@ -1120,6 +1120,15 @@ object CorpusOps {
     },
 
     // ---- events: batch sessionization (lag + cumulative sum) ----
+    // Boundary rule: an event at EXACTLY gap seconds after its
+    // predecessor stays in the SAME session (`>` starts a new one) —
+    // measured equal to Spark's session_window, which MERGES adjacent
+    // windows (an event whose window starts exactly where the session
+    // ends coalesces into it). Neither oracle could see a drift here
+    // (the fixture has no exact-gap event), so the boundary is pinned
+    // by SessionEquivalenceSpec on a synthetic exact-gap fixture and
+    // the real fixture in one suite — batch islands ≡ streaming
+    // session windows, event-for-event.
     "e1_sessionize" -> { (s, d) =>
       val ev = t(s, d, "events")
       val w  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1236,8 +1245,10 @@ object CorpusOps {
 
     // Streaming session windows (30-min gap), run to completion and
     // gated against the batch gaps-and-islands formulation: Spark's
-    // session_window end = last event + gap, sessions merge iff the
-    // next event arrives strictly within the gap — both reproduced
+    // session_window end = last event + gap, and sessions merge iff
+    // the next event arrives within OR EXACTLY AT the gap (adjacent
+    // windows coalesce — measured in SessionEquivalenceSpec's
+    // boundary fixture; e1's islands `>` rule matches) — reproduced
     // exactly in the DuckDB oracle.
     "s2_stream_sessions" -> { (s, d) =>
       EventsPipeline.runToCompletion(
