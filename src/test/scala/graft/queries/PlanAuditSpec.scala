@@ -53,11 +53,17 @@ final class PlanAuditSpec extends SparkTestBase {
                             // are BAKED into the PqAssign/PqLut
                             // kernels, never joined); the ADC scan
                             // stays an equi-join on cell
-      "a7_pq_auto")         // both dispatch arms are the a1 broadcast
+      "a7_pq_auto",         // both dispatch arms are the a1 broadcast
                             // full-scan shape (query batch broadcast,
                             // corpus never shuffles beyond the codes
                             // exchange) — the measurement pass and
                             // the chosen arm alike
+      "a8_ivf_pq_auto")     // the two measurement passes are a1's and
+                            // a3's own shapes (sample brute scan +
+                            // coarse scoring vs broadcast centroids),
+                            // and the gate's index arm probes a3's
+                            // cell equi-join — the only NLJ sides are
+                            // the broadcast sample/centroid relations
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
@@ -99,10 +105,15 @@ final class PlanAuditSpec extends SparkTestBase {
                    // centroids (cell-count-bounded) and the per-query
                    // probe/lut side (query-batch-sized, the a1
                    // broadcast contract)
-      "a7_pq_auto") // the broadcast keyed aggregate is the sampled
+      "a7_pq_auto", // the broadcast keyed aggregate is the sampled
                     // queries' brute top-k (≤ sample × k rows by
                     // construction — the measurement side of the
                     // dispatch)
+      "a8_ivf_pq_auto") // a7's sampled-tops broadcast plus a6's
+                        // cell-count-bounded centroid aggregate and
+                        // query-batch probe/lut side — all three
+                        // bounded by construction (sample × k, k
+                        // cells, query batch)
 
   test("no broadcast hint on an unbounded aggregate (full registry)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
