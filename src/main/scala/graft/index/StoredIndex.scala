@@ -50,8 +50,34 @@ trait StoredIndex {
     */
   def scanTableNames: Seq[String]
 
-  /** Build from scratch (overwrite every table). */
+  /** Build from scratch (overwrite every table). Implementations call
+    * [[resetStorage]] first, so build is idempotent ACROSS SESSIONS:
+    * a managed-table location left by an aborted write or a previous
+    * session's catalog (whose metastore no longer registers it) would
+    * otherwise fail every future build with LOCATION_ALREADY_EXISTS —
+    * the index owns its storage, so it may reclaim it.
+    */
   def build(corpus: DataFrame): Unit
+
+  /** Drop each owned table AND clear its orphaned warehouse location
+    * (DROP TABLE alone cannot remove a location the current
+    * metastore never registered). Deletion is confined to the
+    * session warehouse directory joined with the owned table names —
+    * nothing an index does not own is touched.
+    */
+  protected final def resetStorage(spark: SparkSession): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    tableSpecs.foreach { ts =>
+      spark.sql(s"DROP TABLE IF EXISTS ${ts.name}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      val loc = new java.io.File(wh, ts.name)
+      if (loc.exists()) rm(loc)
+    }
+  }
 
   /** Encode ONE batch against the frozen parameters and append its
     * rows. Contract: after any build/append sequence, every table
@@ -100,10 +126,12 @@ case class MinHashBandIndex(table: String, idCol: String, textCol: String,
   override def tableSpecs: Seq[StoredIndex.TableSpec] =
     Seq(StoredIndex.TableSpec(table, Some("bucket"), nBuckets))
   override def scanTableNames: Seq[String] = Seq(table)
-  override def build(corpus: DataFrame): Unit =
+  override def build(corpus: DataFrame): Unit = {
+    resetStorage(corpus.sparkSession)
     MinHashLSH.saveBandIndex(
       MinHashLSH.bandIndex(corpus, idCol, textCol, numHashes, bands, n),
       table, nBuckets, append = false)
+  }
   override def append(batch: DataFrame): Unit =
     MinHashLSH.saveBandIndex(
       MinHashLSH.bandIndex(batch, idCol, textCol, numHashes, bands, n),
@@ -122,10 +150,12 @@ case class ProbeSketchIndex(table: String, dim: Int, planes: Int = 6,
   override def tableSpecs: Seq[StoredIndex.TableSpec] =
     Seq(StoredIndex.TableSpec(table, Some("bucket"), nBuckets))
   override def scanTableNames: Seq[String] = Seq(table)
-  override def build(corpus: DataFrame): Unit =
+  override def build(corpus: DataFrame): Unit = {
+    resetStorage(corpus.sparkSession)
     Ann.saveSketchIndex(
       Ann.probeSketchIndex(corpus, dim, planes, nTables, seed, probes),
       table, nBuckets, append = false)
+  }
   override def append(batch: DataFrame): Unit =
     Ann.saveSketchIndex(
       Ann.probeSketchIndex(batch, dim, planes, nTables, seed, probes),
@@ -151,8 +181,10 @@ case class IvfPqIndex(prefix: String, centroids: DataFrame, codebooks: DataFrame
       Map("parquet.writer.version" -> "v2")),
     StoredIndex.TableSpec(s"${prefix}_vecs", Some("id"), nBuckets))
   override def scanTableNames: Seq[String] = Seq(s"${prefix}_codes")
-  override def build(corpus: DataFrame): Unit =
+  override def build(corpus: DataFrame): Unit = {
+    resetStorage(corpus.sparkSession)
     Pq.saveIvfPqIndex(corpus, centroids, codebooks, prefix, m, ksub, nBuckets)
+  }
   override def append(batch: DataFrame): Unit = {
     val spark = batch.sparkSession
     Pq.saveIvfPqIndex(batch,

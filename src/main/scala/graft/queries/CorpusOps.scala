@@ -626,6 +626,37 @@ object CorpusOps {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // IVF·PQ served from the STORED index (round 17): build the
+    // packed index in-query through the unified StoredIndex contract
+    // (vec-free, NORM-free codes table — 6-bit-packed binary, the
+    // on-disk 20.5× layout), then answer the query batch from it with
+    // the PqAdcPacked kernel and codes-reconstructed norms. This puts
+    // the PACKED serving path — pack, unpack, recon-norm ranking,
+    // bucketed probe join, rerank-only vector access — under the
+    // DuckDB gate end-to-end, not just the spec: with the measured
+    // rerank budget (TunePq neededIvfRecon=26 → 96 is 3.7×) the
+    // output equals exact IVF over the same cells, so a6's replay
+    // oracle gates it verbatim.
+    "a9_ivf_pq_indexed" -> { (s, d) =>
+      val all = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      val cents = all
+        .select(col("label").as("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x").cast(DoubleType)), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
+      val vecs = all.select(col("id"), col("vec"))
+      val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
+      graft.index.IvfPqIndex("a9srv_idx", cents, books, m = 16, ksub = 64,
+        nBuckets = 4).build(vecs)
+      Pq.ivfPqTopKIndexed(s, "a9srv_idx", vecs.filter(col("id") < 20),
+          k = 5, m = 16, ksub = 64, nprobe = 2, rerank = 96)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // ---- text analysis ----
     "t1_text_stats" -> { (s, d) =>
       val doc = t(s, d, "documents")
@@ -2420,6 +2451,10 @@ object CorpusOps {
     // gates the composition — the oracle verifies the coarse index
     // AND that compression changed nothing.
     "a6_ivf_pq" -> ivfReplaySql,
+    // a9: the stored-packed-index serving path re-ranks exactly within
+    // probed cells (measured budget, PqSpec), so the same full IVF
+    // replay gates it — compression AND storage must change nothing.
+    "a9_ivf_pq_indexed" -> ivfReplaySql,
 
     "t1_text_stats" ->
       """SELECT doc_id,

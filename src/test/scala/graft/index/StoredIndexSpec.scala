@@ -71,6 +71,26 @@ final class StoredIndexSpec extends SparkTestBase {
       vecs.filter(col("id") % 5 === 0))
   }
 
+  test("build reclaims an orphaned warehouse location (cross-session idempotence)") {
+    // the a9 gate found this in the wild: session A plans/builds the
+    // index (location created), session B's fresh metastore does not
+    // register the table, so saveAsTable is a CREATE that fails with
+    // LOCATION_ALREADY_EXISTS — every future build bricked until
+    // someone hand-deletes the directory. build() reclaims its own
+    // storage instead.
+    val idx = ProbeSketchIndex("sidx_orphan", dim = 64, nBuckets = 2)
+    idx.drop(spark)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, "sidx_orphan/_temporary/0")
+    assert(loc.mkdirs() || loc.isDirectory)
+    try {
+      idx.build(vecs.filter(col("id") < 50))
+      assert(spark.table("sidx_orphan").count() > 0)
+    } finally {
+      idx.drop(spark)
+    }
+  }
+
   test("IVF-PQ index (a6) honors the shared contract; append uses the FROZEN catalog state") {
     val cents = Ann.kmeansCentroids(vecs, k = 8, iters = 2).localCheckpoint(true)
     val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)

@@ -58,12 +58,18 @@ final class PlanAuditSpec extends SparkTestBase {
                             // corpus never shuffles beyond the codes
                             // exchange) — the measurement pass and
                             // the chosen arm alike
-      "a8_ivf_pq_auto")     // the two measurement passes are a1's and
+      "a8_ivf_pq_auto",     // the two measurement passes are a1's and
                             // a3's own shapes (sample brute scan +
                             // coarse scoring vs broadcast centroids),
                             // and the gate's index arm probes a3's
                             // cell equi-join — the only NLJ sides are
                             // the broadcast sample/centroid relations
+      "a9_ivf_pq_indexed")  // the served plan's only non-equi product
+                            // is the query batch's coarse assignment
+                            // against the broadcast centroid table
+                            // (a3's shape); the codes scan joins
+                            // equi-keyed on cell, vectors enter only
+                            // through the rerank equi-join
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
@@ -109,11 +115,14 @@ final class PlanAuditSpec extends SparkTestBase {
                     // queries' brute top-k (≤ sample × k rows by
                     // construction — the measurement side of the
                     // dispatch)
-      "a8_ivf_pq_auto") // a7's sampled-tops broadcast plus a6's
+      "a8_ivf_pq_auto", // a7's sampled-tops broadcast plus a6's
                         // cell-count-bounded centroid aggregate and
                         // query-batch probe/lut side — all three
                         // bounded by construction (sample × k, k
                         // cells, query batch)
+      "a9_ivf_pq_indexed") // a6's bounded sides: the cell-count-keyed
+                           // centroid aggregate (build) and the
+                           // query-batch probe/lut side (serve)
 
   test("no broadcast hint on an unbounded aggregate (full registry)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
