@@ -143,6 +143,25 @@ object Bench {
       StandardCharsets.UTF_8).split(" ")(i).toDouble
     catch { case NonFatal(_) => -1.0 }
 
+  /** (steal, total) CPU jiffies from /proc/stat's aggregate line, or
+    * (-1, -1) where unavailable. Round-17 forensics: three
+    * consecutive full-suite runs degraded 102 → 117 → 132 s on
+    * identical code while every in-guest tag was clean — loadavg
+    * CANNOT see hypervisor steal (a noisy co-tenant VM taxes every
+    * timing while the guest looks idle), so the artifact now records
+    * the steal share measured across its own run window. A non-tiny
+    * `steal_pct` is the reader's signal that the run is host-taxed
+    * in a way no in-guest protocol could have avoided.
+    */
+  def cpuStealTotal(): (Long, Long) =
+    try {
+      val f = new String(Files.readAllBytes(Paths.get("/proc/stat")),
+        StandardCharsets.UTF_8).linesIterator.next().trim.split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal guest guest_nice
+      val vals = f.drop(1).map(_.toLong)
+      (if (vals.length > 7) vals(7) else 0L, vals.sum)
+    } catch { case NonFatal(_) => (-1L, -1L) }
+
   /** The idle-gate predicate: a run may not start its first timing
     * while the 1-MIN average shows live contention OR the 15-MIN
     * average shows the host still draining recent heavy work (the
@@ -188,6 +207,7 @@ object Bench {
         f"bench: waited $waited s; load now 1m=${loadAvg1m()}%.1f 15m=${loadAvg15m()}%.1f")
     val loadStart = loadAvg1m()
     val load15Start = loadAvg15m()
+    val (stealStart, cpuTotalStart) = cpuStealTotal()
     if (loadStart > 4.0)
       System.err.println(f"bench: WARNING host load $loadStart%.1f at start — " +
         "timings will read high; check for stray JVMs (ps aux --sort=-%cpu)")
@@ -429,8 +449,14 @@ object Bench {
       if (loadStart < 0 && le < 0) ""
       else f""","load":[$loadStart%.1f,$le%.1f],"load15":[$load15Start%.1f,$l15e%.1f]"""
     }
+    // hypervisor steal share across the run window (see cpuStealTotal)
+    val stealTag = {
+      val (se, te) = cpuStealTotal()
+      if (stealStart < 0 || se < 0 || te <= cpuTotalStart) ""
+      else f""","steal_pct":${100.0 * (se - stealStart) / (te - cpuTotalStart)}%.2f"""
+    }
     def mkLine(qs: String, nrerun: String): String =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.length},"queries":$qs$errors$nrerun$loadTag,"sf":$sf}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","nq":${results.length},"queries":$qs$errors$nrerun$loadTag$stealTag,"sf":$sf}"""
     // errored queries always make the headline (a -1 the driver can
     // see beats a silent omission); then flagships; then the rest of
     // the registry family-interleaved so every family surfaces its

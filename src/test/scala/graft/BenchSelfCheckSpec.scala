@@ -36,6 +36,15 @@ final class BenchSelfCheckSpec extends AnyFunSuite {
     assert(Bench.parsePriorQueries(line)("q1_pricing_summary") == 0.493)
   }
 
+  test("cpuStealTotal reads /proc/stat and the steal tag never parses as a prior") {
+    val (steal, total) = Bench.cpuStealTotal()
+    assert(steal >= 0 && total > 0 && steal <= total)
+    // the tag rides along in prior parsing like value/nq — harmless
+    // (never looked up by a query name), but must not explode the parse
+    val line = """{"queries":{"q1_pricing_summary":0.49},"steal_pct":4.25,"sf":0.1}"""
+    assert(Bench.parsePriorQueries(line)("q1_pricing_summary") == 0.49)
+  }
+
   test("idle gate blocks on EITHER load window (the r16 15-min lesson)") {
     assert(Bench.loadAvg15m() >= 0.0)
     // the two adjudicated contaminated shapes from round 16: a struck
