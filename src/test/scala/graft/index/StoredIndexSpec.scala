@@ -71,6 +71,29 @@ final class StoredIndexSpec extends SparkTestBase {
       vecs.filter(col("id") % 5 === 0))
   }
 
+  test("compact actually collapses the small files appends leave") {
+    // the content-preservation half is in contract(); this is the
+    // point of compact — N appends leave O(N × buckets) part files,
+    // one rewrite pass collapses them back to O(buckets)
+    val idx = ProbeSketchIndex("sidx_compact", dim = 64, nBuckets = 2)
+    idx.drop(spark)
+    def partFiles(t: String): Int = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Option(new java.io.File(wh, t).listFiles())
+        .map(_.count(_.getName.startsWith("part-"))).getOrElse(0)
+    }
+    try {
+      idx.build(vecs.filter(col("id") % 4 === 0))
+      (1 to 3).foreach(r => idx.append(vecs.filter(col("id") % 4 === r)))
+      val before = partFiles("sidx_compact")
+      val rows = snapshot(spark.table("sidx_compact"))
+      idx.compact(spark)
+      val after = partFiles("sidx_compact")
+      assert(after < before, s"compact did not reduce files: $before -> $after")
+      assert(snapshot(spark.table("sidx_compact")) == rows)
+    } finally idx.drop(spark)
+  }
+
   test("build reclaims an orphaned warehouse location (cross-session idempotence)") {
     // the a9 gate found this in the wild: session A plans/builds the
     // index (location created), session B's fresh metastore does not
