@@ -571,6 +571,129 @@ object Pq {
       vecs, queries, k)
   }
 
+  /** [[measuredProbeRankFrom]] evaluated against the PERSISTED index
+    * with the exact ranking [[ivfPqTopKIndexed]] serves with — packed
+    * codes, reconstructed norms, the stored tables themselves — so a
+    * law stored next to the index budgets precisely the scan that
+    * will consume it, not an in-memory approximation of it.
+    */
+  private[ann] def measuredIndexRankFrom(spark: SparkSession, tablePrefix: String,
+                                         tops: DataFrame, sample: DataFrame,
+                                         m: Int, ksub: Int, nprobe: Int): Int = {
+    val centroids = spark.table(s"${tablePrefix}_centroids")
+    val b = collectBooks(spark.table(s"${tablePrefix}_books"), m, ksub)
+    val cn2 = typedLit(PqCodec.codeNorms(b.arr, b.dsub).toSeq)
+    val cIdx = spark.table(s"${tablePrefix}_codes")
+      .select(col("cell"), col("id").as("nbr_id"), col("codes"))
+    val qIdx = Ann.assignN(sample, centroids, nprobe, "query_id", "qvec", "qnorm")
+      .select(col("query_id"), col("cell"),
+        PqLut(col("qvec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("lut"))
+    val row = cIdx.join(broadcast(qIdx), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("qsim", PqAdcPacked(col("codes"), col("lut"), b.m, b.ksub) /
+        sqrt(greatest(PqAdcPacked(col("codes"), cn2, b.m, b.ksub), lit(1e-12))))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("qsim").desc, col("nbr_id").asc)))
+      .join(broadcast(tops), Seq("query_id", "nbr_id"))
+      .agg(max(col("r"))).head()
+    if (row.isNullAt(0)) 0 else row.getInt(0)
+  }
+
+  /** Measure BOTH dispatch laws against a persisted [[saveIvfPqIndex]]
+    * index and store them beside it as `<prefix>_laws` (one row:
+    * measure_k, sample_n, cell_rank, adc_rank, n_cells, corpus_n) —
+    * the production shape of a8's recipe: laws are measured ONCE, at
+    * build/tune time, and serving ([[ivfPqTopKIndexedAuto]]) is pure
+    * plan construction plus two tiny metadata reads. The sample is
+    * the `sampleN` smallest-id stored vectors self-queried at
+    * `k = measureK`; the ADC law is measured over the STORED packed
+    * tables with the recon-norm ranking serving actually uses
+    * ([[measuredIndexRankFrom]]), not an in-memory stand-in.
+    *
+    * Lifecycle note — why this is NOT part of the [[graft.index
+    * .StoredIndex]] contract: the laws are a TUNING artifact of the
+    * corpus distribution at measure time, like a FAISS user's tuned
+    * nprobe. `append` batches do not invalidate them gradually and a
+    * fresh-vs-append rebuild may legitimately sample differently, so
+    * they live outside the append-≡-fresh invariant; re-run this
+    * after significant corpus growth or drift.
+    */
+  def saveIvfPqLaws(spark: SparkSession, tablePrefix: String, measureK: Int,
+                    m: Int, ksub: Int, sampleN: Int = 32, marginX: Int = 2): Unit = {
+    val corpus = spark.table(s"${tablePrefix}_vecs").select(col("id"), col("vec"))
+    val centroids = spark.table(s"${tablePrefix}_centroids")
+    val sample = corpus.orderBy(col("id")).limit(sampleN)
+    val tops = Ann.bruteForceTopK(corpus, sample, measureK)
+      .select(col("query_id"), col("nbr_id")).localCheckpoint(true)
+    val nCells = centroids.count()
+    val cellNeeded = measuredCellRankFrom(tops, corpus, sample, centroids)
+    val nprobe = math.min(math.max(1L, marginX.toLong * cellNeeded), nCells).toInt
+    val adcNeeded = measuredIndexRankFrom(spark, tablePrefix, tops, sample,
+      m, ksub, nprobe)
+    val n = corpus.count()
+    // reclaim a possibly-orphaned location first (the StoredIndex
+    // .resetStorage rationale: a previous session may have left the
+    // directory without a metastore entry, and saveAsTable would then
+    // fail the CREATE with LOCATION_ALREADY_EXISTS)
+    spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_laws")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    val lawsLoc = new java.io.File(wh, s"${tablePrefix}_laws")
+    if (lawsLoc.exists()) rm(lawsLoc)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(measureK, sampleN, cellNeeded,
+        adcNeeded, nCells, n)), 1),
+      StructType(Seq(
+        StructField("measure_k", IntegerType, nullable = false),
+        StructField("sample_n", IntegerType, nullable = false),
+        StructField("cell_rank", IntegerType, nullable = false),
+        StructField("adc_rank", IntegerType, nullable = false),
+        StructField("n_cells", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("corpus_n", org.apache.spark.sql.types.LongType, nullable = false))))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${tablePrefix}_laws")
+  }
+
+  /** Serve from the stored index with the STORED laws — a8's dispatch
+    * with ZERO serve-time measurement: read the one-row `<prefix>_laws`
+    * table, refuse to the exact scan (over `<prefix>_vecs`) when the
+    * build-time law says the quantizer does not separate this corpus
+    * (`cell_rank > probeFrac · n_cells`) or the margined rerank
+    * exceeds `budgetFrac` of the corpus, else run the packed probe at
+    * the stored dials. Exactness stance: the laws were measured on
+    * the build-time sample at `measure_k`; serving a sampled vector
+    * at `k ≤ measure_k` is exact by construction, anything else is
+    * margin-covered (the a7/a8 contract). `k > measure_k` refuses
+    * loudly — a stored law cannot budget a deeper search than it
+    * measured.
+    */
+  def ivfPqTopKIndexedAuto(spark: SparkSession, tablePrefix: String,
+                           queries: DataFrame, k: Int, m: Int, ksub: Int,
+                           probeFrac: Double = 0.5, budgetFrac: Double = 0.02,
+                           marginX: Int = 2): DataFrame = {
+    val law = spark.table(s"${tablePrefix}_laws").head()
+    val measureK = law.getAs[Int]("measure_k")
+    require(k <= measureK,
+      s"stored laws were measured at k=$measureK and cannot budget k=$k; " +
+        s"re-run saveIvfPqLaws(measureK >= $k)")
+    val cellRank = law.getAs[Int]("cell_rank")
+    val adcRank = law.getAs[Int]("adc_rank")
+    val nCells = law.getAs[Long]("n_cells")
+    val corpusN = law.getAs[Long]("corpus_n")
+    val rerank = math.max(16, marginX * adcRank)
+    if (cellRank > probeFrac * nCells || rerank > (budgetFrac * corpusN).toLong)
+      Ann.bruteForceTopK(
+        spark.table(s"${tablePrefix}_vecs").select(col("id"), col("vec")), queries, k)
+    else {
+      val nprobe = math.min(math.max(1L, marginX.toLong * cellRank), nCells).toInt
+      ivfPqTopKIndexed(spark, tablePrefix, queries, k, m, ksub, nprobe, rerank)
+    }
+  }
+
   // stage 1: ADC-score the (broadcast query × candidate) product —
   // equi-keyed on `joinKeys` when probing cells, the full product
   // when scanning — and keep the top `rerank` ids per query with the

@@ -657,6 +657,39 @@ object CorpusOps {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Stored-law serving (round 17): a8's measured dispatch with ZERO
+    // serve-time measurement. The index is built once, BOTH laws are
+    // measured once against the persisted packed tables (with the
+    // recon-norm ranking serving actually uses) and stored as a
+    // one-row <prefix>_laws table; the serve call reads the law and
+    // either probes at the stored dials or refuses to the exact scan
+    // over the stored vecs table. probeFrac/budgetFrac=1.0 exercises
+    // the stored-dial probe arm (nprobe caps at the cell count on
+    // this structureless fixture — the isotropic cell law is 8-of-8;
+    // PqSpec pins the production refuse arm); every query is inside
+    // the 32-vector law sample, so the serve is exact and a1's brute
+    // replay gates it.
+    "a10_ivf_pq_served" -> { (s, d) =>
+      val all = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      val cents = all
+        .select(col("label").as("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x").cast(DoubleType)), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
+      val vecs = all.select(col("id"), col("vec"))
+      val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
+      graft.index.IvfPqIndex("a10srv_idx", cents, books, m = 16, ksub = 64,
+        nBuckets = 4).build(vecs)
+      Pq.saveIvfPqLaws(s, "a10srv_idx", measureK = 5, m = 16, ksub = 64, sampleN = 32)
+      Pq.ivfPqTopKIndexedAuto(s, "a10srv_idx", vecs.filter(col("id") < 20),
+          k = 5, m = 16, ksub = 64, probeFrac = 1.0, budgetFrac = 1.0)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // ---- text analysis ----
     "t1_text_stats" -> { (s, d) =>
       val doc = t(s, d, "documents")
@@ -2337,6 +2370,10 @@ object CorpusOps {
     // the output is exactly brute force — the same replay gates both
     // arms.
     "a8_ivf_pq_auto" -> bruteTopKSql,
+    // a10: the stored-law probe arm runs at nprobe = cell count on
+    // this fixture with a margined stored rerank, and every query is
+    // law-sampled — exactly brute force, same replay.
+    "a10_ivf_pq_served" -> bruteTopKSql,
 
     // identical contract to a1: the quantized two-stage search is
     // exact by construction once the rerank margin holds

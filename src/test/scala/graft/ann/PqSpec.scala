@@ -190,7 +190,7 @@ final class PqSpec extends SparkTestBase {
     // that a flat listFiles().delete() silently skips, leaving the
     // location non-empty and failing the saveAsTable(overwrite) with
     // an unrelated-looking error
-    for (s <- Seq("centroids", "books", "codes", "vecs")) {
+    for (s <- Seq("centroids", "books", "codes", "vecs", "laws")) {
       spark.sql(s"DROP TABLE IF EXISTS pqspec_idx_$s")
       deleteRecursively(new java.io.File(s"spark-warehouse/pqspec_idx_$s"))
     }
@@ -221,8 +221,31 @@ final class PqSpec extends SparkTestBase {
     // on its scan side (vecs enters only via the rerank join)
     val plan = indexed.queryExecution.executedPlan.toString
     assert(plan.contains("pqspec_idx_codes"))
+    // stored-law serving: both dispatch laws measured ONCE against the
+    // persisted tables (with the packed recon-norm ranking serving
+    // uses) and persisted as <prefix>_laws; serving reads the one-row
+    // law and either probes at the stored dials or refuses to brute —
+    // zero measurement at serve time
+    Pq.saveIvfPqLaws(spark, "pqspec_idx", measureK = 5, M, KSUB, sampleN = 32)
+    val served = Pq.ivfPqTopKIndexedAuto(spark, "pqspec_idx", queries,
+      k = 5, M, KSUB, probeFrac = 1.0, budgetFrac = 1.0)
+    assert(served.queryExecution.executedPlan.toString.contains("pqadcpacked"),
+      "generous fractions must serve from the packed index at the stored dials")
+    val exactFull = canon(Ann.bruteForceTopK(vecs, queries, k = 5))
+    assert(canon(served) == exactFull) // every query is inside the law sample
+    // production fractions on the isotropic corpus: the STORED cell
+    // law (8-of-8) refuses and the serve is the exact scan over the
+    // stored vecs table
+    val refused = Pq.ivfPqTopKIndexedAuto(spark, "pqspec_idx", queries,
+      k = 5, M, KSUB, probeFrac = 0.5, budgetFrac = 0.02)
+    assert(!refused.queryExecution.executedPlan.toString.contains("pqadc"))
+    assert(canon(refused) == exactFull)
+    // a stored law cannot budget a deeper search than it measured
+    intercept[IllegalArgumentException] {
+      Pq.ivfPqTopKIndexedAuto(spark, "pqspec_idx", queries, k = 6, M, KSUB)
+    }
     } finally {
-      for (s <- Seq("centroids", "books", "codes", "vecs"))
+      for (s <- Seq("centroids", "books", "codes", "vecs", "laws"))
         spark.sql(s"DROP TABLE IF EXISTS pqspec_idx_$s")
     }
   }

@@ -64,12 +64,16 @@ final class PlanAuditSpec extends SparkTestBase {
                             // and the gate's index arm probes a3's
                             // cell equi-join — the only NLJ sides are
                             // the broadcast sample/centroid relations
-      "a9_ivf_pq_indexed")  // the served plan's only non-equi product
+      "a9_ivf_pq_indexed",  // the served plan's only non-equi product
                             // is the query batch's coarse assignment
                             // against the broadcast centroid table
                             // (a3's shape); the codes scan joins
                             // equi-keyed on cell, vectors enter only
                             // through the rerank equi-join
+      "a10_ivf_pq_served")  // a9's served shapes plus the build-time
+                            // law measurement (a1's sample brute scan
+                            // + a3's coarse scoring) — all broadcast
+                            // sides are the sample/centroid relations
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
@@ -120,9 +124,12 @@ final class PlanAuditSpec extends SparkTestBase {
                         // query-batch probe/lut side — all three
                         // bounded by construction (sample × k, k
                         // cells, query batch)
-      "a9_ivf_pq_indexed") // a6's bounded sides: the cell-count-keyed
+      "a9_ivf_pq_indexed", // a6's bounded sides: the cell-count-keyed
                            // centroid aggregate (build) and the
                            // query-batch probe/lut side (serve)
+      "a10_ivf_pq_served") // a9's bounded sides plus a7's sampled-tops
+                           // broadcast (the law measurement, sample×k
+                           // rows by construction)
 
   test("no broadcast hint on an unbounded aggregate (full registry)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
