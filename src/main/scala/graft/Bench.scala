@@ -158,8 +158,12 @@ object Bench {
       val f = new String(Files.readAllBytes(Paths.get("/proc/stat")),
         StandardCharsets.UTF_8).linesIterator.next().trim.split("\\s+")
       // cpu user nice system idle iowait irq softirq steal guest guest_nice
+      // — guest/guest_nice are already accounted inside user/nice, so
+      // the total sums only the first 8 fields (user..steal); summing
+      // all 10 would double-count guest jiffies and underreport
+      // steal_pct on hosts running guests
       val vals = f.drop(1).map(_.toLong)
-      (if (vals.length > 7) vals(7) else 0L, vals.sum)
+      (if (vals.length > 7) vals(7) else 0L, vals.take(8).sum)
     } catch { case NonFatal(_) => (-1L, -1L) }
 
   /** The idle-gate predicate: a run may not start its first timing

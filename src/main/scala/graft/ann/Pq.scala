@@ -530,7 +530,24 @@ object Pq {
       .write.mode(if (append) "append" else "overwrite")
       .bucketBy(nBuckets, "id").format("parquet")
       .saveAsTable(s"${tablePrefix}_vecs")
+    // fingerprint each fresh BUILD (appends keep it: laws stay valid
+    // under append by the a7/a8 margin contract, but are invalid the
+    // moment the index they measured is rebuilt — [[saveIvfPqLaws]]
+    // stores this id and [[ivfPqTopKIndexedAuto]] refuses on mismatch)
+    if (!append)
+      corpus.sparkSession.sql(
+        s"ALTER TABLE ${tablePrefix}_codes SET TBLPROPERTIES " +
+          s"('graft.build_id' = '${java.util.UUID.randomUUID()}')")
   }
+
+  /** The build fingerprint stamped by [[saveIvfPqIndex]] on the codes
+    * table — a catalog-metadata read, no scan ("" for an index
+    * predating the stamp).
+    */
+  private def codesBuildId(spark: SparkSession, tablePrefix: String): String =
+    spark.sql(s"SHOW TBLPROPERTIES ${tablePrefix}_codes")
+      .filter(col("key") === "graft.build_id")
+      .collect().headOption.map(_.getString(1)).getOrElse("")
 
   /** [[ivfPqTopK]] against a PRECOMPUTED [[saveIvfPqIndex]] index:
     * stage 1 reads ONLY `<prefix>_codes` — no vector column exists in
@@ -602,22 +619,31 @@ object Pq {
 
   /** Measure BOTH dispatch laws against a persisted [[saveIvfPqIndex]]
     * index and store them beside it as `<prefix>_laws` (one row:
-    * measure_k, sample_n, cell_rank, adc_rank, n_cells, corpus_n) —
-    * the production shape of a8's recipe: laws are measured ONCE, at
-    * build/tune time, and serving ([[ivfPqTopKIndexedAuto]]) is pure
-    * plan construction plus two tiny metadata reads. The sample is
-    * the `sampleN` smallest-id stored vectors self-queried at
-    * `k = measureK`; the ADC law is measured over the STORED packed
-    * tables with the recon-norm ranking serving actually uses
-    * ([[measuredIndexRankFrom]]), not an in-memory stand-in.
+    * measure_k, sample_n, cell_rank, adc_rank, nprobe, n_cells,
+    * corpus_n, build_id) — the production shape of a8's recipe: laws
+    * are measured ONCE, at build/tune time, and serving
+    * ([[ivfPqTopKIndexedAuto]]) is pure plan construction plus two
+    * tiny metadata reads. The sample is the `sampleN` smallest-id
+    * stored vectors self-queried at `k = measureK`; the ADC law is
+    * measured over the STORED packed tables with the recon-norm
+    * ranking serving actually uses ([[measuredIndexRankFrom]]), not
+    * an in-memory stand-in. The row also persists the DIAL the ADC
+    * law was measured at (`nprobe = marginX · cell_rank`, capped) —
+    * serving probes at exactly that stored dial, so a serve-time
+    * margin choice can never probe cells the stored ADC law did not
+    * cover — and the codes table's build fingerprint, so laws
+    * measured against an index that was since REBUILT refuse loudly
+    * instead of silently serving stale dials.
     *
     * Lifecycle note — why this is NOT part of the [[graft.index
-    * .StoredIndex]] contract: the laws are a TUNING artifact of the
-    * corpus distribution at measure time, like a FAISS user's tuned
-    * nprobe. `append` batches do not invalidate them gradually and a
-    * fresh-vs-append rebuild may legitimately sample differently, so
-    * they live outside the append-≡-fresh invariant; re-run this
-    * after significant corpus growth or drift.
+    * .StoredIndex]] build/append contract: the laws are a TUNING
+    * artifact of the corpus distribution at measure time, like a
+    * FAISS user's tuned nprobe. `append` batches do not invalidate
+    * them gradually (the margin covers drift; re-run after
+    * significant growth) but a REBUILD invalidates them completely —
+    * [[graft.index.IvfPqIndex]] therefore owns `<prefix>_laws` as a
+    * derived table (dropped on build/drop), and the fingerprint
+    * check backstops any laws table that escapes that lifecycle.
     */
   def saveIvfPqLaws(spark: SparkSession, tablePrefix: String, measureK: Int,
                     m: Int, ksub: Int, sampleN: Int = 32, marginX: Int = 2): Unit = {
@@ -646,14 +672,16 @@ object Pq {
     if (lawsLoc.exists()) rm(lawsLoc)
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(measureK, sampleN, cellNeeded,
-        adcNeeded, nCells, n)), 1),
+        adcNeeded, nprobe, nCells, n, codesBuildId(spark, tablePrefix))), 1),
       StructType(Seq(
         StructField("measure_k", IntegerType, nullable = false),
         StructField("sample_n", IntegerType, nullable = false),
         StructField("cell_rank", IntegerType, nullable = false),
         StructField("adc_rank", IntegerType, nullable = false),
+        StructField("nprobe", IntegerType, nullable = false),
         StructField("n_cells", org.apache.spark.sql.types.LongType, nullable = false),
-        StructField("corpus_n", org.apache.spark.sql.types.LongType, nullable = false))))
+        StructField("corpus_n", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("build_id", org.apache.spark.sql.types.StringType, nullable = false))))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${tablePrefix}_laws")
   }
@@ -669,29 +697,39 @@ object Pq {
     * at `k ≤ measure_k` is exact by construction, anything else is
     * margin-covered (the a7/a8 contract). `k > measure_k` refuses
     * loudly — a stored law cannot budget a deeper search than it
-    * measured.
+    * measured — and so does a laws row whose build fingerprint no
+    * longer matches the codes table (the index was rebuilt since the
+    * laws were measured; the dials describe a corpus that no longer
+    * exists). The probe runs at the STORED `nprobe` — the dial the
+    * ADC law was measured at — so `marginX` here margins only the
+    * rerank depth, never the probe width.
     */
   def ivfPqTopKIndexedAuto(spark: SparkSession, tablePrefix: String,
                            queries: DataFrame, k: Int, m: Int, ksub: Int,
                            probeFrac: Double = 0.5, budgetFrac: Double = 0.02,
                            marginX: Int = 2): DataFrame = {
     val law = spark.table(s"${tablePrefix}_laws").head()
+    val storedBuild = law.getAs[String]("build_id")
+    val liveBuild = codesBuildId(spark, tablePrefix)
+    require(storedBuild == liveBuild,
+      s"stored laws were measured against ${tablePrefix}_codes build " +
+        s"'$storedBuild' but the live table is build '$liveBuild' — the index " +
+        "was rebuilt since; re-run saveIvfPqLaws")
     val measureK = law.getAs[Int]("measure_k")
     require(k <= measureK,
       s"stored laws were measured at k=$measureK and cannot budget k=$k; " +
         s"re-run saveIvfPqLaws(measureK >= $k)")
     val cellRank = law.getAs[Int]("cell_rank")
     val adcRank = law.getAs[Int]("adc_rank")
+    val nprobe = law.getAs[Int]("nprobe")
     val nCells = law.getAs[Long]("n_cells")
     val corpusN = law.getAs[Long]("corpus_n")
     val rerank = math.max(16, marginX * adcRank)
     if (cellRank > probeFrac * nCells || rerank > (budgetFrac * corpusN).toLong)
       Ann.bruteForceTopK(
         spark.table(s"${tablePrefix}_vecs").select(col("id"), col("vec")), queries, k)
-    else {
-      val nprobe = math.min(math.max(1L, marginX.toLong * cellRank), nCells).toInt
+    else
       ivfPqTopKIndexed(spark, tablePrefix, queries, k, m, ksub, nprobe, rerank)
-    }
   }
 
   // stage 1: ADC-score the (broadcast query × candidate) product —

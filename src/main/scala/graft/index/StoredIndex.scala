@@ -50,6 +50,15 @@ trait StoredIndex {
     */
   def scanTableNames: Seq[String]
 
+  /** Tables the index OWNS but does not write at build — derived
+    * tuning artifacts measured against a specific build (PQ's
+    * `<prefix>_laws`). They are invalid the moment the build they
+    * measured is gone, so [[resetStorage]] and [[drop]] reclaim them
+    * alongside the built tables; `compact` and the append-≡-fresh
+    * contract skip them (they may legitimately not exist).
+    */
+  def derivedTableNames: Seq[String] = Nil
+
   /** Build from scratch (overwrite every table). Implementations call
     * [[resetStorage]] first, so build is idempotent ACROSS SESSIONS:
     * a managed-table location left by an aborted write or a previous
@@ -68,13 +77,13 @@ trait StoredIndex {
   protected final def resetStorage(spark: SparkSession): Unit = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
-    tableSpecs.foreach { ts =>
-      spark.sql(s"DROP TABLE IF EXISTS ${ts.name}")
+    (tableNames ++ derivedTableNames).foreach { name =>
+      spark.sql(s"DROP TABLE IF EXISTS $name")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
       }
-      val loc = new java.io.File(wh, ts.name)
+      val loc = new java.io.File(wh, name)
       if (loc.exists()) rm(loc)
     }
   }
@@ -101,7 +110,8 @@ trait StoredIndex {
     }
 
   final def drop(spark: SparkSession): Unit =
-    tableNames.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    (tableNames ++ derivedTableNames)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 }
 
 object StoredIndex {
@@ -181,6 +191,10 @@ case class IvfPqIndex(prefix: String, centroids: DataFrame, codebooks: DataFrame
       Map("parquet.writer.version" -> "v2")),
     StoredIndex.TableSpec(s"${prefix}_vecs", Some("id"), nBuckets))
   override def scanTableNames: Seq[String] = Seq(s"${prefix}_codes")
+  // the stored-law tuning row (graft.ann.Pq.saveIvfPqLaws) measures a
+  // SPECIFIC build; a rebuild on a different corpus would otherwise
+  // leave it behind to silently serve stale dials
+  override def derivedTableNames: Seq[String] = Seq(s"${prefix}_laws")
   override def build(corpus: DataFrame): Unit = {
     resetStorage(corpus.sparkSession)
     Pq.saveIvfPqIndex(corpus, centroids, codebooks, prefix, m, ksub, nBuckets)

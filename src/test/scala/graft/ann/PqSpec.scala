@@ -244,6 +244,24 @@ final class PqSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Pq.ivfPqTopKIndexedAuto(spark, "pqspec_idx", queries, k = 6, M, KSUB)
     }
+    // the laws row persists the dial the ADC law was measured at and
+    // the build it was measured against
+    val lawsSchema = spark.table("pqspec_idx_laws").schema.fieldNames
+    assert(lawsSchema.contains("nprobe") && lawsSchema.contains("build_id"))
+    // rebuild staleness: a REBUILD (here via raw saveIvfPqIndex, which
+    // does not own the laws lifecycle — IvfPqIndex.build would have
+    // dropped the laws table) re-stamps the build fingerprint, so the
+    // surviving laws row describes an index that no longer exists and
+    // serving refuses loudly instead of using its dials
+    Pq.saveIvfPqIndex(vecs, cents, books, "pqspec_idx", M, KSUB, nBuckets = 4)
+    intercept[IllegalArgumentException] {
+      Pq.ivfPqTopKIndexedAuto(spark, "pqspec_idx", queries,
+        k = 5, M, KSUB, probeFrac = 1.0, budgetFrac = 1.0)
+    }
+    // re-measuring against the rebuilt index restores serving
+    Pq.saveIvfPqLaws(spark, "pqspec_idx", measureK = 5, M, KSUB, sampleN = 32)
+    assert(canon(Pq.ivfPqTopKIndexedAuto(spark, "pqspec_idx", queries,
+      k = 5, M, KSUB, probeFrac = 1.0, budgetFrac = 1.0)) == exactFull)
     } finally {
       for (s <- Seq("centroids", "books", "codes", "vecs", "laws"))
         spark.sql(s"DROP TABLE IF EXISTS pqspec_idx_$s")

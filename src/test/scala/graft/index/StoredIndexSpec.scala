@@ -123,4 +123,29 @@ final class StoredIndexSpec extends SparkTestBase {
       vecs.filter(col("id") % 5 =!= 0),
       vecs.filter(col("id") % 5 === 0))
   }
+
+  test("IVF-PQ index owns its derived laws table: rebuild and drop reclaim it") {
+    // the stored-law row (saveIvfPqLaws) measures a SPECIFIC build; a
+    // rebuild on a different corpus must not leave it behind to serve
+    // stale dials, and drop must not orphan it
+    val cents = Ann.kmeansCentroids(vecs, k = 8, iters = 2).localCheckpoint(true)
+    val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
+      .localCheckpoint(true)
+    val idx = IvfPqIndex("sidx_laws", cents, books, m = 16, ksub = 64, nBuckets = 4)
+    idx.drop(spark)
+    try {
+      idx.build(vecs.filter(col("id") < 200))
+      Pq.saveIvfPqLaws(spark, "sidx_laws", measureK = 5, m = 16, ksub = 64,
+        sampleN = 16)
+      assert(spark.catalog.tableExists("sidx_laws_laws"))
+      idx.build(vecs.filter(col("id") >= 200))
+      assert(!spark.catalog.tableExists("sidx_laws_laws"),
+        "rebuild left a stale laws table behind")
+      Pq.saveIvfPqLaws(spark, "sidx_laws", measureK = 5, m = 16, ksub = 64,
+        sampleN = 16)
+      idx.drop(spark)
+      assert(!spark.catalog.tableExists("sidx_laws_laws"),
+        "drop orphaned the laws table")
+    } finally idx.drop(spark)
+  }
 }
