@@ -207,3 +207,64 @@ case class IvfPqIndex(prefix: String, centroids: DataFrame, codebooks: DataFrame
       prefix, m, ksub, nBuckets, append = true)
   }
 }
+
+/** A persisted inverted text index (the t13/t14 retrieval surface as
+  * STORAGE) under the shared contract — the Lucene/ES posting-list
+  * primitive re-expressed as two bucketed catalog tables:
+  *
+  *   - `<prefix>_postings` (term, doc_id, tf), bucketed on `term`: a
+  *     ranked lookup's scan reads ONLY the query terms' buckets and
+  *     never the corpus text (the vec-free invariant, text edition).
+  *   - `<prefix>_doclens` (doc_id, dl), bucketed on `doc_id`: the
+  *     per-doc length BM25's denominator needs, joined shuffle-free
+  *     on the stored side against the tiny query-term candidate set.
+  *   - `<prefix>_stats` (derived): ONE (n_docs, sum_dl) PARTIAL row
+  *     per build/append batch. Serving SUMs the rows, so the corpus
+  *     statistics are exact under any append history with no
+  *     re-measurement — these are sufficient statistics, not tuning
+  *     margins like PQ's laws, which is why append maintains them
+  *     instead of invalidating them. Derived (outside the bag-of-rows
+  *     append≡fresh check) because a fresh build writes one row where
+  *     build+appends wrote several; the SUM is the spec'd invariant.
+  *
+  * Tokenization is the shared [[graft.text.TextOps.tokens]] (blank
+  * text → no tokens → the doc carries no postings and no length row,
+  * matching the direct t14 computation exactly). Serving:
+  * [[graft.text.Bm25.topKIndexed]].
+  */
+case class TextIndex(prefix: String, nBuckets: Int = 32) extends StoredIndex {
+  import org.apache.spark.sql.functions._
+
+  override def tableSpecs: Seq[StoredIndex.TableSpec] = Seq(
+    StoredIndex.TableSpec(s"${prefix}_postings", Some("term"), nBuckets),
+    StoredIndex.TableSpec(s"${prefix}_doclens", Some("doc_id"), nBuckets))
+  override def scanTableNames: Seq[String] =
+    Seq(s"${prefix}_postings", s"${prefix}_doclens")
+  override def derivedTableNames: Seq[String] = Seq(s"${prefix}_stats")
+
+  override def build(corpus: DataFrame): Unit = {
+    resetStorage(corpus.sparkSession)
+    write(corpus, append = false)
+  }
+  override def append(batch: DataFrame): Unit = write(batch, append = true)
+
+  private def write(docs: DataFrame, append: Boolean): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    // one tokenize pass feeds all three tables: tf is materialized
+    // once (lazy local checkpoint), then doclens and the stats row
+    // roll up from the already-aggregated postings, never re-reading
+    // the text
+    val tf = docs
+      .select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    tf.write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, "term").saveAsTable(s"${prefix}_postings")
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(false)
+    dl.write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, "doc_id").saveAsTable(s"${prefix}_doclens")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode(mode).format("parquet").saveAsTable(s"${prefix}_stats")
+  }
+}

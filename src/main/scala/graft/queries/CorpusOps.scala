@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 import graft.ann.{Ann, Pq, Quantize}
 import graft.dedup.{Dedup, MinHashLSH, NgramJaccard, SimHash}
@@ -897,30 +897,51 @@ object CorpusOps {
     // reduces to (doc, dl) + the 1-row stats scalar, nothing
     // vocabulary-sized broadcasts.
     "t14_bm25" -> { (s, d) =>
-      import org.apache.spark.sql.types.{DecimalType => Dec}
-      val qTerms = Seq("table", "query", "spark")
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val tf = toks.filter(col("term").isin(qTerms: _*))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
-      val idf = log((D(col("n_docs")) - D(col("df")) + lit(0.5)) /
-        (D(col("df")) + lit(0.5)) + lit(1.0))
-      val denom = D(col("tf")) + lit(1.2) * (lit(0.25) + lit(0.75) *
-        (D(col("dl")) * D(col("n_docs"))) / D(col("sum_dl")))
-      tf.join(df, Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"),
-          round(idf * (D(col("tf")) * lit(2.2)) / denom, 9)
-            .cast(Dec(24, 9)).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(round(sum(col("s")).cast(DoubleType), 6).as("score"),
-          count(lit(1)).as("n_terms"))
-        .orderBy(col("score").desc, col("doc_id"))
+      graft.text.Bm25.topK(t(s, d, "documents"), Seq("table", "query", "spark"),
+        k = 20)
+    },
+
+    // BM25 served from the PERSISTED inverted index (graft.index
+    // .TextIndex under the StoredIndex contract): the corpus text is
+    // never read at serve time — query-term postings come from the
+    // term-bucketed postings table, doc lengths from the doc_id-
+    // bucketed doclens table, corpus stats from the SUM of the
+    // per-batch partial rows the index maintains. Scoring is the
+    // SAME expression tree as t14, so t14's exact oracle gates the
+    // entire stored path — build, bucketing, stats maintenance,
+    // serve — exactly like a9 gates the packed PQ path.
+    "x1_bm25_indexed" -> { (s, d) =>
+      graft.index.TextIndex("x1srv_idx", nBuckets = 4)
+        .build(t(s, d, "documents").select(col("doc_id"), col("text")))
+      graft.text.Bm25.topKIndexed(s, "x1srv_idx",
+        Seq("table", "query", "spark"), k = 20)
+    },
+
+    // Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.'s
+    // 1/(C + rank) with the standard C = 60) of a BM25 keyword
+    // ranking and a cosine embedding ranking over the SAME id domain
+    // — the standard keyword+vector serving shape. FULL OUTER on id:
+    // an item found by only one arm still scores (its other
+    // contribution is 0). Both arm rankings are deterministic
+    // (rounded-score/raw-sim desc, id asc), the fusion is a fixed
+    // two-term double expression, ties in the fused score break by
+    // id. Scale: each arm is its own bounded top-N (no corpus-sized
+    // intermediate), and the fusion joins two N-row lists.
+    "x2_rrf_fusion" -> { (s, d) =>
+      val txt = graft.text.Bm25.topK(t(s, d, "documents"),
+          Seq("table", "query", "spark"), k = 50)
+        .withColumn("trank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast(IntegerType))
+        .select(col("doc_id"), col("trank"))
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val vec = Ann.bruteForceTopK(emb, emb.filter(col("id") === 0), k = 50)
+        .select(col("nbr_id").as("doc_id"), col("rank").cast(IntegerType).as("vrank"))
+      txt.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("trank"), col("vrank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("trank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)), 9).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
     },
 
@@ -1549,6 +1570,18 @@ object CorpusOps {
       graft.streaming.DocsPipeline.runNearDupGate(s, d, tmp,
         glob = "documents.parquet", splitId = 250,
         numHashes = 24, bands = 8, n = 3, minJaccard = 0.8)
+    },
+
+    // Streaming ingestion into the persisted inverted text index (the
+    // s9 "index IS the state" shape applied to retrieval): half the
+    // corpus seeds the index, the other half streams in and each
+    // micro-batch APPENDS (postings + doclens + one partial stats
+    // row). The returned top-k is served from the final index and is
+    // gated by t14's exact oracle over ALL documents — proving
+    // seed + stream ≡ one fresh build ≡ no index, rank-for-rank.
+    "s10_stream_text_index" -> { (s, d) =>
+      graft.streaming.DocsPipeline.runTextIndexIngest(s, d, "s10srv_idx",
+        Seq("table", "query", "spark"), k = 20, splitId = 250)
     }
   )
 
@@ -1577,6 +1610,38 @@ object CorpusOps {
     """list_sum(list_transform(list_zip(a.embedding, b.embedding),
       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
       |  (a.nrm * b.nrm)""".stripMargin
+
+  /** Exact BM25 top-20 for the fixed query-term set — shared by t14
+    * (direct computation over the corpus text) and x1 (the SAME
+    * ranking served from the persisted inverted index: identical
+    * output proves the stored path — build, bucketing, per-batch
+    * stats, indexed scoring — changes nothing).
+    */
+  private lazy val bm25Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE term IN ('table', 'query', 'spark') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |per AS (
+      |  SELECT tf.doc_id,
+      |    CAST(round(
+      |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+      |         (CAST(df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |         (CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(sum_dl AS DOUBLE))),
+      |      9) AS DECIMAL(24,9)) AS s
+      |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN st)
+      |SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score,
+      |  count(*) AS n_terms
+      |FROM per GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   /** Exact brute-force top-5 per query (vec_id < 20) — shared by a1
     * and every compressed-search operator whose contract is "output
@@ -2666,31 +2731,69 @@ object CorpusOps {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM toks GROUP BY term ORDER BY term""".stripMargin,
 
-    "t14_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks
-        |  WHERE term IN ('table', 'query', 'spark') GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |per AS (
-        |  SELECT tf.doc_id,
-        |    CAST(round(
-        |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
-        |         (CAST(df AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(tf AS DOUBLE) * 2.2)
-        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-        |         (CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(sum_dl AS DOUBLE))),
-        |      9) AS DECIMAL(24,9)) AS s
-        |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
-        |  CROSS JOIN st)
-        |SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score,
-        |  count(*) AS n_terms
-        |FROM per GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "t14_bm25" -> bm25Sql,
+
+    // x1 serves the SAME ranking from the persisted inverted index —
+    // build, bucketing, per-batch stats maintenance, and the indexed
+    // scoring plan are all provably output-invisible, the a9 stance
+    // applied to text
+    "x1_bm25_indexed" -> bm25Sql,
+
+    // s10 serves it from an index half-seeded, half STREAMED in via
+    // AvailableNow appends — same exact replay, so streaming
+    // maintenance is output-invisible too
+    "s10_stream_text_index" -> bm25Sql,
+
+    // both arm rankings replayed exactly (t14's BM25 at depth 50,
+    // a1's brute cosine for the one query vector), fused with the
+    // identical double expression
+    "x2_rrf_fusion" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('table', 'query', 'spark') GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |per AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(
+         |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |         (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |         (CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(sum_dl AS DOUBLE))),
+         |      9) AS DECIMAL(24,9)) AS s
+         |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN st),
+         |bm AS (
+         |  SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
+         |  FROM per GROUP BY doc_id),
+         |tr AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS trank
+         |  FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+         |v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT b.vec_id AS nbr_id, $cosineExpr AS sim
+         |  FROM v a JOIN v b ON a.vec_id = 0 AND a.vec_id <> b.vec_id),
+         |vr AS (
+         |  SELECT nbr_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY sim DESC, nbr_id) AS INT) AS vrank
+         |  FROM scored ORDER BY sim DESC, nbr_id LIMIT 50),
+         |f AS (
+         |  SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, trank, vrank
+         |  FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+         |SELECT doc_id, trank, vrank,
+         |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + trank), 0) +
+         |        coalesce(CAST(1.0 AS DOUBLE) / (60 + vrank), 0), 9) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "t13_inverted_index" ->
       """WITH toks AS (

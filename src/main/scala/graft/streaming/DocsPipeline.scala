@@ -115,4 +115,50 @@ object DocsPipeline {
       StructType(Seq(StructField("a", LongType), StructField("b", LongType),
         StructField("jaccard", DoubleType))))
   }
+
+  /** Streaming ingestion into the persisted inverted text index
+    * ([[graft.index.TextIndex]]) — the s9 shape applied to retrieval:
+    * docs with id < `splitId` seed the index in one batch build, docs
+    * with id ≥ `splitId` arrive through the stream and each
+    * micro-batch is `append`ed (postings + doclens rows, one partial
+    * stats row per batch — the contract that makes serving stats
+    * exact under ANY batch history). No streaming state store: the
+    * index IS the state, a catalog table, so state size never bounds
+    * corpus size. Returns the BM25 top-k served from the final index
+    * — gated by the same exact oracle as the direct t14 computation
+    * over all documents, which proves seed + stream ≡ one batch
+    * build ≡ no index at all, rank-for-rank.
+    */
+  def runTextIndexIngest(spark: SparkSession, dir: String, prefix: String,
+                         terms: Seq[String], k: Int,
+                         glob: String = "documents.parquet", splitId: Long = 250,
+                         nBuckets: Int = 4,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val idx = graft.index.TextIndex(prefix, nBuckets)
+    def allDocs: DataFrame = spark.read.schema(docSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .select(col("doc_id"), col("text"))
+    idx.build(allDocs.filter(col("doc_id") < splitId))
+    val reader = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val q = reader.parquet(dir)
+      .filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // pin the batch off its streaming-scan lineage: append
+          // tokenizes it once into three table writes
+          val docsIn = batch.localCheckpoint()
+          idx.append(docsIn)
+          docsIn.unpersist()
+          ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+    graft.text.Bm25.topKIndexed(spark, prefix, terms, k)
+  }
 }

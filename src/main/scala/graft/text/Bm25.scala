@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Robertson BM25 (k1 = 1.2, b = 0.75) — ONE shared expression tree
+  * for every surface that ranks by it (the direct t14 query and the
+  * stored-index serving path below), so the two cannot drift: the
+  * per-term score is double math over exact integer statistics,
+  * quantized to DECIMAL(24,9) before the order-independent per-doc
+  * sum (the t11 log recipe), ties in the rounded score broken by
+  * doc_id.
+  *
+  * Reference behavior: the reference exposes corpus-frequency
+  * analysis over JSON datasets (dig-aggregator-core
+  * `FrequencyAnalysis`); keyword retrieval over the same documents
+  * table is the training-data-pipeline extension of that surface
+  * (inverted index + ranked lookup, the Lucene/ES primitive
+  * re-expressed as Spark relational algebra).
+  */
+object Bm25 {
+
+  /** Per-(doc, term) BM25 contribution from exact integer stats:
+    * `idf(df) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))` with
+    * `avgdl = sum_dl / n_docs`, written as `dl·n_docs/sum_dl` so both
+    * engines evaluate the identical double tree. Quantized to
+    * DECIMAL(24,9) so the per-doc sum is order-independent.
+    */
+  def perTermScore(tf: Column, df: Column, dl: Column,
+                   nDocs: Column, sumDl: Column): Column = {
+    def D(c: Column) = c.cast(DoubleType)
+    val idf = log((D(nDocs) - D(df) + lit(0.5)) / (D(df) + lit(0.5)) + lit(1.0))
+    val denom = D(tf) + lit(1.2) * (lit(0.25) + lit(0.75) *
+      (D(dl) * D(nDocs)) / D(sumDl))
+    round(idf * (D(tf) * lit(2.2)) / denom, 9).cast(DecimalType(24, 9))
+  }
+
+  /** Shared ranking tail: per-doc sum of quantized per-term scores →
+    * (doc_id, score, n_terms), top `k` by (score desc, doc_id).
+    */
+  private def rankTail(perTerm: DataFrame, k: Int): DataFrame =
+    perTerm
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")).cast(DoubleType), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** BM25 top-k computed DIRECTLY from a (doc_id, text) corpus — the
+    * t14 surface: tokenize, derive (tf, df, dl, n_docs, sum_dl)
+    * exactly, score only query-term postings. The corpus-wide token
+    * table reduces to (doc, dl) + a 1-row stats scalar; nothing
+    * vocabulary-sized broadcasts.
+    */
+  def topK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    rankTail(
+      tf.join(df, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          perTermScore(col("tf"), col("df"), col("dl"),
+            col("n_docs"), col("sum_dl")).as("s")),
+      k)
+  }
+
+  /** BM25 top-k served from a persisted [[graft.index.TextIndex]] —
+    * the corpus text is never touched: the scan reads ONLY the
+    * query-term postings (the postings table is bucketed on `term`,
+    * so the `isin` filter prunes to the query terms' buckets), df is
+    * the per-term postings count (postings rows are unique per
+    * (term, doc)), doc lengths join in via the doc_id-bucketed
+    * doclens table (shuffle-free on the stored side; only the tiny
+    * query-term candidate set is exchanged), and the corpus stats are
+    * the SUM over the per-batch partial rows the index maintains —
+    * exact under any build/append history, no re-measurement. Scoring
+    * is byte-identical to [[topK]] (same [[perTermScore]] tree, same
+    * rank tail), which is what lets t14's exact oracle gate the
+    * entire stored path.
+    */
+  def topKIndexed(spark: SparkSession, prefix: String,
+                  terms: Seq[String], k: Int): DataFrame = {
+    val post = spark.table(s"${prefix}_postings")
+      .filter(col("term").isin(terms: _*))
+    val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = spark.table(s"${prefix}_doclens")
+    val stats = spark.table(s"${prefix}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    rankTail(
+      post.join(broadcast(df), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          perTermScore(col("tf"), col("df"), col("dl"),
+            col("n_docs"), col("sum_dl")).as("s")),
+      k)
+  }
+}

@@ -124,6 +124,26 @@ final class StoredIndexSpec extends SparkTestBase {
       vecs.filter(col("id") % 5 === 0))
   }
 
+  test("inverted text index (x1) honors the shared contract; stats rows sum across batches") {
+    val idx = TextIndex("sidx_text", nBuckets = 4)
+    contract(idx,
+      docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0))
+    // the derived stats table is outside the bag-of-rows check (one
+    // partial row per batch); its SUM is the invariant serving relies on
+    idx.drop(spark)
+    try {
+      idx.build(docs.filter(col("doc_id") % 3 =!= 0))
+      idx.append(docs.filter(col("doc_id") % 3 === 0))
+      val summed = spark.table("sidx_text_stats")
+        .agg(sum("n_docs"), sum("sum_dl")).head()
+      idx.build(docs)
+      val fresh = spark.table("sidx_text_stats")
+        .agg(sum("n_docs"), sum("sum_dl")).head()
+      assert(summed == fresh, "partial stats rows do not sum to the fresh stats")
+    } finally idx.drop(spark)
+  }
+
   test("IVF-PQ index owns its derived laws table: rebuild and drop reclaim it") {
     // the stored-law row (saveIvfPqLaws) measures a SPECIFIC build; a
     // rebuild on a different corpus must not leave it behind to serve

@@ -32,6 +32,12 @@ final class PlanAuditSpec extends SparkTestBase {
       "a1_ann_topk", "a3_ann_ivf", "a4_ann_quantized", "a5_ivf_kmeans",
       "d10_semdedup", "q46_bloom_prune",
       "t14_bm25",  // 1-row (n_docs, sum_dl) corpus-stats scalar
+      "x1_bm25_indexed",      // t14's 1-row stats scalar, summed from
+                              // the stored per-batch partial rows
+      "s10_stream_text_index",// same serving plan as x1 (the index
+                              // arrived by streaming appends)
+      "x2_rrf_fusion", // both arms' allowed shapes: t14's 1-row stats
+                       // scalar and a1's broadcast-query brute scan
       "t15_collocations", // 1-row (n_uni, n_bi) corpus-totals scalar
       "q52_skyline", // dominance is non-equi by nature; the NLJ sides
                      // are the broadcast sample-skyline / pruned
@@ -127,9 +133,14 @@ final class PlanAuditSpec extends SparkTestBase {
       "a9_ivf_pq_indexed", // a6's bounded sides: the cell-count-keyed
                            // centroid aggregate (build) and the
                            // query-batch probe/lut side (serve)
-      "a10_ivf_pq_served") // a9's bounded sides plus a7's sampled-tops
+      "a10_ivf_pq_served", // a9's bounded sides plus a7's sampled-tops
                            // broadcast (the law measurement, sample×k
                            // rows by construction)
+      "x1_bm25_indexed",      // the broadcast keyed aggregate is the
+                              // per-term df over QUERY-TERM postings —
+                              // ≤ |query terms| rows by construction
+                              // (the term list is a literal)
+      "s10_stream_text_index") // same serving plan as x1
 
   test("no broadcast hint on an unbounded aggregate (full registry)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.index.TextIndex
+
+/** BM25 serving from the persisted inverted index ([[TextIndex]] +
+  * [[Bm25.topKIndexed]]) vs direct computation ([[Bm25.topK]]) — the
+  * x1 oracle gates the build-path on the registry fixture; this spec
+  * pins what the oracle can't see: exactness UNDER APPEND (the
+  * per-batch partial stats rows must SUM to the fresh corpus stats,
+  * or every score is silently wrong), a disjoint term set, and the
+  * serving plan's storage properties (no text column scanned, no
+  * exchange on the stored side of the doclens join).
+  */
+final class Bm25Spec extends SparkTestBase {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  test("indexed BM25 equals direct computation, including after appends") {
+    val idx = TextIndex("bm25spec_idx", nBuckets = 4)
+    idx.drop(spark)
+    try {
+      val p1 = docs.filter(col("doc_id") % 3 =!= 0)
+      val p2 = docs.filter(col("doc_id") % 3 === 0)
+      idx.build(p1)
+      idx.append(p2)
+      // two batches -> two partial stats rows; serving must SUM them
+      assert(spark.table("bm25spec_idx_stats").count() == 2)
+      for (terms <- Seq(Seq("table", "query", "spark"), Seq("data", "the"))) {
+        val served = Bm25.topKIndexed(spark, "bm25spec_idx", terms, k = 20)
+        val direct = Bm25.topK(docs, terms, k = 20)
+        assert(canon(served) == canon(direct), s"terms=$terms")
+      }
+      // storage properties: the serving plan never touches the corpus
+      // text, and the doclens side of the doc_id join arrives bucketed
+      // (no exchange above its scan)
+      val plan = Bm25.topKIndexed(spark, "bm25spec_idx",
+        Seq("table", "query", "spark"), k = 20)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("bm25spec_idx_postings"))
+      assert(!plan.contains("text#"), "serving plan reads a text column")
+      val doclensScan = plan.linesIterator
+        .dropWhile(l => !l.contains("bm25spec_idx_doclens")).toSeq
+      assert(doclensScan.nonEmpty)
+      assert(plan.contains("SelectedBucketsCount"),
+        "query-term filter did not prune postings buckets")
+    } finally idx.drop(spark)
+  }
+
+  test("indexed BM25: absent terms score nothing; no query terms -> empty") {
+    val idx = TextIndex("bm25spec_idx2", nBuckets = 2)
+    idx.drop(spark)
+    try {
+      idx.build(docs)
+      val hit = Bm25.topKIndexed(spark, "bm25spec_idx2",
+        Seq("zzz_not_a_token_zzz"), k = 10)
+      assert(hit.count() == 0)
+      assert(Bm25.topKIndexed(spark, "bm25spec_idx2", Nil, k = 10).count() == 0)
+    } finally idx.drop(spark)
+  }
+}
