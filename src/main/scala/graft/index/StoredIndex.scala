@@ -212,12 +212,20 @@ case class IvfPqIndex(prefix: String, centroids: DataFrame, codebooks: DataFrame
   * STORAGE) under the shared contract — the Lucene/ES posting-list
   * primitive re-expressed as two bucketed catalog tables:
   *
-  *   - `<prefix>_postings` (term, doc_id, tf), bucketed on `term`: a
-  *     ranked lookup's scan reads ONLY the query terms' buckets and
-  *     never the corpus text (the vec-free invariant, text edition).
-  *   - `<prefix>_doclens` (doc_id, dl), bucketed on `doc_id`: the
-  *     per-doc length BM25's denominator needs, joined shuffle-free
-  *     on the stored side against the tiny query-term candidate set.
+  *   - `<prefix>_postings` (term, doc_id, tf, dl), bucketed on
+  *     `term`: a ranked lookup's scan reads ONLY the query terms'
+  *     buckets and never the corpus text (the vec-free invariant,
+  *     text edition). The doc length rides IN the posting row
+  *     (Lucene's norm-in-posting): BM25's denominator needs dl per
+  *     candidate, and storing it beside tf makes serving touch
+  *     NOTHING doc-keyed — measured at sf10, the doclens join was
+  *     the entire serving floor (the pruned postings read was
+  *     already negligible). 8 bytes/posting buys a serve cost
+  *     bounded by the query terms' buckets alone.
+  *   - `<prefix>_doclens` (doc_id, dl), bucketed on `doc_id`: kept
+  *     for doc-keyed analytics/maintenance (it is the (doc, length)
+  *     projection a reweighting or per-doc audit wants); serving
+  *     does not read it.
   *   - `<prefix>_stats` (derived): ONE (n_docs, sum_dl) PARTIAL row
   *     per build/append batch. Serving SUMs the rows, so the corpus
   *     statistics are exact under any append history with no
@@ -232,14 +240,19 @@ case class IvfPqIndex(prefix: String, centroids: DataFrame, codebooks: DataFrame
   * matching the direct t14 computation exactly). Serving:
   * [[graft.text.Bm25.topKIndexed]].
   */
-case class TextIndex(prefix: String, nBuckets: Int = 32) extends StoredIndex {
+case class TextIndex(prefix: String, nBuckets: Int = 32,
+                     positional: Boolean = false) extends StoredIndex {
   import org.apache.spark.sql.functions._
 
   override def tableSpecs: Seq[StoredIndex.TableSpec] = Seq(
     StoredIndex.TableSpec(s"${prefix}_postings", Some("term"), nBuckets),
-    StoredIndex.TableSpec(s"${prefix}_doclens", Some("doc_id"), nBuckets))
+    StoredIndex.TableSpec(s"${prefix}_doclens", Some("doc_id"), nBuckets)) ++
+    (if (positional)
+      Seq(StoredIndex.TableSpec(s"${prefix}_positions", Some("term"), nBuckets))
+    else Nil)
   override def scanTableNames: Seq[String] =
-    Seq(s"${prefix}_postings", s"${prefix}_doclens")
+    Seq(s"${prefix}_postings") ++
+      (if (positional) Seq(s"${prefix}_positions") else Nil)
   override def derivedTableNames: Seq[String] = Seq(s"${prefix}_stats")
 
   override def build(corpus: DataFrame): Unit = {
@@ -250,15 +263,28 @@ case class TextIndex(prefix: String, nBuckets: Int = 32) extends StoredIndex {
 
   private def write(docs: DataFrame, append: Boolean): Unit = {
     val mode = if (append) "append" else "overwrite"
-    // one tokenize pass feeds all three tables: tf is materialized
-    // once (lazy local checkpoint), then doclens and the stats row
-    // roll up from the already-aggregated postings, never re-reading
-    // the text
-    val tf = docs
+    // one tokenize pass feeds every table: the materialized relation
+    // is the aggregated tf in the pure-BM25 case, or the positional
+    // token stream when `positional` (tf then rolls up from it) —
+    // either way the text is never read twice; the posting rows take
+    // their dl via a doc_id window over the SAME relation (the
+    // norm-in-posting layout serving relies on)
+    val tf = (if (positional) {
+      val pos = docs
+        .select(col("doc_id"),
+          posexplode(graft.text.TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+        .localCheckpoint(false)
+      pos.select(col("term"), col("doc_id"), col("pos"))
+        .write.mode(mode).format("parquet")
+        .bucketBy(nBuckets, "term").saveAsTable(s"${prefix}_positions")
+      pos.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    } else docs
       .select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
-    tf.write.mode(mode).format("parquet")
+    ).localCheckpoint(false)
+    tf.withColumn("dl", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .write.mode(mode).format("parquet")
       .bucketBy(nBuckets, "term").saveAsTable(s"${prefix}_postings")
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint(false)

@@ -917,6 +917,19 @@ object CorpusOps {
         Seq("table", "query", "spark"), k = 20)
     },
 
+    // Exact phrase search served from the POSITIONAL stored index:
+    // (term, doc_id, pos) bucketed on term, so the plan reads only
+    // the phrase terms' buckets and intersects them on (doc_id,
+    // pos + i) — the Lucene positional-postings shape as relational
+    // algebra. The oracle recomputes the same adjacency intersection
+    // from the raw text, so index build + storage + the join chain
+    // are all provably output-invisible.
+    "x3_phrase_search" -> { (s, d) =>
+      graft.index.TextIndex("x3srv_idx", nBuckets = 4, positional = true)
+        .build(t(s, d, "documents").select(col("doc_id"), col("text")))
+      graft.text.Phrase.matchesIndexed(s, "x3srv_idx", Seq("table", "hash"))
+    },
+
     // Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.'s
     // 1/(C + rank) with the standard C = 60) of a BM25 keyword
     // ranking and a cosine embedding ranking over the SAME id domain
@@ -2743,6 +2756,22 @@ object CorpusOps {
     // AvailableNow appends — same exact replay, so streaming
     // maintenance is output-invisible too
     "s10_stream_text_index" -> bm25Sql,
+
+    // the same adjacency intersection recomputed from the raw text
+    // (parallel unnests zip term with its 1-based position; Spark's
+    // posexplode is 0-based — adjacency is shift-invariant)
+    "x3_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(t) AS term, unnest(range(1, len(t)+1)) AS pos
+        |  FROM toks),
+        |a AS (SELECT doc_id, pos FROM pos WHERE term = 'table'),
+        |b AS (SELECT doc_id, pos FROM pos WHERE term = 'hash')
+        |SELECT a.doc_id, count(*) AS n_matches
+        |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     // both arm rankings replayed exactly (t14's BM25 at depth 50,
     // a1's brute cosine for the one query vector), fused with the

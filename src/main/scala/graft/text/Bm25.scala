@@ -72,30 +72,29 @@ object Bm25 {
   }
 
   /** BM25 top-k served from a persisted [[graft.index.TextIndex]] —
-    * the corpus text is never touched: the scan reads ONLY the
-    * query-term postings (the postings table is bucketed on `term`,
-    * so the `isin` filter prunes to the query terms' buckets), df is
-    * the per-term postings count (postings rows are unique per
-    * (term, doc)), doc lengths join in via the doc_id-bucketed
-    * doclens table (shuffle-free on the stored side; only the tiny
-    * query-term candidate set is exchanged), and the corpus stats are
-    * the SUM over the per-batch partial rows the index maintains —
-    * exact under any build/append history, no re-measurement. Scoring
-    * is byte-identical to [[topK]] (same [[perTermScore]] tree, same
-    * rank tail), which is what lets t14's exact oracle gate the
-    * entire stored path.
+    * the corpus text is never touched, and NOTHING doc-keyed is read:
+    * the scan reads ONLY the query-term postings (the postings table
+    * is bucketed on `term`, so the `isin` filter prunes to the query
+    * terms' buckets), df is the per-term postings count (postings
+    * rows are unique per (term, doc)), the doc length rides IN each
+    * posting row (the Lucene norm-in-posting layout — measured at
+    * sf10, a doclens join was the entire serving floor), and the
+    * corpus stats are the SUM over the per-batch partial rows the
+    * index maintains — exact under any build/append history, no
+    * re-measurement. Total serve cost is bounded by the query terms'
+    * buckets plus two broadcast-tiny sides. Scoring is byte-identical
+    * to [[topK]] (same [[perTermScore]] tree, same rank tail), which
+    * is what lets t14's exact oracle gate the entire stored path.
     */
   def topKIndexed(spark: SparkSession, prefix: String,
                   terms: Seq[String], k: Int): DataFrame = {
     val post = spark.table(s"${prefix}_postings")
       .filter(col("term").isin(terms: _*))
     val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = spark.table(s"${prefix}_doclens")
     val stats = spark.table(s"${prefix}_stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     rankTail(
       post.join(broadcast(df), Seq("term"))
-        .join(dl, Seq("doc_id"))
         .crossJoin(broadcast(stats))
         .select(col("doc_id"),
           perTermScore(col("tf"), col("df"), col("dl"),

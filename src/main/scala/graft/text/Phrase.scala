@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact phrase search — "these tokens, adjacent, in order" — two
+  * ways that must agree: directly from the corpus text, and served
+  * from a POSITIONAL [[graft.index.TextIndex]] (`positional = true`,
+  * which persists `(term, doc_id, pos)` bucketed on `term`). The
+  * indexed form is the Lucene positional-postings intersection as
+  * relational algebra: one bucket-pruned scan of the phrase terms'
+  * positions, then an (n−1)-fold self-join on `(doc_id, pos + i)`.
+  * At 100 TB the joined relations are term-frequency-sized (the
+  * phrase's terms only), never corpus-sized, and the corpus text is
+  * never read.
+  */
+object Phrase {
+
+  /** (doc_id, n_matches) for documents containing the exact phrase,
+    * computed DIRECTLY from a (doc_id, text) corpus.
+    */
+  def matchesDirect(docs: DataFrame, phrase: Seq[String]): DataFrame =
+    matchesFrom(
+      docs.select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term"))),
+      phrase)
+
+  /** (doc_id, n_matches) served from the positional index — reads
+    * ONLY the phrase terms' buckets of `<prefix>_positions`.
+    */
+  def matchesIndexed(spark: SparkSession, prefix: String,
+                     phrase: Seq[String]): DataFrame =
+    matchesFrom(spark.table(s"${prefix}_positions"), phrase)
+
+  // the n-fold adjacency intersection over any (term, doc_id, pos)
+  // relation: anchor on the first term's positions, then each
+  // subsequent term must appear at pos + i. Distinct column names per
+  // step keep the self-join unambiguous.
+  private def matchesFrom(positions: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val anchor = positions.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (term, i)) =>
+        acc.join(
+          positions.filter(col("term") === term)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -125,7 +125,9 @@ final class StoredIndexSpec extends SparkTestBase {
   }
 
   test("inverted text index (x1) honors the shared contract; stats rows sum across batches") {
-    val idx = TextIndex("sidx_text", nBuckets = 4)
+    // positional = true so the contract covers all three built tables
+    // (postings, doclens, positions)
+    val idx = TextIndex("sidx_text", nBuckets = 4, positional = true)
     contract(idx,
       docs.filter(col("doc_id") % 3 =!= 0),
       docs.filter(col("doc_id") % 3 === 0))

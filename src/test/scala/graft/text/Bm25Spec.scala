@@ -40,18 +40,39 @@ final class Bm25Spec extends SparkTestBase {
         assert(canon(served) == canon(direct), s"terms=$terms")
       }
       // storage properties: the serving plan never touches the corpus
-      // text, and the doclens side of the doc_id join arrives bucketed
-      // (no exchange above its scan)
+      // text and reads NOTHING doc-keyed — dl rides in the posting
+      // row (norm-in-posting), so the only table scanned is the
+      // bucket-pruned postings (stats reduces to a broadcast scalar)
       val plan = Bm25.topKIndexed(spark, "bm25spec_idx",
         Seq("table", "query", "spark"), k = 20)
         .queryExecution.executedPlan.toString
       assert(plan.contains("bm25spec_idx_postings"))
       assert(!plan.contains("text#"), "serving plan reads a text column")
-      val doclensScan = plan.linesIterator
-        .dropWhile(l => !l.contains("bm25spec_idx_doclens")).toSeq
-      assert(doclensScan.nonEmpty)
+      assert(!plan.contains("bm25spec_idx_doclens"),
+        "serving plan must not read the doc-keyed doclens table")
       assert(plan.contains("SelectedBucketsCount"),
         "query-term filter did not prune postings buckets")
+    } finally idx.drop(spark)
+  }
+
+  test("indexed phrase search equals direct adjacency recompute; reads only the positions buckets") {
+    val idx = TextIndex("phrspec_idx", nBuckets = 4, positional = true)
+    idx.drop(spark)
+    try {
+      idx.build(docs.filter(col("doc_id") % 3 =!= 0))
+      idx.append(docs.filter(col("doc_id") % 3 === 0))
+      for (phrase <- Seq(Seq("table", "hash"), Seq("the", "table", "hash"),
+        Seq("zzz_absent", "hash"))) {
+        val served = Phrase.matchesIndexed(spark, "phrspec_idx", phrase)
+        val direct = Phrase.matchesDirect(docs, phrase)
+        assert(canon(served) == canon(direct), s"phrase=$phrase")
+      }
+      val plan = Phrase.matchesIndexed(spark, "phrspec_idx", Seq("table", "hash"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("phrspec_idx_positions"))
+      assert(!plan.contains("text#"), "phrase serving reads a text column")
+      assert(plan.contains("SelectedBucketsCount"),
+        "phrase-term filters did not prune the positions buckets")
     } finally idx.drop(spark)
   }
 
