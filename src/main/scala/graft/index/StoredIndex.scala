@@ -222,10 +222,6 @@ case class IvfPqIndex(prefix: String, centroids: DataFrame, codebooks: DataFrame
   *     the entire serving floor (the pruned postings read was
   *     already negligible). 8 bytes/posting buys a serve cost
   *     bounded by the query terms' buckets alone.
-  *   - `<prefix>_doclens` (doc_id, dl), bucketed on `doc_id`: kept
-  *     for doc-keyed analytics/maintenance (it is the (doc, length)
-  *     projection a reweighting or per-doc audit wants); serving
-  *     does not read it.
   *   - `<prefix>_stats` (derived): ONE (n_docs, sum_dl) PARTIAL row
   *     per build/append batch. Serving SUMs the rows, so the corpus
   *     statistics are exact under any append history with no
@@ -245,8 +241,7 @@ case class TextIndex(prefix: String, nBuckets: Int = 32,
   import org.apache.spark.sql.functions._
 
   override def tableSpecs: Seq[StoredIndex.TableSpec] = Seq(
-    StoredIndex.TableSpec(s"${prefix}_postings", Some("term"), nBuckets),
-    StoredIndex.TableSpec(s"${prefix}_doclens", Some("doc_id"), nBuckets)) ++
+    StoredIndex.TableSpec(s"${prefix}_postings", Some("term"), nBuckets)) ++
     (if (positional)
       Seq(StoredIndex.TableSpec(s"${prefix}_positions", Some("term"), nBuckets))
     else Nil)
@@ -286,11 +281,8 @@ case class TextIndex(prefix: String, nBuckets: Int = 32,
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .write.mode(mode).format("parquet")
       .bucketBy(nBuckets, "term").saveAsTable(s"${prefix}_postings")
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .localCheckpoint(false)
-    dl.write.mode(mode).format("parquet")
-      .bucketBy(nBuckets, "doc_id").saveAsTable(s"${prefix}_doclens")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode(mode).format("parquet").saveAsTable(s"${prefix}_stats")
   }
 }

@@ -41,15 +41,16 @@ final class Bm25Spec extends SparkTestBase {
       }
       // storage properties: the serving plan never touches the corpus
       // text and reads NOTHING doc-keyed — dl rides in the posting
-      // row (norm-in-posting), so the only table scanned is the
-      // bucket-pruned postings (stats reduces to a broadcast scalar)
+      // row (norm-in-posting), so the only non-scalar table scanned
+      // is the bucket-pruned postings (stats reduces to a broadcast
+      // scalar; no doc-keyed table even exists in the index)
       val plan = Bm25.topKIndexed(spark, "bm25spec_idx",
         Seq("table", "query", "spark"), k = 20)
         .queryExecution.executedPlan.toString
       assert(plan.contains("bm25spec_idx_postings"))
       assert(!plan.contains("text#"), "serving plan reads a text column")
-      assert(!plan.contains("bm25spec_idx_doclens"),
-        "serving plan must not read the doc-keyed doclens table")
+      assert(idx.tableNames == Seq("bm25spec_idx_postings"),
+        "the pure-BM25 index owns exactly the postings table")
       assert(plan.contains("SelectedBucketsCount"),
         "query-term filter did not prune postings buckets")
     } finally idx.drop(spark)
