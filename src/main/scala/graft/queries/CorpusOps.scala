@@ -917,6 +917,24 @@ object CorpusOps {
         Seq("table", "query", "spark"), k = 20)
     },
 
+    // Batch BM25 serving: a 3-query batch ranked in ONE plan against
+    // the stored index — the batch vocabulary bucket-prunes the
+    // postings scan, candidates fan out per query via a broadcast of
+    // the (query_id, term) pairs, and each query's top-k is the
+    // bounded TopKAgg tail. Per-query scoring is the identical t14
+    // expression tree, so the oracle replays every query of the
+    // batch exactly.
+    "x4_bm25_batch" -> { (s, d) =>
+      import s.implicits._
+      graft.index.TextIndex("x4srv_idx", nBuckets = 4)
+        .build(t(s, d, "documents").select(col("doc_id"), col("text")))
+      val batch = Seq(
+        0 -> "table", 0 -> "query", 0 -> "spark",
+        1 -> "data", 1 -> "the",
+        2 -> "hash", 2 -> "merge").toDF("query_id", "term")
+      graft.text.Bm25.topKIndexedBatch(s, "x4srv_idx", batch, k = 10)
+    },
+
     // Exact phrase search served from the POSITIONAL stored index:
     // (term, doc_id, pos) bucketed on term, so the plan reads only
     // the phrase terms' buckets and intersects them on (doc_id,
@@ -2756,6 +2774,44 @@ object CorpusOps {
     // AvailableNow appends — same exact replay, so streaming
     // maintenance is output-invisible too
     "s10_stream_text_index" -> bm25Sql,
+
+    // every query of the batch replayed with the t14 recipe, ranked
+    // per query, top-10 each
+    "x4_bm25_batch" ->
+      """WITH qt AS (
+        |  SELECT * FROM (VALUES (0, 'table'), (0, 'query'), (0, 'spark'),
+        |    (1, 'data'), (1, 'the'), (2, 'hash'), (2, 'merge')) v(query_id, term)),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |per AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(round(
+        |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |         (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |         (CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(sum_dl AS DOUBLE))),
+        |      9) AS DECIMAL(24,9)) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN st),
+        |scored AS (
+        |  SELECT qt.query_id, per.doc_id,
+        |    round(CAST(sum(per.s) AS DOUBLE), 6) AS score
+        |  FROM per JOIN qt USING (term) GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, doc_id, score, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // the same adjacency intersection recomputed from the raw text
     // (parallel unnests zip term with its 1-based position; Spark's

@@ -101,4 +101,48 @@ object Bm25 {
             col("n_docs"), col("sum_dl")).as("s")),
       k)
   }
+
+  /** BM25 top-k for a BATCH of queries in one plan — the production
+    * serving shape: `queryTerms` is (query_id, term), one row per
+    * query term. The batch's distinct vocabulary is collected to the
+    * driver (query batches are request-sized by definition — this is
+    * what turns the postings scan into a literal `isin` that
+    * BUCKET-PRUNES like the single-query path; a join-based restrict
+    * would force a full postings scan), each matching posting fans
+    * out to the queries containing its term via a broadcast of the
+    * (query_id, term) pairs, per-(query, doc) scores aggregate on
+    * exactly the candidate rows, and the per-query top-k is the
+    * bounded [[graft.functions.TopKAgg]] tail (≤k rows per query per
+    * partition cross the final shuffle — never the scored candidate
+    * multiset). Scoring per query is byte-identical to [[topK]], so
+    * the batch form is gated by the same per-query oracle replay.
+    * Output: (query_id, doc_id, score, rank).
+    */
+  def topKIndexedBatch(spark: SparkSession, prefix: String,
+                       queryTerms: DataFrame, k: Int): DataFrame = {
+    val q = queryTerms.select(col("query_id"), col("term")).distinct()
+      .localCheckpoint(true)
+    val vocab = q.select(col("term")).distinct().collect().map(_.getString(0)).toSeq
+    val post = spark.table(s"${prefix}_postings")
+      .filter(col("term").isin(vocab: _*))
+    val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = spark.table(s"${prefix}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val scored = post
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        perTermScore(col("tf"), col("df"), col("dl"),
+          col("n_docs"), col("sum_dl")).as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("s")).cast(DoubleType), 6).as("score"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg(col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.tag").as("doc_id"),
+        col("t.score").as("score"), (col("pos") + 1).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

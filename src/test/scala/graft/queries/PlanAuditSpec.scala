@@ -38,6 +38,8 @@ final class PlanAuditSpec extends SparkTestBase {
                               // arrived by streaming appends)
       "x2_rrf_fusion", // both arms' allowed shapes: t14's 1-row stats
                        // scalar and a1's broadcast-query brute scan
+      "x4_bm25_batch", // t14's 1-row stats scalar, shared by every
+                       // query of the batch
       "t15_collocations", // 1-row (n_uni, n_bi) corpus-totals scalar
       "q52_skyline", // dominance is non-equi by nature; the NLJ sides
                      // are the broadcast sample-skyline / pruned
@@ -140,7 +142,10 @@ final class PlanAuditSpec extends SparkTestBase {
                               // per-term df over QUERY-TERM postings —
                               // ≤ |query terms| rows by construction
                               // (the term list is a literal)
-      "s10_stream_text_index") // same serving plan as x1
+      "s10_stream_text_index", // same serving plan as x1
+      "x4_bm25_batch") // x1's df plus the distinct (query_id, term)
+                       // batch pairs — both request-sized by
+                       // construction, never corpus-keyed
 
   test("no broadcast hint on an unbounded aggregate (full registry)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}

@@ -56,6 +56,38 @@ final class Bm25Spec extends SparkTestBase {
     } finally idx.drop(spark)
   }
 
+  test("batch BM25 equals the single-query serving path, query for query") {
+    val idx = TextIndex("bm25spec_b", nBuckets = 4)
+    idx.drop(spark)
+    try {
+      idx.build(docs)
+      val batches = Map(
+        0 -> Seq("table", "query", "spark"),
+        1 -> Seq("data", "the"),
+        2 -> Seq("zzz_absent"))
+      import spark.implicits._
+      val batchDf = batches.toSeq
+        .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term")
+      val got = Bm25.topKIndexedBatch(spark, "bm25spec_b", batchDf, k = 10)
+      // per query, the batch rows equal the single-query path (which
+      // the x1 oracle gates) modulo the extra query_id column; an
+      // absent-term query contributes nothing
+      for ((qid, ts) <- batches) {
+        val single = Bm25.topKIndexed(spark, "bm25spec_b", ts, k = 10)
+          .select(col("doc_id"), col("score"))
+        val batch = got.filter(col("query_id") === qid)
+          .select(col("doc_id"), col("score"))
+        assert(canon(batch) == canon(single), s"query $qid")
+      }
+      // the per-query tail is the bounded aggregation, not a window
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("topkagg") || plan.contains("TopKAgg"),
+        "batch tail must be the bounded TopKAgg, not a row_number window")
+      assert(plan.contains("SelectedBucketsCount"),
+        "batch vocabulary did not prune postings buckets")
+    } finally idx.drop(spark)
+  }
+
   test("indexed phrase search equals direct adjacency recompute; reads only the positions buckets") {
     val idx = TextIndex("phrspec_idx", nBuckets = 4, positional = true)
     idx.drop(spark)
