@@ -120,16 +120,21 @@ object Bm25 {
     */
   def topKIndexedBatch(spark: SparkSession, prefix: String,
                        queryTerms: DataFrame, k: Int): DataFrame = {
-    val q = queryTerms.select(col("query_id"), col("term")).distinct()
-      .localCheckpoint(true)
-    val vocab = q.select(col("term")).distinct().collect().map(_.getString(0)).toSeq
+    // one driver round-trip materializes the batch (request-sized by
+    // definition); q becomes a LocalRelation — no job to re-derive it
+    // per use, and the vocabulary is a plain literal list
+    val pairs = queryTerms.select(col("query_id"), col("term")).distinct().collect()
+    val q = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.toSeq, 1), queryTerms.select(
+        col("query_id"), col("term")).schema))
+    val vocab = pairs.map(_.getString(1)).distinct.toSeq
     val post = spark.table(s"${prefix}_postings")
       .filter(col("term").isin(vocab: _*))
     val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = spark.table(s"${prefix}_stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val scored = post
-      .join(broadcast(q), Seq("term"))
+      .join(q, Seq("term"))
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),

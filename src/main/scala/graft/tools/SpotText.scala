@@ -109,6 +109,49 @@ object SpotText {
       check("text_lookup_cheaper")(tIdx < tDir,
         f"indexed $tIdx%.3f s < direct $tDir%.3f s")
 
+      // (5) batch serving: one plan for 3 queries must beat 3 single
+      // lookups (the amortization x4 exists for) and match them
+      // query for query
+      val batches = Map(0 -> terms1, 1 -> terms2, 2 -> Seq("hash", "merge"))
+      val batchDf = {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            batches.toSeq.flatMap { case (q, ts) => ts.map(t => Row(q, t)) }, 1),
+          StructType(Seq(StructField("query_id", IntegerType, nullable = false),
+            StructField("term", StringType, nullable = false))))
+      }
+      val (batchRows, tBatch) = time(
+        graft.text.Bm25.topKIndexedBatch(spark, "spottext_idx", batchDf, 20).collect())
+      val singles = batches.toSeq.sortBy(_._1).map { case (qid, ts) =>
+        qid -> time(Bm25.topKIndexed(spark, "spottext_idx", ts, 20).collect())
+      }
+      val tSingles = singles.map(_._2._2).sum
+      val batchEqSingles = batches.keys.forall { qid =>
+        val b = batchRows.filter(_.getInt(0) == qid)
+          .map(r => (r.getLong(1), r.getDouble(2))).toSet
+        val s = singles.find(_._1 == qid).get._2._1
+          .map(r => (r.getLong(0), r.getDouble(1))).toSet
+        b == s
+      }
+      check("text_batch_exact")(batchEqSingles,
+        s"3-query batch matches the single-query path per query")
+      // the amortization claim is STRUCTURAL (wall-clock at this
+      // corpus size is per-plan overhead, not I/O): the whole batch
+      // issues the same 2 postings scans (df + scoring) as ONE single
+      // query — 3 singles issue 6 — and both stay bucket-pruned
+      val batchPlan = graft.text.Bm25
+        .topKIndexedBatch(spark, "spottext_idx", batchDf, 20)
+        .queryExecution.executedPlan.toString
+      val nPostScans = batchPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("spottext_idx_postings"))
+      check("text_batch_one_scan_pair")(
+        nPostScans <= 2 && batchPlan.contains("SelectedBucketsCount"),
+        s"$nPostScans postings scans for the whole batch (3 singles issue 6), pruned")
+      println(f"INFO batch wall $tBatch%.3f s vs 3 singles $tSingles%.3f s " +
+        f"(overhead-bound at this tier; the scan count is the scale claim)")
+
       // (2) append ≡ fresh serving at scale (partial stats rows sum)
       val split = maxId * 4 / 5
       idx.build(docs.filter(col("doc_id") <= split))
