@@ -961,6 +961,9 @@ object CorpusOps {
     "x2_rrf_fusion" -> { (s, d) =>
       val txt = graft.text.Bm25.topK(t(s, d, "documents"),
           Seq("table", "query", "spark"), k = 50)
+        // global (unpartitioned) window is safe HERE only because its
+        // input is the already-limited top-50 list — a ≤50-row
+        // single-partition sort, not the q43-class corpus-sized one
         .withColumn("trank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))).cast(IntegerType))
         .select(col("doc_id"), col("trank"))

@@ -13,11 +13,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * doc_id.
   *
   * Reference behavior: the reference exposes corpus-frequency
-  * analysis over JSON datasets (dig-aggregator-core
-  * `FrequencyAnalysis`); keyword retrieval over the same documents
-  * table is the training-data-pipeline extension of that surface
-  * (inverted index + ranked lookup, the Lucene/ES primitive
-  * re-expressed as Spark relational algebra).
+  * analysis over JSON datasets (reference:
+  * src/main/resources/pipeline/frequencyanalysis/frequencyAnalysis.py);
+  * keyword retrieval over the same documents table is the
+  * training-data-pipeline extension of that surface (inverted index
+  * + ranked lookup, the Lucene/ES primitive re-expressed as Spark
+  * relational algebra).
   */
 object Bm25 {
 
