@@ -262,6 +262,25 @@ final class PqSpec extends SparkTestBase {
     Pq.saveIvfPqLaws(spark, "pqspec_idx", measureK = 5, M, KSUB, sampleN = 32)
     assert(canon(Pq.ivfPqTopKIndexedAuto(spark, "pqspec_idx", queries,
       k = 5, M, KSUB, probeFrac = 1.0, budgetFrac = 1.0)) == exactFull)
+    // append does NOT invalidate the stored laws (the documented
+    // margin contract — only a rebuild re-stamps the fingerprint):
+    // after appending a shifted COPY of every vector, serving still
+    // takes the probe arm without refusing, and each query's new
+    // true nearest neighbor — its own copy, cosine 1.0, identical
+    // codes so ADC rank 1 in its own cell — surfaces as rank 1
+    // through the exact rerank
+    val shifted = vecs.select((col("id") + 10000).as("id"), col("vec"))
+    Pq.saveIvfPqIndex(shifted, cents, books, "pqspec_idx", M, KSUB,
+      append = true, nBuckets = 4)
+    val afterAppend = Pq.ivfPqTopKIndexedAuto(spark, "pqspec_idx", queries,
+      k = 5, M, KSUB, probeFrac = 1.0, budgetFrac = 1.0)
+    assert(afterAppend.queryExecution.executedPlan.toString.contains("pqadcpacked"),
+      "append must not flip stored-law serving to the brute arm")
+    val top1 = afterAppend.filter(col("rank") === 1)
+      .select(col("query_id"), col("nbr_id"), col("sim")).collect()
+    assert(top1.nonEmpty && top1.forall(r =>
+      r.getLong(1) == r.getLong(0) + 10000 && r.getDouble(2) > 0.999999),
+      "each query's appended copy must surface as its exact top-1")
     } finally {
       for (s <- Seq("centroids", "books", "codes", "vecs", "laws"))
         spark.sql(s"DROP TABLE IF EXISTS pqspec_idx_$s")
