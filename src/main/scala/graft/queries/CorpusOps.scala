@@ -935,6 +935,18 @@ object CorpusOps {
       graft.text.Bm25.topKIndexedBatch(s, "x4srv_idx", batch, k = 10)
     },
 
+    // "More like this": sparse tf-idf similarity to one source doc,
+    // served from the stored index — the Lucene MLT shape and the
+    // sparse complement of the dense near-dup family. The source's
+    // term profile caps at 25 terms (tf desc, term asc — Lucene's
+    // maxQueryTerms), making the candidate scan a literal isin that
+    // bucket-prunes; score = length-normalized idf²-weighted overlap.
+    "x5_more_like_this" -> { (s, d) =>
+      graft.index.TextIndex("x5srv_idx", nBuckets = 4)
+        .build(t(s, d, "documents").select(col("doc_id"), col("text")))
+      graft.text.Mlt.topKIndexed(s, "x5srv_idx", srcDocId = 0L, k = 10)
+    },
+
     // Exact phrase search served from the POSITIONAL stored index:
     // (term, doc_id, pos) bucketed on term, so the plan reads only
     // the phrase terms' buckets and intersects them on (doc_id,
@@ -2815,6 +2827,41 @@ object CorpusOps {
         |  FROM scored)
         |SELECT query_id, doc_id, score, rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // full replay of the MLT recipe from raw text: capped source
+    // profile (tf desc, term asc, 25), df over candidates INCLUDING
+    // the source doc, idf²-weighted length-normalized overlap
+    "x5_more_like_this" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dlq AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM dlq),
+        |src AS (
+        |  SELECT term, tf AS tf_s, dl AS dl_s
+        |  FROM tfq JOIN dlq USING (doc_id)
+        |  WHERE doc_id = 0
+        |  ORDER BY tf DESC, term LIMIT 25),
+        |cand AS (
+        |  SELECT tfq.doc_id, tfq.term, tfq.tf, dlq.dl
+        |  FROM tfq JOIN dlq USING (doc_id)
+        |  WHERE term IN (SELECT term FROM src)),
+        |dfq AS (SELECT term, count(*) AS df FROM cand GROUP BY term),
+        |per AS (
+        |  SELECT cand.doc_id,
+        |    CAST(round(
+        |      (CAST(tf_s AS DOUBLE) *
+        |        ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)))
+        |      * (CAST(cand.tf AS DOUBLE) *
+        |        ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)))
+        |      / (CAST(dl_s AS DOUBLE) * CAST(cand.dl AS DOUBLE)),
+        |      15) AS DECIMAL(32,15)) AS s
+        |  FROM cand JOIN src USING (term) JOIN dfq USING (term) CROSS JOIN n
+        |  WHERE cand.doc_id <> 0)
+        |SELECT doc_id, count(*) AS n_shared_terms,
+        |  round(CAST(sum(s) AS DOUBLE), 9) AS score
+        |FROM per GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // the same adjacency intersection recomputed from the raw text
     // (parallel unnests zip term with its 1-based position; Spark's

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** "More like this": rank documents by SPARSE tf-idf term-overlap
+  * similarity to one source document — the Lucene MoreLikeThis shape,
+  * and the sparse complement of the dense-embedding near-dup family
+  * (d5/d10): no embeddings required, the stored inverted index IS the
+  * vector space.
+  *
+  * The source doc's representative terms are capped at
+  * `maxQueryTerms` by (tf desc, term asc) — Lucene's maxQueryTerms
+  * dial, and the property that makes serving scale-sane: the term
+  * list is request-bounded by construction, collected once, and
+  * turns the candidate scan into a literal `isin` that BUCKET-PRUNES
+  * the postings table exactly like a BM25 lookup. Nothing
+  * vocabulary- or corpus-sized is ever broadcast.
+  *
+  * Score(C) = Σ_t (tf_S·idf_t) · (tf_C·idf_t) / (dl_S · dl_C) over
+  * the capped terms, idf_t = ln((n_docs + 1)/(df_t + 1)) (the t6
+  * TF-IDF formula), lengths from the norm-in-posting dl column —
+  * a length-normalized sparse dot product. Per-term contributions
+  * are double math over exact integer stats quantized to
+  * DECIMAL(32,15) before the order-independent per-doc sum; the
+  * final score rounds to 9 with ties broken by doc_id.
+  */
+object Mlt {
+
+  /** Top-k most-similar documents to `srcDocId`, served from a
+    * persisted [[graft.index.TextIndex]]. Output:
+    * (doc_id, n_shared_terms, score, rank-free ordered rows).
+    */
+  def topKIndexed(spark: SparkSession, prefix: String, srcDocId: Long,
+                  k: Int, maxQueryTerms: Int = 25): DataFrame = {
+    val post = spark.table(s"${prefix}_postings")
+    // the source doc's capped term profile: request-sized by
+    // construction (≤ maxQueryTerms rows), one driver round-trip
+    val srcRows = post.filter(col("doc_id") === srcDocId)
+      .select(col("term"), col("tf"), col("dl"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(maxQueryTerms)
+      .collect()
+    val terms = srcRows.map(_.getString(0)).toSeq
+    val src = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(srcRows.toSeq, 1),
+      post.select(col("term"), col("tf").as("tf_s"), col("dl").as("dl_s")).schema))
+    val cand = post.filter(col("term").isin(terms: _*))
+    val df = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = spark.table(s"${prefix}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"))
+    val idf = log((col("n_docs").cast(DoubleType) + lit(1.0)) /
+      (col("df").cast(DoubleType) + lit(1.0)))
+    def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    cand.filter(col("doc_id") =!= srcDocId)
+      .join(src, Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"),
+        round((D(col("tf_s")) * idf) * (D(col("tf")) * idf) /
+          (D(col("dl_s")) * D(col("dl"))), 15)
+          .cast(DecimalType(32, 15)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        round(sum(col("s")).cast(DoubleType), 9).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

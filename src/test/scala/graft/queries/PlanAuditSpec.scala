@@ -40,6 +40,9 @@ final class PlanAuditSpec extends SparkTestBase {
                        // scalar and a1's broadcast-query brute scan
       "x4_bm25_batch", // t14's 1-row stats scalar, shared by every
                        // query of the batch
+      "x5_more_like_this", // the same 1-row n_docs scalar (the src
+                           // profile broadcast is a ≤25-row
+                           // LocalRelation, not an aggregate)
       "t15_collocations", // 1-row (n_uni, n_bi) corpus-totals scalar
       "q52_skyline", // dominance is non-equi by nature; the NLJ sides
                      // are the broadcast sample-skyline / pruned
@@ -143,9 +146,12 @@ final class PlanAuditSpec extends SparkTestBase {
                               // ≤ |query terms| rows by construction
                               // (the term list is a literal)
       "s10_stream_text_index", // same serving plan as x1
-      "x4_bm25_batch") // x1's df plus the distinct (query_id, term)
+      "x4_bm25_batch", // x1's df plus the distinct (query_id, term)
                        // batch pairs — both request-sized by
                        // construction, never corpus-keyed
+      "x5_more_like_this") // per-term df over the ≤25 capped source
+                           // terms' postings — maxQueryTerms-bounded
+                           // by construction
 
   test("no broadcast hint on an unbounded aggregate (full registry)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}

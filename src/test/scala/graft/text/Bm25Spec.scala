@@ -109,6 +109,27 @@ final class Bm25Spec extends SparkTestBase {
     } finally idx.drop(spark)
   }
 
+  test("more-like-this: self excluded, shared-term counts bounded, absent source -> empty") {
+    val idx = TextIndex("mltspec_idx", nBuckets = 4)
+    idx.drop(spark)
+    try {
+      idx.build(docs)
+      val got = Mlt.topKIndexed(spark, "mltspec_idx", srcDocId = 0L, k = 10)
+        .collect()
+      assert(got.nonEmpty && got.forall(_.getLong(0) != 0L),
+        "source doc must never rank in its own results")
+      assert(got.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 25),
+        "shared-term count must be within the maxQueryTerms cap")
+      // a capped profile is what makes the scan prunable
+      val plan = Mlt.topKIndexed(spark, "mltspec_idx", srcDocId = 0L, k = 10)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        "capped source profile did not bucket-prune the candidate scan")
+      assert(Mlt.topKIndexed(spark, "mltspec_idx", srcDocId = -1L, k = 10)
+        .count() == 0, "absent source doc must yield no results")
+    } finally idx.drop(spark)
+  }
+
   test("indexed BM25: absent terms score nothing; no query terms -> empty") {
     val idx = TextIndex("bm25spec_idx2", nBuckets = 2)
     idx.drop(spark)
