@@ -63,6 +63,28 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode over a corpus of WAV payloads, batched
+    * per-partition like [[decodeFeatures]]: `media` is (media_id,
+    * payload) rows; every payload is parsed by the JDK's actual WAV
+    * reader ([[MediaDecoder.decodeAudio]]) — format facts, frame
+    * count, duration, exact integer energy. Undecodable payloads fail
+    * LOUDLY (a corpus decode that silently drops rows is how training
+    * sets rot); filter upstream if skipping is intended.
+    */
+  def decodeAudioFeatures(spark: SparkSession,
+                          media: DataFrame): Dataset[MediaDecoder.AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          MediaDecoder.decodeAudio(id, payload).getOrElse(
+            throw new IllegalArgumentException(
+              s"media_id=$id: payload is not decodable 16-bit PCM audio"))
+        }
+      }
+  }
+
   /** Distributed image normalization: every decodable image payload
     * is rescaled to `w`×`h` (re-encoded PNG); non-images and
     * undecodable payloads pass through untouched. One decoder per
@@ -229,6 +251,102 @@ object MediaDecoder {
       }
       out
     } catch { case _: java.io.IOException => None }
+
+  /** Decoded audio facts + exact integer energy. `rms_raw` is the
+    * unrounded root-mean-square over ALL samples (channels
+    * interleaved) — callers quantize it for cross-engine compare.
+    */
+  final case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      sum_sq: Long,
+      rms_raw: Double)
+
+  /** A canonical 44-byte RIFF/WAVE container around 16-bit PCM mono
+    * samples `s_i = ((seed·31 + i·7) mod 201 − 100) · 300` — REAL WAV
+    * bytes (javax.sound parses them like any other file), with sample
+    * values simple enough that a SQL oracle can replay every frame
+    * arithmetically. The deterministic stand-in for a blob store of
+    * recorded audio.
+    */
+  def synthesizeWav(seed: Long, nFrames: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      bb.putShort((((seed * 31 + i.toLong * 7) % 201 - 100) * 300).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Real audio decode through the stock JDK (`javax.sound.sampled` —
+    * WAV/AU/AIFF readers ship with it, no native codecs): parse the
+    * container, read the PCM frames, return the format facts plus the
+    * exact integer energy. None when no installed reader recognizes
+    * the payload or the encoding isn't 16-bit signed PCM — the same
+    * loud-refusal stance as [[decodeImageDims]]; compressed codecs
+    * (MP3/AAC) would bind beside this, exactly here.
+    */
+  def decodeAudio(mediaId: Long, payload: Array[Byte]): Option[AudioFeatures] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var read = ais.read(buf)
+          while (read > 0) { data.write(buf, 0, read); read = ais.read(buf) }
+          val bytes = data.toByteArray
+          val n = bytes.length / 2
+          var sumSq = 0L
+          var i = 0
+          while (i < n) {
+            val s =
+              if (fmt.isBigEndian)
+                ((bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+              else
+                ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort
+            sumSq += s.toLong * s.toLong
+            i += 1
+          }
+          val rate = fmt.getSampleRate.toInt
+          val channels = fmt.getChannels
+          val frames = n.toLong / channels
+          Some(AudioFeatures(
+            media_id = mediaId,
+            sample_rate = rate,
+            channels = channels,
+            bits = 16,
+            n_frames = frames,
+            duration_ms = frames * 1000L / rate,
+            sum_sq = sumSq,
+            rms_raw = math.sqrt(sumSq.toDouble / math.max(n, 1))))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
 
   private def byteSum(payload: Array[Byte]): Long = {
     var s = 0L

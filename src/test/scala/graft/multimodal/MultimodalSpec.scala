@@ -86,6 +86,42 @@ final class MultimodalSpec extends SparkTestBase {
     assert(MediaDecoder.decodeImageDims(resized(3L).payload).contains((10, 10))) // non-image untouched
   }
 
+  test("WAV audio decodes for real through javax.sound: format facts + exact energy") {
+    // the synthesized container is genuine RIFF/PCM16 — prove it by
+    // round-tripping it through the JDK's OWN writer: AudioSystem
+    // re-encodes the parsed stream, and our decode of both byte
+    // strings must agree fact for fact
+    val wav = MediaDecoder.synthesizeWav(seed = 7L, nFrames = 320, sampleRate = 8000)
+    val f = MediaDecoder.decodeAudio(7L, wav).get
+    assert(f.sample_rate == 8000 && f.channels == 1 && f.bits == 16)
+    assert(f.n_frames == 320L && f.duration_ms == 40L)
+    // exact energy: replay the sample formula in plain Scala
+    val expectSumSq = (0 until 320).map { i =>
+      val s = ((7L * 31 + i.toLong * 7) % 201 - 100) * 300
+      s * s
+    }.sum
+    assert(f.sum_sq == expectSumSq)
+    assert(math.abs(f.rms_raw - math.sqrt(expectSumSq.toDouble / 320)) == 0.0)
+
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val f2 = MediaDecoder.decodeAudio(7L, out.toByteArray).get
+    assert(f2 == f, "JDK-rewritten WAV must decode to identical facts")
+
+    // undecodable payloads refuse, not guess
+    assert(MediaDecoder.decodeAudio(9L, "not audio".getBytes).isEmpty)
+    assert(MediaDecoder.decodeAudio(9L, pngBytes(4, 4)).isEmpty)
+    // and the corpus surface fails LOUDLY on them
+    val bad = Seq((9L, "not audio".getBytes)).toDF("media_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioFeatures(spark, bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("decode is stable under repartitioning (per-partition batching)") {
     val docs = (0L until 200L).map(i => (i, s"payload number $i with body " + ("y" * (i % 50).toInt)))
       .toDF("doc_id", "text")
