@@ -661,15 +661,11 @@ object Pq {
     // reclaim a possibly-orphaned location first (the StoredIndex
     // .resetStorage rationale: a previous session may have left the
     // directory without a metastore entry, and saveAsTable would then
-    // fail the CREATE with LOCATION_ALREADY_EXISTS)
+    // fail the CREATE with LOCATION_ALREADY_EXISTS); goes through the
+    // warehouse's Hadoop FileSystem so an HDFS/S3 warehouse reclaims
+    // too, not just local files
     spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_laws")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    val lawsLoc = new java.io.File(wh, s"${tablePrefix}_laws")
-    if (lawsLoc.exists()) rm(lawsLoc)
+    graft.index.StoredIndex.reclaimLocation(spark, s"${tablePrefix}_laws")
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(measureK, sampleN, cellNeeded,
         adcNeeded, nprobe, nCells, n, codesBuildId(spark, tablePrefix))), 1),

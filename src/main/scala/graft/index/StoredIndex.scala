@@ -74,19 +74,11 @@ trait StoredIndex {
     * session warehouse directory joined with the owned table names —
     * nothing an index does not own is touched.
     */
-  protected final def resetStorage(spark: SparkSession): Unit = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
+  protected final def resetStorage(spark: SparkSession): Unit =
     (tableNames ++ derivedTableNames).foreach { name =>
       spark.sql(s"DROP TABLE IF EXISTS $name")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      val loc = new java.io.File(wh, name)
-      if (loc.exists()) rm(loc)
+      StoredIndex.reclaimLocation(spark, name)
     }
-  }
 
   /** Encode ONE batch against the frozen parameters and append its
     * rows. Contract: after any build/append sequence, every table
@@ -94,19 +86,39 @@ trait StoredIndex {
     */
   def append(batch: DataFrame): Unit
 
-  /** Rewrite each table in place — one pass per table, same
-    * bucketing/options — to collapse the small files many appends
-    * leave. Contents unchanged (spec'd).
+  /** Rewrite each table — one pass per table, same bucketing/options
+    * — to collapse the small files many appends leave. Contents
+    * unchanged (spec'd), and `graft.*` table properties (the build
+    * fingerprint stored-law serving checks) survive the rewrite.
+    *
+    * Stage-and-swap, never materialize: the rewrite streams the old
+    * table's files into a STAGED table (storage to storage — nothing
+    * index-sized is pinned in the block manager, which is what a
+    * 100 TB compaction requires), then swaps it in via catalog
+    * rename. A crash between the drop and the rename leaves the
+    * staged table holding the complete contents — recoverable by
+    * hand, never a lost index; the in-place overwrite this replaced
+    * needed the whole table eagerly checkpointed into executor
+    * memory first (Spark refuses to overwrite a relation it is
+    * still reading).
     */
   final def compact(spark: SparkSession): Unit =
     tableSpecs.foreach { ts =>
-      // eager checkpoint: materializes the rows off the table before
-      // the overwrite drops it (Spark refuses to overwrite a relation
-      // still being read otherwise)
-      val snap = spark.table(ts.name).localCheckpoint(true)
-      val w0 = snap.write.mode("overwrite").format("parquet")
+      val staged = s"${ts.name}__compacting"
+      spark.sql(s"DROP TABLE IF EXISTS $staged")
+      StoredIndex.reclaimLocation(spark, staged)
+      val props = spark.sql(s"SHOW TBLPROPERTIES ${ts.name}").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .filter(_._1.startsWith("graft."))
+      val w0 = spark.table(ts.name).write.mode("overwrite").format("parquet")
       val w1 = ts.options.foldLeft(w0) { case (w, (k, v)) => w.option(k, v) }
-      ts.bucketCol.fold(w1)(c => w1.bucketBy(ts.nBuckets, c)).saveAsTable(ts.name)
+      ts.bucketCol.fold(w1)(c => w1.bucketBy(ts.nBuckets, c)).saveAsTable(staged)
+      spark.sql(s"DROP TABLE ${ts.name}")
+      StoredIndex.reclaimLocation(spark, ts.name)
+      spark.sql(s"ALTER TABLE $staged RENAME TO ${ts.name}")
+      props.foreach { case (k, v) =>
+        spark.sql(s"ALTER TABLE ${ts.name} SET TBLPROPERTIES ('$k' = '$v')")
+      }
     }
 
   final def drop(spark: SparkSession): Unit =
@@ -121,6 +133,20 @@ object StoredIndex {
     */
   case class TableSpec(name: String, bucketCol: Option[String], nBuckets: Int,
                        options: Map[String, String] = Map.empty)
+
+  /** Delete an owned table's warehouse location through the Hadoop
+    * `FileSystem` of the configured warehouse — a `java.io.File`
+    * delete silently no-ops on an HDFS/S3 warehouse, leaving the
+    * orphaned directory to brick every future `saveAsTable` CREATE
+    * with LOCATION_ALREADY_EXISTS. Deletion is confined to
+    * `<warehouse>/<table>`.
+    */
+  private[graft] def reclaimLocation(spark: SparkSession, table: String): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loc = new org.apache.hadoop.fs.Path(wh, table)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 }
 
 /** d7's persisted MinHash band index under the shared contract:
@@ -237,18 +263,31 @@ case class IvfPqIndex(prefix: String, centroids: DataFrame, codebooks: DataFrame
   * [[graft.text.Bm25.topKIndexed]].
   */
 case class TextIndex(prefix: String, nBuckets: Int = 32,
-                     positional: Boolean = false) extends StoredIndex {
+                     positional: Boolean = false,
+                     forward: Boolean = false) extends StoredIndex {
   import org.apache.spark.sql.functions._
 
   override def tableSpecs: Seq[StoredIndex.TableSpec] = Seq(
     StoredIndex.TableSpec(s"${prefix}_postings", Some("term"), nBuckets)) ++
     (if (positional)
       Seq(StoredIndex.TableSpec(s"${prefix}_positions", Some("term"), nBuckets))
+    else Nil) ++
+    (if (forward)
+      Seq(StoredIndex.TableSpec(s"${prefix}_profile", Some("doc_id"), nBuckets))
     else Nil)
-  override def scanTableNames: Seq[String] =
-    Seq(s"${prefix}_postings") ++
-      (if (positional) Seq(s"${prefix}_positions") else Nil)
-  override def derivedTableNames: Seq[String] = Seq(s"${prefix}_stats")
+  override def scanTableNames: Seq[String] = tableNames
+  // Beyond `_stats`, the CONFIG-OFF optional tables are listed here
+  // so a rebuild that flips `positional`/`forward` off reclaims the
+  // previous build's table instead of leaving it to silently serve
+  // stale rows (Phrase/Mlt would happily read an orphan that no
+  // build maintains). `_ingest_log` is the streaming ingester's
+  // committed-batch marker (graft.streaming.DocsPipeline): its batch
+  // ids are meaningless across a rebuild, so the index owns its
+  // lifecycle the same way.
+  override def derivedTableNames: Seq[String] =
+    Seq(s"${prefix}_stats", s"${prefix}_ingest_log") ++
+      (if (positional) Nil else Seq(s"${prefix}_positions")) ++
+      (if (forward) Nil else Seq(s"${prefix}_profile"))
 
   override def build(corpus: DataFrame): Unit = {
     resetStorage(corpus.sparkSession)
@@ -256,33 +295,80 @@ case class TextIndex(prefix: String, nBuckets: Int = 32,
   }
   override def append(batch: DataFrame): Unit = write(batch, append = true)
 
+  /** One tokenize pass feeds every table, but the reuse point differs
+    * by path. BUILD: the relation is corpus-sized, so STORAGE is the
+    * reuse point — the first table (positions when positional, else
+    * postings) is written straight from the tokenize lineage, and
+    * every other table derives by reading the just-written catalog
+    * table back; nothing corpus-sized ever enters the block manager.
+    * APPEND: the batch is micro-batch-sized by the streaming trigger,
+    * so its aggregated tf pins in the block manager (bounded) — the
+    * read-back trick is unavailable because appended rows mix with
+    * the existing table's.
+    */
   private def write(docs: DataFrame, append: Boolean): Unit = {
+    val spark = docs.sparkSession
     val mode = if (append) "append" else "overwrite"
-    // one tokenize pass feeds every table: the materialized relation
-    // is the aggregated tf in the pure-BM25 case, or the positional
-    // token stream when `positional` (tf then rolls up from it) —
-    // either way the text is never read twice; the posting rows take
-    // their dl via a doc_id window over the SAME relation (the
-    // norm-in-posting layout serving relies on)
-    val tf = (if (positional) {
-      val pos = docs
-        .select(col("doc_id"),
-          posexplode(graft.text.TextOps.tokens(col("text"))).as(Seq("pos", "term")))
-        .localCheckpoint(false)
-      pos.select(col("term"), col("doc_id"), col("pos"))
-        .write.mode(mode).format("parquet")
-        .bucketBy(nBuckets, "term").saveAsTable(s"${prefix}_positions")
-      pos.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    } else docs
-      .select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    ).localCheckpoint(false)
-    tf.withColumn("dl", sum(col("tf")).over(
+    // (term, doc_id, tf, dl) with dl via a doc_id window — the
+    // norm-in-posting layout serving relies on
+    def withDl(tf: DataFrame): DataFrame =
+      tf.withColumn("dl", sum(col("tf")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    def writePostings(rows: DataFrame): Unit = rows
       .write.mode(mode).format("parquet")
       .bucketBy(nBuckets, "term").saveAsTable(s"${prefix}_postings")
-    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    def writeProfile(rows: DataFrame): Unit = rows
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+      .write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, "doc_id").saveAsTable(s"${prefix}_profile")
+    def writeStats(perDoc: DataFrame): Unit = perDoc
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode(mode).format("parquet").saveAsTable(s"${prefix}_stats")
+
+    if (append) {
+      val tf = (if (positional) {
+        val pos = docs
+          .select(col("doc_id"),
+            posexplode(graft.text.TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+          .localCheckpoint(false)
+        pos.select(col("term"), col("doc_id"), col("pos"))
+          .write.mode(mode).format("parquet")
+          .bucketBy(nBuckets, "term").saveAsTable(s"${prefix}_positions")
+        pos.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      } else docs
+        .select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      ).localCheckpoint(false)
+      writePostings(withDl(tf))
+      if (forward) writeProfile(withDl(tf))
+      writeStats(tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    } else {
+      if (positional) {
+        docs.select(col("doc_id"),
+            posexplode(graft.text.TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+          .select(col("term"), col("doc_id"), col("pos"))
+          .write.mode(mode).format("parquet")
+          .bucketBy(nBuckets, "term").saveAsTable(s"${prefix}_positions")
+        writePostings(withDl(
+          spark.table(s"${prefix}_positions")
+            .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))))
+      } else {
+        writePostings(withDl(docs
+          .select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))))
+      }
+      val post = spark.table(s"${prefix}_postings")
+      if (forward) writeProfile(post)
+      // dl is constant per doc by construction; max() is the
+      // per-doc projection of it
+      writeStats(post.groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
+      // the read-backs above cached these tables' FILE LISTINGS in
+      // this session's relation cache; drop the entries now, or an
+      // append issued from a DIFFERENT session (e.g. the streaming
+      // micro-batch clone in DocsPipeline — its write refreshes only
+      // its own cache) stays invisible to every later read here
+      spark.catalog.refreshTable(s"${prefix}_postings")
+      if (positional) spark.catalog.refreshTable(s"${prefix}_positions")
+    }
   }
 }

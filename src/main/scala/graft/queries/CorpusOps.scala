@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongTyp
 
 import graft.ann.{Ann, Pq, Quantize}
 import graft.dedup.{Dedup, MinHashLSH, NgramJaccard, SimHash}
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaDecoder, Multimodal}
 import graft.streaming.EventsPipeline
 import graft.text.TextOps
 
@@ -904,12 +904,12 @@ object CorpusOps {
     // BM25 served from the PERSISTED inverted index (graft.index
     // .TextIndex under the StoredIndex contract): the corpus text is
     // never read at serve time — query-term postings come from the
-    // term-bucketed postings table, doc lengths from the doc_id-
-    // bucketed doclens table, corpus stats from the SUM of the
-    // per-batch partial rows the index maintains. Scoring is the
-    // SAME expression tree as t14, so t14's exact oracle gates the
-    // entire stored path — build, bucketing, stats maintenance,
-    // serve — exactly like a9 gates the packed PQ path.
+    // term-bucketed postings table, each carrying its doc's length
+    // (norm-in-posting, so nothing doc-keyed is read), corpus stats
+    // from the SUM of the per-batch partial rows the index maintains.
+    // Scoring is the SAME expression tree as t14, so t14's exact
+    // oracle gates the entire stored path — build, bucketing, stats
+    // maintenance, serve — exactly like a9 gates the packed PQ path.
     "x1_bm25_indexed" -> { (s, d) =>
       graft.index.TextIndex("x1srv_idx", nBuckets = 4)
         .build(t(s, d, "documents").select(col("doc_id"), col("text")))
@@ -939,10 +939,13 @@ object CorpusOps {
     // served from the stored index — the Lucene MLT shape and the
     // sparse complement of the dense near-dup family. The source's
     // term profile caps at 25 terms (tf desc, term asc — Lucene's
-    // maxQueryTerms), making the candidate scan a literal isin that
-    // bucket-prunes; score = length-normalized idf²-weighted overlap.
+    // maxQueryTerms) and is read from the doc_id-bucketed FORWARD
+    // table (forward = true — the IvfPqIndex `_vecs` move), so the
+    // doc-keyed lookup prunes to one bucket; the capped terms then
+    // make the candidate scan a literal isin that bucket-prunes the
+    // postings table; score = length-normalized idf²-weighted overlap.
     "x5_more_like_this" -> { (s, d) =>
-      graft.index.TextIndex("x5srv_idx", nBuckets = 4)
+      graft.index.TextIndex("x5srv_idx", nBuckets = 4, forward = true)
         .build(t(s, d, "documents").select(col("doc_id"), col("text")))
       graft.text.Mlt.topKIndexed(s, "x5srv_idx", srcDocId = 0L, k = 10)
     },
@@ -1234,6 +1237,33 @@ object CorpusOps {
       Multimodal.decodeFeatures(s, media).toDF()
         .select(col("media_id"), col("media_type"), col("byte_len"),
           col("width"), col("height"))
+        .orderBy(col("media_id"))
+    },
+
+    // REAL audio decode (m4): deterministic 16-bit PCM WAV containers
+    // — genuine RIFF bytes, parsed by the stock JDK's actual WAV
+    // reader (javax.sound.sampled), no codec stubs — synthesized per
+    // doc with samples simple enough that DuckDB replays every frame:
+    // s_i = ((doc_id·31 + i·7) mod 201 − 100)·300 over n_chars-derived
+    // frame counts. The decode extracts format facts (rate, channels,
+    // bits), the frame count, integer-exact duration and energy, and
+    // the RMS from the exact sum of squares — so the oracle pins the
+    // whole container-parse + PCM-walk path bit-for-bit. A real
+    // recorded-audio corpus swaps the synth for its blob column; the
+    // decode, schema, and per-partition batching are unchanged.
+    "m4_audio_features" -> { (s, d) =>
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nChars) =>
+          (id, MediaDecoder.synthesizeWav(id, nFrames = (nChars % 1000 + 100).toInt))
+        })
+        .toDF("media_id", "payload")
+      Multimodal.decodeAudioFeatures(s, media).toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_frames"), col("duration_ms"), col("sum_sq"),
+          round(col("rms_raw"), 6).as("rms"))
         .orderBy(col("media_id"))
     },
 
@@ -1621,8 +1651,8 @@ object CorpusOps {
     // Streaming ingestion into the persisted inverted text index (the
     // s9 "index IS the state" shape applied to retrieval): half the
     // corpus seeds the index, the other half streams in and each
-    // micro-batch APPENDS (postings + doclens + one partial stats
-    // row). The returned top-k is served from the final index and is
+    // micro-batch APPENDS (norm-in-posting postings rows + one
+    // partial stats row). The returned top-k is served from the final index and is
     // gated by t14's exact oracle over ALL documents — proving
     // seed + stream ≡ one fresh build ≡ no index, rank-for-rank.
     "s10_stream_text_index" -> { (s, d) =>
@@ -3168,6 +3198,30 @@ object CorpusOps {
         |  FROM px p JOIN m USING (doc_id) GROUP BY p.doc_id)
         |SELECT doc_id, ahash, count(*) OVER (PARTITION BY ahash) AS n_same
         |FROM bits ORDER BY doc_id""".stripMargin,
+
+    // the oracle replays every PCM frame of the synthesized WAVs
+    // arithmetically (the sample formula is the contract); the Spark
+    // side must recover the identical facts by actually PARSING the
+    // RIFF container and walking the frames through javax.sound
+    "m4_audio_features" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, n_chars % 1000 + 100 AS n_frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, n_frames,
+        |    unnest(range(0, n_frames)) AS i
+        |  FROM f),
+        |a AS (
+        |  SELECT media_id, n_frames,
+        |    sum(((media_id * 31 + i * 7) % 201 - 100) * 300
+        |      * (((media_id * 31 + i * 7) % 201 - 100) * 300)) AS sum_sq
+        |  FROM s GROUP BY media_id, n_frames)
+        |SELECT media_id, 8000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(sum_sq AS BIGINT) AS sum_sq,
+        |  round(sqrt(CAST(sum_sq AS DOUBLE) / n_frames), 6) AS rms
+        |FROM a ORDER BY media_id""".stripMargin,
 
     "m1_media_features" ->
       """SELECT doc_id AS media_id,

@@ -122,11 +122,12 @@ object Bm25 {
   def topKIndexedBatch(spark: SparkSession, prefix: String,
                        queryTerms: DataFrame, k: Int): DataFrame = {
     // one driver round-trip materializes the batch (request-sized by
-    // definition); q becomes a LocalRelation — no job to re-derive it
-    // per use, and the vocabulary is a plain literal list
+    // definition); the list-backed createDataFrame makes q a true
+    // LocalRelation — no job, no RDD scan, to re-derive it per use —
+    // and the vocabulary is a plain literal list
     val pairs = queryTerms.select(col("query_id"), col("term")).distinct().collect()
     val q = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(pairs.toSeq, 1), queryTerms.select(
+      java.util.Arrays.asList(pairs: _*), queryTerms.select(
         col("query_id"), col("term")).schema))
     val vocab = pairs.map(_.getString(1)).distinct.toSeq
     val post = spark.table(s"${prefix}_postings")

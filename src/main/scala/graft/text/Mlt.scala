@@ -28,23 +28,63 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Mlt {
 
+  /** The source doc's capped term profile, read from the doc_id-
+    * bucketed `<prefix>_profile` FORWARD table the index persists
+    * for exactly this doc-keyed access (the same move as IvfPqIndex's
+    * id-bucketed `_vecs`): the predicate prunes to one bucket, so
+    * fetching one document's ≤`maxQueryTerms` rows costs one bucket
+    * read — never a scan of the corpus-sized postings table, whose
+    * term-bucketing a doc_id predicate cannot prune. Exposed so the
+    * spec can pin that plan shape.
+    */
+  /** Pin bucketed scans on while planning/running `f`: a pure
+    * filter+limit plan has no join or aggregate that needs the
+    * bucket distribution, so `DisableUnnecessaryBucketedScan` turns
+    * the bucketed read off — and with it the BUCKET PRUNING that is
+    * the entire point of the doc_id-bucketed profile read. The rule
+    * optimizes for exchange elimination and does not model pruning
+    * benefit; scoped here, restored after.
+    */
+  private[graft] def withBucketedScan[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private[graft] def sourceProfile(spark: SparkSession, prefix: String,
+                                   srcDocId: Long, maxQueryTerms: Int): DataFrame = {
+    val profileTable = s"${prefix}_profile"
+    require(spark.catalog.tableExists(profileTable),
+      s"more-like-this serves the source profile from the doc_id-bucketed " +
+        s"$profileTable table — build the TextIndex with forward = true")
+    spark.table(profileTable)
+      .filter(col("doc_id") === srcDocId)
+      .select(col("term"), col("tf"), col("dl"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(maxQueryTerms)
+  }
+
   /** Top-k most-similar documents to `srcDocId`, served from a
-    * persisted [[graft.index.TextIndex]]. Output:
-    * (doc_id, n_shared_terms, score, rank-free ordered rows).
+    * persisted [[graft.index.TextIndex]] built with `forward = true`.
+    * Output: (doc_id, n_shared_terms, score, rank-free ordered rows).
     */
   def topKIndexed(spark: SparkSession, prefix: String, srcDocId: Long,
                   k: Int, maxQueryTerms: Int = 25): DataFrame = {
     val post = spark.table(s"${prefix}_postings")
-    // the source doc's capped term profile: request-sized by
-    // construction (≤ maxQueryTerms rows), one driver round-trip
-    val srcRows = post.filter(col("doc_id") === srcDocId)
-      .select(col("term"), col("tf"), col("dl"))
-      .orderBy(col("tf").desc, col("term"))
-      .limit(maxQueryTerms)
-      .collect()
+    // the capped profile is request-sized by construction
+    // (≤ maxQueryTerms rows), one bucket-pruned driver round-trip
+    val srcRows = withBucketedScan(spark) {
+      sourceProfile(spark, prefix, srcDocId, maxQueryTerms).collect()
+    }
     val terms = srcRows.map(_.getString(0)).toSeq
+    // list-backed createDataFrame -> a true LocalRelation (≤25 rows)
     val src = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(srcRows.toSeq, 1),
+      java.util.Arrays.asList(srcRows: _*),
       post.select(col("term"), col("tf").as("tf_s"), col("dl").as("dl_s")).schema))
     val cand = post.filter(col("term").isin(terms: _*))
     val df = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))

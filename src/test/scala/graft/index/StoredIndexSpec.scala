@@ -124,10 +124,41 @@ final class StoredIndexSpec extends SparkTestBase {
       vecs.filter(col("id") % 5 === 0))
   }
 
+  /** Executed-plan capture around `body`: QueryExecutionListener
+    * events arrive async on the listener bus, so poll until the
+    * captured set is quiet for 500 ms (suites run sequentially in the
+    * forked test JVM — nothing else executes concurrently).
+    */
+  private def capturePlans(body: => Unit): Seq[String] = {
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      var last = -1
+      var quietMs = 0
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (quietMs < 500 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val now = plans.synchronized(plans.size)
+        if (now == last) quietMs += 100 else { quietMs = 0; last = now }
+      }
+      plans.synchronized(plans.toSeq)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("inverted text index (x1) honors the shared contract; stats rows sum across batches") {
-    // positional = true so the contract covers all three built tables
-    // (postings, doclens, positions)
-    val idx = TextIndex("sidx_text", nBuckets = 4, positional = true)
+    // positional + forward = true so the contract covers all three
+    // built tables (postings, positions, profile)
+    val idx = TextIndex("sidx_text", nBuckets = 4, positional = true, forward = true)
     contract(idx,
       docs.filter(col("doc_id") % 3 =!= 0),
       docs.filter(col("doc_id") % 3 === 0))
@@ -144,6 +175,97 @@ final class StoredIndexSpec extends SparkTestBase {
         .agg(sum("n_docs"), sum("sum_dl")).head()
       assert(summed == fresh, "partial stats rows do not sum to the fresh stats")
     } finally idx.drop(spark)
+  }
+
+  test("a config-flipped TextIndex rebuild reclaims the previous build's optional tables") {
+    // a positional/forward build followed by a rebuild WITHOUT those
+    // flags must not leave the old `_positions`/`_profile` tables
+    // behind — Phrase/Mlt would silently serve rows no build
+    // maintains (the same staleness class the laws fingerprint
+    // guards against)
+    val full = TextIndex("sidx_flip", nBuckets = 2, positional = true, forward = true)
+    val bare = TextIndex("sidx_flip", nBuckets = 2)
+    bare.drop(spark); full.drop(spark)
+    try {
+      full.build(docs.filter(col("doc_id") < 100))
+      assert(spark.catalog.tableExists("sidx_flip_positions"))
+      assert(spark.catalog.tableExists("sidx_flip_profile"))
+      bare.build(docs.filter(col("doc_id") < 100))
+      assert(!spark.catalog.tableExists("sidx_flip_positions"),
+        "rebuild with positional=false left a stale positions table")
+      assert(!spark.catalog.tableExists("sidx_flip_profile"),
+        "rebuild with forward=false left a stale profile table")
+      // and the reclaim cleared the location too: flipping back on
+      // rebuilds from scratch without LOCATION_ALREADY_EXISTS
+      full.build(docs.filter(col("doc_id") < 100))
+      assert(spark.table("sidx_flip_profile").count() > 0)
+    } finally { full.drop(spark); bare.drop(spark) }
+  }
+
+  test("compact stages through storage: no block-manager materialization in its plans") {
+    // the rewrite must stream table -> staged table -> rename; an
+    // index-sized localCheckpoint/cache (the old implementation)
+    // cannot survive a 100 TB compaction
+    val idx = ProbeSketchIndex("sidx_cplan", dim = 64, nBuckets = 2)
+    idx.drop(spark)
+    try {
+      idx.build(vecs.filter(col("id") % 2 === 0))
+      idx.append(vecs.filter(col("id") % 2 =!= 0))
+      val before = snapshot(spark.table("sidx_cplan"))
+      val plans = capturePlans(idx.compact(spark))
+      assert(plans.nonEmpty)
+      for (p <- plans) {
+        assert(!p.contains("ExistingRDD"),
+          s"compact materialized through the block manager:\n$p")
+        assert(!p.contains("InMemoryTableScan"),
+          s"compact cached the table:\n$p")
+      }
+      assert(snapshot(spark.table("sidx_cplan")) == before)
+    } finally idx.drop(spark)
+  }
+
+  test("compact preserves graft.* table properties (the stored-law build fingerprint)") {
+    // saveIvfPqLaws pins the codes table's graft.build_id and serving
+    // refuses on mismatch; a compaction does not change contents, so
+    // it must carry the fingerprint across the rewrite or every
+    // compacted PQ index would refuse its own valid laws
+    val idx = ProbeSketchIndex("sidx_cprops", dim = 64, nBuckets = 2)
+    idx.drop(spark)
+    try {
+      idx.build(vecs.filter(col("id") < 100))
+      spark.sql(
+        "ALTER TABLE sidx_cprops SET TBLPROPERTIES ('graft.build_id' = 'bid-123')")
+      idx.compact(spark)
+      val prop = spark.sql("SHOW TBLPROPERTIES sidx_cprops")
+        .filter(col("key") === "graft.build_id").collect()
+      assert(prop.length == 1 && prop(0).getString(1) == "bid-123",
+        "compact dropped the graft.build_id fingerprint")
+      // the bucketing survived the stage-and-swap rename as well
+      val staged = spark.catalog.tableExists("sidx_cprops__compacting")
+      assert(!staged, "compact left its staging table behind")
+    } finally idx.drop(spark)
+  }
+
+  test("TextIndex build reads the corpus text exactly once and materializes nothing") {
+    // the build path's reuse point is STORAGE (write the first table
+    // from the tokenize lineage, derive the rest by reading it back)
+    // — a corpus-sized localCheckpoint in the block manager is the
+    // thing a fresh 100 TB build cannot afford
+    for (positional <- Seq(false, true)) {
+      val idx = TextIndex("sidx_onepass", nBuckets = 2,
+        positional = positional, forward = true)
+      idx.drop(spark)
+      try {
+        val plans = capturePlans(idx.build(docs))
+        val textScans = plans.count(p =>
+          p.contains("FileScan") && p.contains("documents.parquet"))
+        assert(textScans == 1,
+          s"positional=$positional: corpus text scanned $textScans times (want 1)")
+        for (p <- plans)
+          assert(!p.contains("ExistingRDD"),
+            s"positional=$positional: build materialized a corpus-sized relation:\n$p")
+      } finally idx.drop(spark)
+    }
   }
 
   test("IVF-PQ index owns its derived laws table: rebuild and drop reclaim it") {

@@ -12,8 +12,8 @@ import graft.index.TextIndex
   * pins what the oracle can't see: exactness UNDER APPEND (the
   * per-batch partial stats rows must SUM to the fresh corpus stats,
   * or every score is silently wrong), a disjoint term set, and the
-  * serving plan's storage properties (no text column scanned, no
-  * exchange on the stored side of the doclens join).
+  * serving plan's storage properties (no text column scanned, doc
+  * lengths ride in the posting row — nothing doc-keyed is read).
   */
 final class Bm25Spec extends SparkTestBase {
 
@@ -110,7 +110,7 @@ final class Bm25Spec extends SparkTestBase {
   }
 
   test("more-like-this: self excluded, shared-term counts bounded, absent source -> empty") {
-    val idx = TextIndex("mltspec_idx", nBuckets = 4)
+    val idx = TextIndex("mltspec_idx", nBuckets = 4, forward = true)
     idx.drop(spark)
     try {
       idx.build(docs)
@@ -127,6 +127,52 @@ final class Bm25Spec extends SparkTestBase {
         "capped source profile did not bucket-prune the candidate scan")
       assert(Mlt.topKIndexed(spark, "mltspec_idx", srcDocId = -1L, k = 10)
         .count() == 0, "absent source doc must yield no results")
+    } finally idx.drop(spark)
+  }
+
+  test("more-like-this profile read is doc-bucket-pruned on the FORWARD table, never the postings") {
+    val idx = TextIndex("mltspec_fw", nBuckets = 4, forward = true)
+    idx.drop(spark)
+    try {
+      idx.build(docs)
+      // the doc-keyed lookup scans the doc_id-bucketed forward table
+      // and prunes to ONE bucket — a doc_id predicate against the
+      // term-bucketed postings table would be an unprunable full scan
+      // of a corpus-sized table, the x5 serving-path scale-killer
+      // plan under the same pinned-bucketed-scan conf serving uses
+      // (DisableUnnecessaryBucketedScan would otherwise drop the
+      // pruning from this no-join plan)
+      val profPlan = Mlt.withBucketedScan(spark) {
+        Mlt.sourceProfile(spark, "mltspec_fw", 0L, 25)
+          .queryExecution.executedPlan.toString
+      }
+      assert(profPlan.contains("mltspec_fw_profile"),
+        "profile read must scan the forward table")
+      assert(!profPlan.contains("mltspec_fw_postings"),
+        "profile read must never scan the postings table")
+      assert("SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(profPlan).exists(m => m.group(1).toInt == 1),
+        s"doc_id predicate must prune the forward table to one bucket: $profPlan")
+      // the candidate plan consumes the profile driver-side — the
+      // forward table never appears in the scoring plan itself
+      val candPlan = Mlt.topKIndexed(spark, "mltspec_fw", srcDocId = 0L, k = 10)
+        .queryExecution.executedPlan.toString
+      assert(!candPlan.contains("mltspec_fw_profile"),
+        "scoring plan must not rescan the forward table")
+      // forward rows ≡ postings rows (bucketing is the only difference)
+      assert(canon(spark.table("mltspec_fw_profile")) ==
+        canon(spark.table("mltspec_fw_postings")
+          .select(col("doc_id"), col("term"), col("tf"), col("dl"))))
+      // an index built WITHOUT the forward table refuses MLT loudly
+      val bare = TextIndex("mltspec_bare", nBuckets = 4)
+      bare.drop(spark)
+      try {
+        bare.build(docs)
+        val e = intercept[IllegalArgumentException] {
+          Mlt.topKIndexed(spark, "mltspec_bare", srcDocId = 0L, k = 10)
+        }
+        assert(e.getMessage.contains("forward"))
+      } finally bare.drop(spark)
     } finally idx.drop(spark)
   }
 
