@@ -120,9 +120,9 @@ object DocsPipeline {
     * ([[graft.index.TextIndex]]) — the s9 shape applied to retrieval:
     * docs with id < `splitId` seed the index in one batch build, docs
     * with id ≥ `splitId` arrive through the stream and each
-    * micro-batch is `append`ed (postings + doclens rows, one partial
-    * stats row per batch — the contract that makes serving stats
-    * exact under ANY batch history). No streaming state store: the
+    * micro-batch is `append`ed (norm-in-posting postings rows, one
+    * partial stats row per batch — the contract that makes serving
+    * stats exact under ANY batch history). No streaming state store: the
     * index IS the state, a catalog table, so state size never bounds
     * corpus size. Returns the BM25 top-k served from the final index
     * — gated by the same exact oracle as the direct t14 computation
@@ -147,18 +147,49 @@ object DocsPipeline {
       .select(col("doc_id"), col("text"))
       .writeStream
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // pin the batch off its streaming-scan lineage: append
-          // tokenizes it once into three table writes
-          val docsIn = batch.localCheckpoint()
-          idx.append(docsIn)
-          docsIn.unpersist()
-          ()
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatchOnce(idx, batchId, batch)
       }
       .start()
     q.awaitTermination()
     graft.text.Bm25.topKIndexed(spark, prefix, terms, k)
+  }
+
+  /** Idempotent micro-batch append into a [[graft.index.TextIndex]].
+    * `foreachBatch` is at-least-once: the common replay is a batch
+    * whose body COMPLETED but whose stream commit-log write did not
+    * (crash between the two), re-offered with the same `batchId` on
+    * restart. The `<prefix>_ingest_log` marker table — written as the
+    * LAST step of the body — closes exactly that window: a replayed
+    * batchId whose marker row exists is skipped instead of
+    * double-appending postings and stats rows. The marker's lifecycle
+    * belongs to the index (a TextIndex derived table): a rebuild
+    * resets the log, since batch ids from before the rebuild describe
+    * an index that no longer exists.
+    *
+    * Residual (documented, not closed): the body's table appends are
+    * not atomic with each other, so a crash MID-append leaves a
+    * partially-applied, unmarked batch that a replay re-appends in
+    * full — resolving that needs a transactional multi-table commit,
+    * which plain parquet catalog tables cannot express.
+    */
+  private[graft] def appendBatchOnce(idx: graft.index.TextIndex, batchId: Long,
+                                     batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val logTable = s"${idx.prefix}_ingest_log"
+    val applied = spark.catalog.tableExists(logTable) &&
+      !spark.table(logTable).filter(col("batch_id") === batchId).isEmpty
+    if (!applied && !batch.isEmpty) {
+      // pin the batch off its streaming-scan lineage: append
+      // tokenizes it once into the index's table writes
+      val docsIn = batch.localCheckpoint()
+      idx.append(docsIn)
+      docsIn.unpersist()
+      spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(batchId)),
+          StructType(Seq(StructField("batch_id", LongType, nullable = false))))
+        .write.mode("append").format("parquet").saveAsTable(logTable)
+      ()
+    }
   }
 }

@@ -78,6 +78,39 @@ final class DocsPipelineSpec extends SparkTestBase {
     assert(got.forall(_._2 >= 100L))
   }
 
+  test("text-index ingestion replays a committed batchId as a no-op (at-least-once closed)") {
+    // foreachBatch re-offers a batch whose body completed but whose
+    // stream commit-log write did not; the ingest-log marker makes
+    // that replay skip instead of double-appending postings/stats
+    val idx = graft.index.TextIndex("dps_ingest", nBuckets = 2)
+    idx.drop(spark)
+    try {
+      val p1 = allDocsDF.filter($"doc_id" < 100).select($"doc_id", $"text")
+      val p2 = allDocsDF.filter($"doc_id" >= 100).select($"doc_id", $"text")
+      idx.build(p1)
+      DocsPipeline.appendBatchOnce(idx, batchId = 0L, p2)
+      val once = spark.table("dps_ingest_postings").collect().map(_.toSeq).sorted(
+        Ordering.by((s: Seq[Any]) => s.mkString("|")))
+      // the replay: same batchId, marker present -> nothing appended
+      DocsPipeline.appendBatchOnce(idx, batchId = 0L, p2)
+      val twice = spark.table("dps_ingest_postings").collect().map(_.toSeq).sorted(
+        Ordering.by((s: Seq[Any]) => s.mkString("|")))
+      assert(once.toSeq == twice.toSeq, "replayed batchId double-appended postings")
+      assert(spark.table("dps_ingest_stats").count() == 2,
+        "replayed batchId appended a second partial stats row")
+      assert(spark.table("dps_ingest_ingest_log").as[Long].collect().toSeq == Seq(0L))
+      // a NEW batchId appends normally
+      DocsPipeline.appendBatchOnce(idx, batchId = 1L,
+        Seq(uniq(900L, "late straggler document with words")).toDF(
+          "doc_id", "text", "lang", "source", "n_chars").select($"doc_id", $"text"))
+      assert(spark.table("dps_ingest_stats").count() == 3)
+      // rebuild resets the log: pre-rebuild batch ids describe an
+      // index that no longer exists
+      idx.build(p1)
+      assert(!spark.catalog.tableExists("dps_ingest_ingest_log"))
+    } finally idx.drop(spark)
+  }
+
   test("an input dir with no gated files yields an empty, correctly-shaped report") {
     val srcDir  = tmpDir("docs-nd-empty-src")
     val workDir = tmpDir("docs-nd-empty-work")
