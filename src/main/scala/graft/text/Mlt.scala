@@ -93,7 +93,7 @@ object Mlt {
     val idf = log((col("n_docs").cast(DoubleType) + lit(1.0)) /
       (col("df").cast(DoubleType) + lit(1.0)))
     def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
-    cand.filter(col("doc_id") =!= srcDocId)
+    val out = cand.filter(col("doc_id") =!= srcDocId)
       .join(src, Seq("term"))
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(nDocs))
@@ -106,5 +106,11 @@ object Mlt {
         round(sum(col("s")).cast(DoubleType), 9).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+    // force the plan under the pinned conf (the Phrase.matchesIndexed
+    // rationale): every join here is broadcast by construction, so the
+    // candidate scan's bucket pruning survives only as long as the
+    // planner deems the term bucketing useful — pin it, don't hope
+    withBucketedScan(spark) { out.queryExecution.executedPlan }
+    out
   }
 }

@@ -27,10 +27,25 @@ object Phrase {
 
   /** (doc_id, n_matches) served from the positional index — reads
     * ONLY the phrase terms' buckets of `<prefix>_positions`.
+    *
+    * The physical plan is forced HERE, under a pinned bucketed-scan
+    * conf: the adjacency join runs on `(doc_id, pos)`, so the
+    * planner sees the `term` bucketing as useless for distribution
+    * and `DisableUnnecessaryBucketedScan` would switch the scans to
+    * unbucketed — silently discarding the BUCKET PRUNING that bounds
+    * a phrase lookup to its terms' buckets (the rule models exchange
+    * elimination, not pruning benefit; at the sf1 tier a broadcast
+    * join masked this, at sf10 the audit caught the full-table
+    * read). Forcing `executedPlan` inside the scope pins the scans
+    * (AQE re-optimizes exchanges above them, never the leaves), so
+    * later actions on the returned frame keep the pruned plan.
     */
   def matchesIndexed(spark: SparkSession, prefix: String,
-                     phrase: Seq[String]): DataFrame =
-    matchesFrom(spark.table(s"${prefix}_positions"), phrase)
+                     phrase: Seq[String]): DataFrame = {
+    val out = matchesFrom(spark.table(s"${prefix}_positions"), phrase)
+    Mlt.withBucketedScan(spark) { out.queryExecution.executedPlan }
+    out
+  }
 
   // the n-fold adjacency intersection over any (term, doc_id, pos)
   // relation: anchor on the first term's positions, then each
