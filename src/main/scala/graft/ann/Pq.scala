@@ -645,11 +645,27 @@ object Pq {
     * derived table (dropped on build/drop), and the fingerprint
     * check backstops any laws table that escapes that lifecycle.
     */
+  /** The build-time measurement sample the stored laws are derived
+    * from: `sampleN` stored vectors in deterministic xxhash64(id)
+    * order — spread across the whole id range, NOT the smallest ids.
+    * An id-prefix sample measures whatever cohort happens to occupy
+    * the low ids (in an append-ordered corpus, the oldest batch) and
+    * its worst-case ranks transfer badly to population queries; the
+    * hash order is id-uniform by construction, deterministic across
+    * runs, and costs one bounded TopK over the vecs table. Exposed so
+    * audits can serve the EXACT sampled vectors the laws measured
+    * (where the stored-law contract promises exactness, not just
+    * margin coverage).
+    */
+  def lawsSample(spark: SparkSession, tablePrefix: String, sampleN: Int): DataFrame =
+    spark.table(s"${tablePrefix}_vecs").select(col("id"), col("vec"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(sampleN)
+
   def saveIvfPqLaws(spark: SparkSession, tablePrefix: String, measureK: Int,
                     m: Int, ksub: Int, sampleN: Int = 32, marginX: Int = 2): Unit = {
     val corpus = spark.table(s"${tablePrefix}_vecs").select(col("id"), col("vec"))
     val centroids = spark.table(s"${tablePrefix}_centroids")
-    val sample = corpus.orderBy(col("id")).limit(sampleN)
+    val sample = lawsSample(spark, tablePrefix, sampleN)
     val tops = Ann.bruteForceTopK(corpus, sample, measureK)
       .select(col("query_id"), col("nbr_id")).localCheckpoint(true)
     val nCells = centroids.count()
