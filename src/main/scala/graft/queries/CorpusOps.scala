@@ -963,6 +963,77 @@ object CorpusOps {
       graft.text.Phrase.matchesIndexed(s, "x3srv_idx", Seq("table", "hash"))
     },
 
+    // Proximity search ("all these terms within a W-token span, any
+    // order" — Lucene's sloppy-phrase relaxation) served from the
+    // POSITIONAL stored index: per-term position lists join on
+    // doc_id (term-frequency-sized relations), span = greatest −
+    // least over one choice per term, per-doc MIN span gated by the
+    // window. The oracle recomputes the same minimal-span search
+    // from raw text, so index build + storage + the join chain are
+    // output-invisible — the x3 stance for the non-adjacent case.
+    "x7_proximity_search" -> { (s, d) =>
+      graft.index.TextIndex("x7srv_idx", nBuckets = 4, positional = true)
+        .build(t(s, d, "documents").select(col("doc_id"), col("text")))
+      graft.text.Phrase.proximityIndexed(s, "x7srv_idx",
+        Seq("the", "table", "hash"), window = 8)
+    },
+
+    // Hybrid retrieval served ENTIRELY from stored indexes: the x2
+    // fusion with both arms re-pointed at storage — BM25 from the
+    // persisted inverted index (x1's serving path), cosine from the
+    // persisted packed IVF·PQ index (a9's serving path, exact under
+    // its rerank margin). The serve reads NO corpus text and NO raw
+    // embedding outside the rerank join: query-term postings buckets
+    // + pruned code buckets + ≤(rerank) full vectors. Gated by x2's
+    // oracle VERBATIM — identical output proves the entire stored
+    // composition (two index builds, bucketing, packed codes,
+    // ADC + rerank, fusion) is output-invisible, the x1/a9 stance
+    // applied to the composed serving surface.
+    "x6_hybrid_served" -> { (s, d) =>
+      graft.index.TextIndex("x6srv_txt", nBuckets = 4)
+        .build(t(s, d, "documents").select(col("doc_id"), col("text")))
+      val txt = graft.text.Bm25.topKIndexed(s, "x6srv_txt",
+          Seq("table", "query", "spark"), k = 50)
+        // ≤50-row input — the bounded-window x2 rationale
+        .withColumn("trank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast(IntegerType))
+        .select(col("doc_id"), col("trank"))
+      val all = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      val cents = all
+        .select(col("label").as("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x").cast(DoubleType)), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
+      val vecs = all.select(col("id"), col("vec"))
+      val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
+      graft.index.IvfPqIndex("x6srv_vec", cents, books, m = 16, ksub = 64,
+        nBuckets = 4).build(vecs)
+      // x2's oracle arm is exact brute top-50, so the stored serve
+      // runs at FULL dials: nprobe = 10 covers every label cell (the
+      // generator's labels are 0..9 — probing 8 of 10 cost a rank-9
+      // cell its candidate, found the hard way), rerank covers every
+      // candidate at gate scale. Honesty note: at k = 50 over a
+      // 64-dim gate fixture the measured ADC tail is corpus-deep, so
+      // the margins are corpus-sized by construction — the gated
+      // claim is the serving COMPOSITION (stored text arm + stored
+      // packed arm + fusion is output-invisible), and the plan shape
+      // (vec-free codes scan, bounded rerank join) is pinned by the
+      // audit; a corpus with usable ADC structure serves the same
+      // plan at a7/a8's measured dials.
+      val vec = Pq.ivfPqTopKIndexed(s, "x6srv_vec", vecs.filter(col("id") === 0),
+          k = 50, m = 16, ksub = 64, nprobe = 10, rerank = 1999)
+        .select(col("nbr_id").as("doc_id"), col("rank").cast(IntegerType).as("vrank"))
+      txt.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("trank"), col("vrank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("trank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)), 9).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.'s
     // 1/(C + rank) with the standard C = 60) of a BM25 keyword
     // ranking and a cosine embedding ranking over the SAME id domain
@@ -1812,6 +1883,59 @@ object CorpusOps {
        |WHERE bit_count(xor(a.f, b.f)) <= $maxDist
        |ORDER BY a, b""".stripMargin
   }
+
+  /** The RRF hybrid-fusion replay (both arms + the fused
+    * expression) — shared by x2 (direct arms) and x6 (the same
+    * fusion served from stored indexes; identical output proves the
+    * stored composition output-invisible).
+    */
+  private lazy val rrfFusionSql: String =
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('table', 'query', 'spark') GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |per AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(
+         |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |         (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |         (CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(sum_dl AS DOUBLE))),
+         |      9) AS DECIMAL(24,9)) AS s
+         |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN st),
+         |bm AS (
+         |  SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
+         |  FROM per GROUP BY doc_id),
+         |tr AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS trank
+         |  FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+         |v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT b.vec_id AS nbr_id, $cosineExpr AS sim
+         |  FROM v a JOIN v b ON a.vec_id = 0 AND a.vec_id <> b.vec_id),
+         |vr AS (
+         |  SELECT nbr_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY sim DESC, nbr_id) AS INT) AS vrank
+         |  FROM scored ORDER BY sim DESC, nbr_id LIMIT 50),
+         |f AS (
+         |  SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, trank, vrank
+         |  FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+         |SELECT doc_id, trank, vrank,
+         |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + trank), 0) +
+         |        coalesce(CAST(1.0 AS DOUBLE) / (60 + vrank), 0), 9) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -2912,53 +3036,32 @@ object CorpusOps {
     // both arm rankings replayed exactly (t14's BM25 at depth 50,
     // a1's brute cosine for the one query vector), fused with the
     // identical double expression
-    "x2_rrf_fusion" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
-         |  FROM documents),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM toks
-         |  WHERE term IN ('table', 'query', 'spark') GROUP BY 1, 2),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |per AS (
-         |  SELECT tf.doc_id,
-         |    CAST(round(
-         |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
-         |         (CAST(df AS DOUBLE) + 0.5) + 1.0)
-         |      * (CAST(tf AS DOUBLE) * 2.2)
-         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-         |         (CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(sum_dl AS DOUBLE))),
-         |      9) AS DECIMAL(24,9)) AS s
-         |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
-         |  CROSS JOIN st),
-         |bm AS (
-         |  SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
-         |  FROM per GROUP BY doc_id),
-         |tr AS (
-         |  SELECT doc_id,
-         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS trank
-         |  FROM bm ORDER BY score DESC, doc_id LIMIT 50),
-         |v AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(list_sum(list_transform(embedding,
-         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-         |  FROM embeddings),
-         |scored AS (
-         |  SELECT b.vec_id AS nbr_id, $cosineExpr AS sim
-         |  FROM v a JOIN v b ON a.vec_id = 0 AND a.vec_id <> b.vec_id),
-         |vr AS (
-         |  SELECT nbr_id AS doc_id,
-         |    CAST(row_number() OVER (ORDER BY sim DESC, nbr_id) AS INT) AS vrank
-         |  FROM scored ORDER BY sim DESC, nbr_id LIMIT 50),
-         |f AS (
-         |  SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, trank, vrank
-         |  FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
-         |SELECT doc_id, trank, vrank,
-         |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + trank), 0) +
-         |        coalesce(CAST(1.0 AS DOUBLE) / (60 + vrank), 0), 9) AS rrf
-         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // x6 serves the SAME fusion entirely from stored indexes — the
+    // identical expected output is the proof that both stored arms
+    // (inverted-index BM25, packed IVF·PQ cosine) and the fusion are
+    // output-invisible
+    "x6_hybrid_served" -> rrfFusionSql,
+
+    "x2_rrf_fusion" -> rrfFusionSql,
+
+    "x7_proximity_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(t) AS term, unnest(range(1, len(t)+1)) AS pos
+        |  FROM toks),
+        |a AS (SELECT doc_id, pos FROM pos WHERE term = 'the'),
+        |b AS (SELECT doc_id, pos FROM pos WHERE term = 'table'),
+        |c AS (SELECT doc_id, pos FROM pos WHERE term = 'hash')
+        |SELECT a.doc_id,
+        |  CAST(min(greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos))
+        |    AS BIGINT) AS min_span
+        |FROM a JOIN b ON b.doc_id = a.doc_id JOIN c ON c.doc_id = a.doc_id
+        |GROUP BY a.doc_id
+        |HAVING min(greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos)) <= 8
+        |ORDER BY a.doc_id""".stripMargin,
+
 
     "t13_inverted_index" ->
       """WITH toks AS (

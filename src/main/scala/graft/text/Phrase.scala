@@ -47,6 +47,57 @@ object Phrase {
     out
   }
 
+  /** Proximity search — all `terms` within a `window`-token span,
+    * any order (Lucene's sloppy-phrase relaxation) — computed
+    * DIRECTLY from a (doc_id, text) corpus. Output: (doc_id,
+    * min_span) for qualifying docs, min_span = the tightest span
+    * containing one occurrence of every term.
+    */
+  def proximityDirect(docs: DataFrame, terms: Seq[String], window: Int): DataFrame =
+    proximityFrom(
+      docs.select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term"))),
+      terms, window)
+
+  /** Proximity search served from the positional index — reads ONLY
+    * the terms' buckets of `<prefix>_positions` (plan forced under
+    * the pinned bucketed-scan conf, the [[matchesIndexed]] rationale:
+    * the per-doc joins run on `doc_id`, so the planner would drop
+    * the term-bucket pruning as distribution-useless).
+    */
+  def proximityIndexed(spark: SparkSession, prefix: String,
+                       terms: Seq[String], window: Int): DataFrame = {
+    val out = proximityFrom(spark.table(s"${prefix}_positions"), terms, window)
+    Mlt.withBucketedScan(spark) { out.queryExecution.executedPlan }
+    out
+  }
+
+  // one position-choice per term, per doc: the per-term relations
+  // join on doc_id alone (term-frequency-sized — a doc's positions
+  // for one term, never the corpus), span = greatest − least over
+  // the chosen positions, and the per-doc MIN span is compared to
+  // the window. Repeated terms would let one position satisfy two
+  // slots, so the term set must be distinct.
+  private def proximityFrom(positions: DataFrame, terms: Seq[String],
+                            window: Int): DataFrame = {
+    require(terms.nonEmpty, "proximity needs at least one term")
+    require(terms.distinct == terms, "proximity terms must be distinct")
+    require(window >= 0, "window must be >= 0")
+    val legs = terms.zipWithIndex.map { case (term, i) =>
+      positions.filter(col("term") === term)
+        .select(col("doc_id"), col("pos").as(s"p$i"))
+    }
+    val joined = legs.reduceLeft((a, b) => a.join(b, Seq("doc_id")))
+    val ps = terms.indices.map(i => col(s"p$i"))
+    val span = (if (ps.size == 1) lit(0)
+                else greatest(ps: _*) - least(ps: _*)).cast("long")
+    joined.select(col("doc_id"), span.as("span"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("span")).as("min_span"))
+      .filter(col("min_span") <= window)
+      .orderBy(col("doc_id"))
+  }
+
   // the n-fold adjacency intersection over any (term, doc_id, pos)
   // relation: anchor on the first term's positions, then each
   // subsequent term must appear at pos + i. Distinct column names per

@@ -81,10 +81,15 @@ final class PlanAuditSpec extends SparkTestBase {
                             // (a3's shape); the codes scan joins
                             // equi-keyed on cell, vectors enter only
                             // through the rerank equi-join
-      "a10_ivf_pq_served")  // a9's served shapes plus the build-time
+      "a10_ivf_pq_served",  // a9's served shapes plus the build-time
                             // law measurement (a1's sample brute scan
                             // + a3's coarse scoring) — all broadcast
                             // sides are the sample/centroid relations
+      "x6_hybrid_served")   // the composed serving arms own only the
+                            // allowed shapes: x1's 1-row stats scalar
+                            // (text arm) and a9's coarse assignment
+                            // against the broadcast centroid table
+                            // (vec arm)
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
@@ -149,9 +154,13 @@ final class PlanAuditSpec extends SparkTestBase {
       "x4_bm25_batch", // x1's df plus the distinct (query_id, term)
                        // batch pairs — both request-sized by
                        // construction, never corpus-keyed
-      "x5_more_like_this") // per-term df over the ≤25 capped source
+      "x5_more_like_this", // per-term df over the ≤25 capped source
                            // terms' postings — maxQueryTerms-bounded
                            // by construction
+      "x6_hybrid_served")  // x1's query-term-bounded df (text arm)
+                           // plus a9's cell-count-bounded centroid
+                           // aggregate and query-batch probe/lut
+                           // side (vec arm)
 
   test("no broadcast hint on an unbounded aggregate (full registry)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}

@@ -109,6 +109,41 @@ final class Bm25Spec extends SparkTestBase {
     } finally idx.drop(spark)
   }
 
+  test("proximity search equals direct minimal-span recompute; window semantics pinned") {
+    val idx = TextIndex("proxspec_idx", nBuckets = 4, positional = true)
+    idx.drop(spark)
+    try {
+      idx.build(docs.filter(col("doc_id") % 3 =!= 0))
+      idx.append(docs.filter(col("doc_id") % 3 === 0))
+      for ((terms, w) <- Seq((Seq("the", "table", "hash"), 8),
+        (Seq("table", "hash"), 1), (Seq("table", "hash"), 3),
+        (Seq("zzz_absent", "hash"), 50))) {
+        val served = Phrase.proximityIndexed(spark, "proxspec_idx", terms, w)
+        val direct = Phrase.proximityDirect(docs, terms, w)
+        assert(canon(served) == canon(direct), s"terms=$terms w=$w")
+      }
+      // window=1 over a 2-term set = adjacency in either order — it
+      // must cover at least the exact-phrase matches
+      val adj = Phrase.matchesIndexed(spark, "proxspec_idx", Seq("table", "hash"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val prox = Phrase.proximityIndexed(spark, "proxspec_idx",
+        Seq("table", "hash"), window = 1)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(adj.subsetOf(prox), "adjacent matches must qualify at window 1")
+      // the plan is pinned bucket-pruned like the phrase path
+      val plan = Phrase.proximityIndexed(spark, "proxspec_idx",
+        Seq("the", "table", "hash"), window = 8)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("proxspec_idx_positions") &&
+        plan.contains("SelectedBucketsCount") && !plan.contains("text#"),
+        "proximity scans must stay bucket-pruned and text-free")
+      // repeated terms would double-use one position — refused
+      intercept[IllegalArgumentException] {
+        Phrase.proximityIndexed(spark, "proxspec_idx", Seq("the", "the"), 5)
+      }
+    } finally idx.drop(spark)
+  }
+
   test("more-like-this: self excluded, shared-term counts bounded, absent source -> empty") {
     val idx = TextIndex("mltspec_idx", nBuckets = 4, forward = true)
     idx.drop(spark)
