@@ -950,6 +950,21 @@ object CorpusOps {
       graft.text.Mlt.topKIndexed(s, "x5srv_idx", srcDocId = 0L, k = 10)
     },
 
+    // Batch more-like-this: related documents for THREE source docs
+    // in ONE plan (the x4 batching move applied to x5 — the "related
+    // items for a whole result page" serving shape). All profiles
+    // come from one bucket-pruned forward-table scan, the batch
+    // vocabulary bucket-prunes the candidate scan, candidates fan
+    // out per source via the broadcast profile rows, and each
+    // source's top-k is the bounded TopKPayloadAgg tail (shared-term
+    // count riding as the payload). Per-source scoring is the
+    // identical x5 tree, so the oracle replays every source exactly.
+    "x8_mlt_batch" -> { (s, d) =>
+      graft.index.TextIndex("x8srv_idx", nBuckets = 4, forward = true)
+        .build(t(s, d, "documents").select(col("doc_id"), col("text")))
+      graft.text.Mlt.topKIndexedBatch(s, "x8srv_idx", Seq(0L, 1L, 2L), k = 10)
+    },
+
     // Exact phrase search served from the POSITIONAL stored index:
     // (term, doc_id, pos) bucketed on term, so the plan reads only
     // the phrase terms' buckets and intersects them on (doc_id,
@@ -2981,6 +2996,52 @@ object CorpusOps {
         |  FROM scored)
         |SELECT query_id, doc_id, score, rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the batch MLT replay: per-source capped profiles via a
+    // windowed cap, df over the UNION-vocabulary candidates (df is
+    // per-term, so its values are identical to each single-source
+    // computation), the x5 score tree per (source, candidate), and
+    // per-source row_number ranking
+    "x8_mlt_batch" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dlq AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM dlq),
+        |srcp AS (
+        |  SELECT doc_id AS src_id, term, tf AS tf_s, dl AS dl_s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+        |  FROM tfq JOIN dlq USING (doc_id)
+        |  WHERE doc_id IN (0, 1, 2)),
+        |src AS (SELECT src_id, term, tf_s, dl_s FROM srcp WHERE rn <= 25),
+        |cand AS (
+        |  SELECT tfq.doc_id, tfq.term, tfq.tf, dlq.dl
+        |  FROM tfq JOIN dlq USING (doc_id)
+        |  WHERE term IN (SELECT DISTINCT term FROM src)),
+        |dfq AS (SELECT term, count(*) AS df FROM cand GROUP BY term),
+        |per AS (
+        |  SELECT src.src_id, cand.doc_id,
+        |    CAST(round(
+        |      (CAST(tf_s AS DOUBLE) *
+        |        ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)))
+        |      * (CAST(cand.tf AS DOUBLE) *
+        |        ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)))
+        |      / (CAST(dl_s AS DOUBLE) * CAST(cand.dl AS DOUBLE)),
+        |      15) AS DECIMAL(32,15)) AS s
+        |  FROM cand JOIN src USING (term) JOIN dfq USING (term) CROSS JOIN n
+        |  WHERE cand.doc_id <> src.src_id),
+        |agg AS (
+        |  SELECT src_id, doc_id, count(*) AS n_shared_terms,
+        |    round(CAST(sum(s) AS DOUBLE), 9) AS score
+        |  FROM per GROUP BY src_id, doc_id),
+        |ranked AS (
+        |  SELECT src_id, doc_id, n_shared_terms, score,
+        |    CAST(row_number() OVER (PARTITION BY src_id
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM agg)
+        |SELECT src_id, doc_id, n_shared_terms, score, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY src_id, rank""".stripMargin,
 
     // full replay of the MLT recipe from raw text: capped source
     // profile (tf desc, term asc, 25), df over candidates INCLUDING

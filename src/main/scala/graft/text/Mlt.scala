@@ -113,4 +113,75 @@ object Mlt {
     withBucketedScan(spark) { out.queryExecution.executedPlan }
     out
   }
+
+  /** More-like-this for a BATCH of source docs in ONE plan — the x4
+    * batching move applied to the sparse-similarity surface (the
+    * "related documents for a whole result page" serving shape). All
+    * sources' capped profiles come from ONE bucket-pruned scan of
+    * the forward table (the batch ids are a literal `isin` on the
+    * bucketing key; the per-source cap is a window over the ≤|batch|
+    * fetched docs' rows, then one driver round-trip — request-sized
+    * by construction). The batch vocabulary turns the candidate scan
+    * into a literal `isin` exactly like the single-source path,
+    * candidates fan out per source via the broadcast profile rows,
+    * and each source's top-k is the bounded [[graft.functions
+    * .TopKPayloadAgg]] tail (≤k rows per source per partition cross
+    * the final shuffle, the shared-term count riding as the
+    * payload). Per-source scoring is byte-identical to
+    * [[topKIndexed]], so the batch form is gated by per-source
+    * oracle replay. Output: (src_id, doc_id, n_shared_terms, score,
+    * rank).
+    */
+  def topKIndexedBatch(spark: SparkSession, prefix: String, srcDocIds: Seq[Long],
+                       k: Int, maxQueryTerms: Int = 25): DataFrame = {
+    require(srcDocIds.nonEmpty, "batch needs at least one source doc")
+    require(srcDocIds.distinct == srcDocIds, "batch source ids must be distinct")
+    val profileTable = s"${prefix}_profile"
+    require(spark.catalog.tableExists(profileTable),
+      s"more-like-this serves source profiles from the doc_id-bucketed " +
+        s"$profileTable table — build the TextIndex with forward = true")
+    import org.apache.spark.sql.expressions.Window
+    val capped = spark.table(profileTable)
+      .filter(col("doc_id").isin(srcDocIds: _*))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))))
+      .filter(col("rn") <= maxQueryTerms)
+      .select(col("doc_id").as("src_id"), col("term"),
+        col("tf").as("tf_s"), col("dl").as("dl_s"))
+    val profRows = withBucketedScan(spark) { capped.collect() }
+    val src = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(profRows: _*), capped.schema))
+    val vocab = profRows.map(_.getString(1)).distinct.toSeq
+    val post = spark.table(s"${prefix}_postings")
+    val cand = post.filter(col("term").isin(vocab: _*))
+    val df = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = spark.table(s"${prefix}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"))
+    val idf = log((col("n_docs").cast(DoubleType) + lit(1.0)) /
+      (col("df").cast(DoubleType) + lit(1.0)))
+    def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val scored = cand
+      .join(src, Seq("term"))
+      .filter(col("doc_id") =!= col("src_id"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("src_id"), col("doc_id"),
+        round((D(col("tf_s")) * idf) * (D(col("tf")) * idf) /
+          (D(col("dl_s")) * D(col("dl"))), 15)
+          .cast(DecimalType(32, 15)).as("s"))
+      .groupBy(col("src_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        round(sum(col("s")).cast(DoubleType), 9).as("score"))
+    val out = scored
+      .groupBy(col("src_id"))
+      .agg(graft.functions.TopKPayloadAgg(
+        col("score"), col("doc_id"), col("n_shared_terms"), k).as("top"))
+      .select(col("src_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("src_id"), col("t.tag").as("doc_id"),
+        col("t.payload").as("n_shared_terms"), col("t.score").as("score"),
+        (col("pos") + 1).as("rank"))
+      .orderBy(col("src_id"), col("rank"))
+    withBucketedScan(spark) { out.queryExecution.executedPlan }
+    out
+  }
 }

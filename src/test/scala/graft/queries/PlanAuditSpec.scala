@@ -85,11 +85,13 @@ final class PlanAuditSpec extends SparkTestBase {
                             // law measurement (a1's sample brute scan
                             // + a3's coarse scoring) — all broadcast
                             // sides are the sample/centroid relations
-      "x6_hybrid_served")   // the composed serving arms own only the
+      "x6_hybrid_served",   // the composed serving arms own only the
                             // allowed shapes: x1's 1-row stats scalar
                             // (text arm) and a9's coarse assignment
                             // against the broadcast centroid table
                             // (vec arm)
+      "x8_mlt_batch")       // x5's 1-row n_docs scalar, shared by
+                            // every source of the batch
 
   // the streaming queries execute on construction; everything else
   // plans lazily and is audited here
@@ -157,10 +159,13 @@ final class PlanAuditSpec extends SparkTestBase {
       "x5_more_like_this", // per-term df over the ≤25 capped source
                            // terms' postings — maxQueryTerms-bounded
                            // by construction
-      "x6_hybrid_served")  // x1's query-term-bounded df (text arm)
+      "x6_hybrid_served",  // x1's query-term-bounded df (text arm)
                            // plus a9's cell-count-bounded centroid
                            // aggregate and query-batch probe/lut
                            // side (vec arm)
+      "x8_mlt_batch")      // per-term df over the batch's capped
+                           // union vocabulary — ≤ |batch| ×
+                           // maxQueryTerms rows by construction
 
   test("no broadcast hint on an unbounded aggregate (full registry)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}

@@ -211,6 +211,37 @@ final class Bm25Spec extends SparkTestBase {
     } finally idx.drop(spark)
   }
 
+  test("batch more-like-this equals the single-source path, source for source") {
+    val idx = TextIndex("mltspec_batch", nBuckets = 4, forward = true)
+    idx.drop(spark)
+    try {
+      idx.build(docs)
+      val srcs = Seq(0L, 1L, 2L, -5L) // -5: absent source contributes nothing
+      val got = Mlt.topKIndexedBatch(spark, "mltspec_batch", srcs, k = 10)
+      assert(got.filter(col("src_id") === -5L).count() == 0)
+      for (src <- srcs.filter(_ >= 0)) {
+        val single = Mlt.topKIndexed(spark, "mltspec_batch", src, k = 10)
+          .select(col("doc_id"), col("n_shared_terms"), col("score"))
+        val batch = got.filter(col("src_id") === src)
+          .select(col("doc_id"), col("n_shared_terms"), col("score"))
+        assert(canon(batch) == canon(single), s"src=$src")
+      }
+      val plan = Mlt.topKIndexedBatch(spark, "mltspec_batch", srcs, k = 10)
+        .queryExecution.executedPlan.toString
+      // the per-source tail is the bounded aggregation, and the
+      // candidate scan stays bucket-pruned under the batch vocabulary
+      assert(plan.contains("topkpayloadagg") || plan.contains("TopKPayloadAgg"),
+        "batch tail must be the bounded TopKPayloadAgg")
+      assert(plan.contains("SelectedBucketsCount"),
+        "batch vocabulary did not prune the postings buckets")
+      assert(!plan.contains("mltspec_batch_profile"),
+        "profiles are consumed driver-side, never rescanned in the plan")
+      intercept[IllegalArgumentException] {
+        Mlt.topKIndexedBatch(spark, "mltspec_batch", Seq(1L, 1L), k = 10)
+      }
+    } finally idx.drop(spark)
+  }
+
   test("indexed BM25: absent terms score nothing; no query terms -> empty") {
     val idx = TextIndex("bm25spec_idx2", nBuckets = 2)
     idx.drop(spark)
