@@ -980,12 +980,14 @@ object CorpusOps {
 
     // Proximity search ("all these terms within a W-token span, any
     // order" — Lucene's sloppy-phrase relaxation) served from the
-    // POSITIONAL stored index: per-term position lists join on
-    // doc_id (term-frequency-sized relations), span = greatest −
-    // least over one choice per term, per-doc MIN span gated by the
-    // window. The oracle recomputes the same minimal-span search
-    // from raw text, so index build + storage + the join chain are
-    // output-invisible — the x3 stance for the non-adjacent case.
+    // POSITIONAL stored index: one bucket-pruned scan of the query
+    // terms' position lists, per-doc sorted position arrays, minimal
+    // covering span by the fused k-pointer merge (MinSpan — linear
+    // in Σ tf per doc, not the Π tf cross product of per-term
+    // joins), gated by the window. The oracle recomputes the same
+    // minimal-span search from raw text, so index build + storage +
+    // the merge kernel are output-invisible — the x3 stance for the
+    // non-adjacent case.
     "x7_proximity_search" -> { (s, d) =>
       graft.index.TextIndex("x7srv_idx", nBuckets = 4, positional = true)
         .build(t(s, d, "documents").select(col("doc_id"), col("text")))

@@ -62,8 +62,8 @@ object Phrase {
   /** Proximity search served from the positional index — reads ONLY
     * the terms' buckets of `<prefix>_positions` (plan forced under
     * the pinned bucketed-scan conf, the [[matchesIndexed]] rationale:
-    * the per-doc joins run on `doc_id`, so the planner would drop
-    * the term-bucket pruning as distribution-useless).
+    * the per-doc aggregation runs on `doc_id`, so the planner would
+    * drop the term-bucket pruning as distribution-useless).
     */
   def proximityIndexed(spark: SparkSession, prefix: String,
                        terms: Seq[String], window: Int): DataFrame = {
@@ -72,28 +72,36 @@ object Phrase {
     out
   }
 
-  // one position-choice per term, per doc: the per-term relations
-  // join on doc_id alone (term-frequency-sized — a doc's positions
-  // for one term, never the corpus), span = greatest − least over
-  // the chosen positions, and the per-doc MIN span is compared to
-  // the window. Repeated terms would let one position satisfy two
+  // ONE scan of the terms' positions (a single `isin` bucket-prunes
+  // to the terms' buckets), grouped per doc into one sorted position
+  // list per term, minimal covering span by the fused k-pointer
+  // merge ([[graft.functions.MinSpan]]). The doc's min span over one
+  // choice per term is exactly the merge's minimal window, so the
+  // output is identical to the former (n−1)-fold join of position
+  // lists on doc_id — which enumerated Π tfᵢ combinations per doc
+  // (cubic on a 3-term query with a stopword term) where the merge
+  // is linear in Σ tfᵢ, and whose n scans + joins this single
+  // aggregation replaces. Docs lacking a term yield an empty list →
+  // MinSpan NULL → dropped by the window gate, matching the former
+  // inner joins. Repeated terms would let one position satisfy two
   // slots, so the term set must be distinct.
   private def proximityFrom(positions: DataFrame, terms: Seq[String],
                             window: Int): DataFrame = {
     require(terms.nonEmpty, "proximity needs at least one term")
     require(terms.distinct == terms, "proximity terms must be distinct")
     require(window >= 0, "window must be >= 0")
-    val legs = terms.zipWithIndex.map { case (term, i) =>
-      positions.filter(col("term") === term)
-        .select(col("doc_id"), col("pos").as(s"p$i"))
+    val perTerm = terms.zipWithIndex.map { case (term, i) =>
+      sort_array(collect_list(when(col("term") === term, col("pos"))
+        .cast("long"))).as(s"ps$i")
     }
-    val joined = legs.reduceLeft((a, b) => a.join(b, Seq("doc_id")))
-    val ps = terms.indices.map(i => col(s"p$i"))
-    val span = (if (ps.size == 1) lit(0)
-                else greatest(ps: _*) - least(ps: _*)).cast("long")
-    joined.select(col("doc_id"), span.as("span"))
+    positions
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("pos"))
       .groupBy(col("doc_id"))
-      .agg(min(col("span")).as("min_span"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        graft.functions.MinSpan(
+          array(terms.indices.map(i => col(s"ps$i")): _*)).as("min_span"))
       .filter(col("min_span") <= window)
       .orderBy(col("doc_id"))
   }

@@ -144,6 +144,49 @@ final class Bm25Spec extends SparkTestBase {
     } finally idx.drop(spark)
   }
 
+  test("proximity merge kernel: no join, exact on a heavy stopword doc") {
+    import spark.implicits._
+    // 600 occurrences of 'the' around one 'table' and one 'hash': the
+    // former per-term position JOIN enumerated f_the·f_table·f_hash
+    // combinations per doc (600 here, 10⁶+ for a long doc at corpus
+    // scale); the MinSpan merge visits each position once and must
+    // still return the exact minimal covering span.
+    val heavy = (Seq.fill(250)("the") ++ Seq("table") ++
+      Seq.fill(250)("the") ++ Seq("hash") ++ Seq.fill(100)("the"))
+    val planted = Seq(
+      (1L, heavy.mkString(" ")),
+      (2L, "table the hash"),
+      (3L, "table the the")) // no 'hash' -> excluded at any window
+      .toDF("doc_id", "text")
+    val terms = Seq("the", "table", "hash")
+
+    // independent brute reference: min over every one-position-per-
+    // term combination (what the old join computed)
+    def brute(tokens: Seq[String]): Option[Long] = {
+      val lists = tokens.indices.map(_.toLong).groupBy(i => tokens(i.toInt))
+      if (terms.exists(t => !lists.contains(t))) None
+      else {
+        var best = Long.MaxValue
+        for (a <- lists(terms(0)); b <- lists(terms(1)); c <- lists(terms(2)))
+          best = math.min(best, Seq(a, b, c).max - Seq(a, b, c).min)
+        Some(best)
+      }
+    }
+    val expected = Seq(1L -> brute(heavy), 2L -> brute(Seq("table", "the", "hash")))
+      .collect { case (id, Some(s)) => id -> s }.toMap
+
+    val wide = Phrase.proximityDirect(planted, terms, window = 300)
+    val got = wide.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"merge kernel vs brute combination: $got vs $expected")
+    // tight window keeps only the adjacent doc
+    val tight = Phrase.proximityDirect(planted, terms, window = 8)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(tight == Seq(2L))
+    // the linear shape is structural: one aggregation, zero joins
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "proximity must not join position lists")
+  }
+
   test("more-like-this: self excluded, shared-term counts bounded, absent source -> empty") {
     val idx = TextIndex("mltspec_idx", nBuckets = 4, forward = true)
     idx.drop(spark)
