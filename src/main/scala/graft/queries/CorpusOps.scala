@@ -25,6 +25,24 @@ object CorpusOps {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     Tables(spark, sfDir, name)
 
+  /** Evaluate two INDEPENDENT eager constructions on separate driver
+    * threads so their Spark jobs overlap (the scheduler happily runs
+    * several jobs at once; actions are only sequential because driver
+    * code calls them sequentially — each small stage's barrier leaves
+    * most executor cores idle for the other thread's tasks to
+    * back-fill). Only for arms with no data dependency whose
+    * construction is deterministic in isolation; both sides rethrow
+    * on failure.
+    */
+  private def par2[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
   /** a2's graph construction, shared verbatim by the registry entry
     * and PlanAuditSpec so the audited plan can never drift from the
     * gated one. `checkpoint = false` un-truncates the lineage that
@@ -369,11 +387,21 @@ object CorpusOps {
       import graft.ann.Dbscan
       val vecs = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val brute = Dbscan.epsCluster(vecs, minCos = 0.45, minPts = 2, dim = 64)
-        .withColumn("regime", lit("brute"))
-      val lsh = Dbscan.epsCluster(vecs, minCos = 0.45, minPts = 2, dim = 64,
-          maxBruteRows = 100L)
-        .withColumn("regime", lit("lsh"))
+      // The two regimes are INDEPENDENT jobs whose eager driver work
+      // (pre-flight profile, CC rounds) would otherwise serialize —
+      // each regime's loop leaves most executor cores idle between
+      // its small stage barriers, so running the arms on two driver
+      // threads lets one arm's jobs back-fill the other's idle
+      // capacity (actions are only sequential because driver code
+      // calls them sequentially). Each arm is deterministic in
+      // isolation (hash-sampled pre-flight, fixed rounds), so
+      // interleaving cannot perturb either output.
+      val (brute, lsh) = par2(
+        Dbscan.epsCluster(vecs, minCos = 0.45, minPts = 2, dim = 64)
+          .withColumn("regime", lit("brute")),
+        Dbscan.epsCluster(vecs, minCos = 0.45, minPts = 2, dim = 64,
+            maxBruteRows = 100L)
+          .withColumn("regime", lit("lsh")))
       brute.unionByName(lsh).orderBy(col("regime"), col("id"))
     },
 
@@ -1007,14 +1035,6 @@ object CorpusOps {
     // ADC + rerank, fusion) is output-invisible, the x1/a9 stance
     // applied to the composed serving surface.
     "x6_hybrid_served" -> { (s, d) =>
-      graft.index.TextIndex("x6srv_txt", nBuckets = 4)
-        .build(t(s, d, "documents").select(col("doc_id"), col("text")))
-      val txt = graft.text.Bm25.topKIndexed(s, "x6srv_txt",
-          Seq("table", "query", "spark"), k = 50)
-        // ≤50-row input — the bounded-window x2 rationale
-        .withColumn("trank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))).cast(IntegerType))
-        .select(col("doc_id"), col("trank"))
       val all = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
       val cents = all
@@ -1025,9 +1045,24 @@ object CorpusOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
       val vecs = all.select(col("id"), col("vec"))
-      val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
-      graft.index.IvfPqIndex("x6srv_vec", cents, books, m = 16, ksub = 64,
-        nBuckets = 4).build(vecs)
+      // the two index CONSTRUCTIONS are independent (different source
+      // tables, different storage prefixes) and each is a chain of
+      // small eager jobs — overlap them on two driver threads (the
+      // v6 par2 rationale); both serving reads below run after the
+      // barrier, against fully-built storage
+      par2(
+        graft.index.TextIndex("x6srv_txt", nBuckets = 4)
+          .build(t(s, d, "documents").select(col("doc_id"), col("text"))), {
+          val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
+          graft.index.IvfPqIndex("x6srv_vec", cents, books, m = 16, ksub = 64,
+            nBuckets = 4).build(vecs)
+        })
+      val txt = graft.text.Bm25.topKIndexed(s, "x6srv_txt",
+          Seq("table", "query", "spark"), k = 50)
+        // ≤50-row input — the bounded-window x2 rationale
+        .withColumn("trank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast(IntegerType))
+        .select(col("doc_id"), col("trank"))
       // x2's oracle arm is exact brute top-50, so the stored serve
       // runs at FULL dials: nprobe = 10 covers every label cell (the
       // generator's labels are 0..9 — probing 8 of 10 cost a rank-9

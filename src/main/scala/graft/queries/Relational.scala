@@ -802,12 +802,23 @@ object Relational {
       val li = t(s, d, "lineitem").select(col("l_suppkey").as("key"))
       def slot(j: Int, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         pmod(Md5Bucket60(concat_ws("|", lit(s"q47r$j"), c.cast("string"))), lit(w.toLong))
-      val counters = li
-        .select(posexplode(array((0 until dRows).map(j => slot(j, col("key"))): _*))
-          .as(Seq("row", "slot")))
-        .groupBy(col("row"), col("slot"))
-        .agg(count(lit(1)).as("c"))
+      // ONE corpus scan: aggregate per key first (map-side combine →
+      // a distinct-key-sized shuffle), then derive the counters FROM
+      // the key table — a slot's counter is Σ exact_n over the keys
+      // hashing to it, identical by arithmetic to counting the raw
+      // rows, so the d·n per-row md5 evaluations and the second
+      // corpus scan collapse to d·|keys| (the r19 shape hashed every
+      // row 3× AND re-scanned the corpus for the per-key counts).
+      // The checkpoint pins the key-sized aggregate so the counter
+      // and probe branches share it instead of re-scanning lineitem.
       val keys = li.groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+        .localCheckpoint(false)
+      val counters = keys
+        .select(col("exact_n"),
+          posexplode(array((0 until dRows).map(j => slot(j, col("key"))): _*))
+            .as(Seq("row", "slot")))
+        .groupBy(col("row"), col("slot"))
+        .agg(sum(col("exact_n")).as("c"))
       val probes = keys
         .select(col("key"), col("exact_n"),
           posexplode(array((0 until dRows).map(j => slot(j, col("key"))): _*))
