@@ -59,7 +59,12 @@ object Bench {
     */
   val IterativeQueries: Set[String] = Set(
     "g1_pagerank", "g3_bfs", "g4_pagerank_weighted",
-    "d6_dedup_clusters", "d9_keep_best", "v4_dbscan", "v5_dbscan_lsh")
+    "d6_dedup_clusters", "d9_keep_best", "v4_dbscan", "v5_dbscan_lsh",
+    // v6 runs BOTH DBSCAN regimes' CC loops (v4's and v5's dataflows
+    // union-tagged) — it issues strictly more O(rounds) driver jobs
+    // than either member already in this set and was omitted only by
+    // oversight when it landed after them
+    "v6_dbscan_auto")
 
   /** Whether a measured time is an outlier against the prior committed
     * artifact and must be re-measured min-of-3 before it is recorded:

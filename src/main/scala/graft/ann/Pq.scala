@@ -512,24 +512,29 @@ object Pq {
         .saveAsTable(s"${tablePrefix}_books")
     }
     val b = collectBooks(codebooks, m, ksub)
-    // materialize once: the assignment scan (n×cells broadcast dots)
-    // is the expensive half, and it feeds BOTH writes — without the
-    // checkpoint each build/append batch would run it twice
-    val cells = Ann.ivfAssignments(corpus, centroids).localCheckpoint(false)
-    cells.select(col("cell"), col("id"),
-        PqPack(PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub),
-          b.m, b.ksub).as("codes"))
-      .write.mode(if (append) "append" else "overwrite")
-      // v2 data pages: DELTA_LENGTH_BYTE_ARRAY stores the (constant)
-      // code-blob length once per page instead of v1 PLAIN's 4-byte
-      // prefix on every value — a 25% tax on a 12-byte blob
-      .option("parquet.writer.version", "v2")
-      .bucketBy(nBuckets, "cell").format("parquet")
-      .saveAsTable(s"${tablePrefix}_codes")
-    cells.select(col("id"), col("vec"), col("nrm"))
-      .write.mode(if (append) "append" else "overwrite")
-      .bucketBy(nBuckets, "id").format("parquet")
-      .saveAsTable(s"${tablePrefix}_vecs")
+    // materialize once, EAGERLY: the assignment scan (n×cells
+    // broadcast dots) is the expensive half, and it feeds BOTH
+    // writes — without the checkpoint each build/append batch would
+    // run it twice, and the eager materialization (vs first-write
+    // lazy) lets the two independent table writes below run
+    // CONCURRENTLY over the finished blocks (racing two threads into
+    // one lazy checkpoint's first materialization would not be safe)
+    val cells = Ann.ivfAssignments(corpus, centroids).localCheckpoint(true)
+    graft.core.Par.par2(
+      cells.select(col("cell"), col("id"),
+          PqPack(PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub),
+            b.m, b.ksub).as("codes"))
+        .write.mode(if (append) "append" else "overwrite")
+        // v2 data pages: DELTA_LENGTH_BYTE_ARRAY stores the (constant)
+        // code-blob length once per page instead of v1 PLAIN's 4-byte
+        // prefix on every value — a 25% tax on a 12-byte blob
+        .option("parquet.writer.version", "v2")
+        .bucketBy(nBuckets, "cell").format("parquet")
+        .saveAsTable(s"${tablePrefix}_codes"),
+      cells.select(col("id"), col("vec"), col("nrm"))
+        .write.mode(if (append) "append" else "overwrite")
+        .bucketBy(nBuckets, "id").format("parquet")
+        .saveAsTable(s"${tablePrefix}_vecs"))
     // fingerprint each fresh BUILD (appends keep it: laws stay valid
     // under append by the a7/a8 margin contract, but are invalid the
     // moment the index they measured is rebuilt — [[saveIvfPqLaws]]

@@ -358,10 +358,15 @@ case class TextIndex(prefix: String, nBuckets: Int = 32,
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))))
       }
       val post = spark.table(s"${prefix}_postings")
-      if (forward) writeProfile(post)
+      // profile and stats both derive from the WRITTEN postings table
+      // (finished storage, not a shared lazy plan) and are
+      // independent of each other — overlap their writes
       // dl is constant per doc by construction; max() is the
       // per-doc projection of it
-      writeStats(post.groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
+      def statsFromPost(): Unit =
+        writeStats(post.groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
+      if (forward) graft.core.Par.par2(writeProfile(post), statsFromPost())
+      else statsFromPost()
       // the read-backs above cached these tables' FILE LISTINGS in
       // this session's relation cache; drop the entries now, or an
       // append issued from a DIFFERENT session (e.g. the streaming

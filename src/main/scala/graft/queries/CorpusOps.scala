@@ -25,23 +25,7 @@ object CorpusOps {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     Tables(spark, sfDir, name)
 
-  /** Evaluate two INDEPENDENT eager constructions on separate driver
-    * threads so their Spark jobs overlap (the scheduler happily runs
-    * several jobs at once; actions are only sequential because driver
-    * code calls them sequentially — each small stage's barrier leaves
-    * most executor cores idle for the other thread's tasks to
-    * back-fill). Only for arms with no data dependency whose
-    * construction is deterministic in isolation; both sides rethrow
-    * on failure.
-    */
-  private def par2[A, B](a: => A, b: => B): (A, B) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fa = Future(a)
-    val fb = Future(b)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
-  }
+  private def par2[A, B](a: => A, b: => B): (A, B) = graft.core.Par.par2(a, b)
 
   /** a2's graph construction, shared verbatim by the registry entry
     * and PlanAuditSpec so the audited plan can never drift from the
