@@ -342,9 +342,19 @@ object Pq {
 
   private[ann] def measuredCellRankFrom(tops: DataFrame, corpus: DataFrame,
                                         sampleQueries: DataFrame,
-                                        centroids: DataFrame): Int = {
-    val nbrCell = Ann.assignCells(corpus, centroids)
-      .select(col("id").as("nbr_id"), col("cell"))
+                                        centroids: DataFrame): Int =
+    measuredCellRankFromCells(tops,
+      Ann.assignCells(corpus, centroids).select(col("id").as("nbr_id"), col("cell")),
+      sampleQueries, centroids)
+
+  /** [[measuredCellRankFrom]] over a PRECOMPUTED (nbr_id, cell)
+    * assignment — lets a caller that already materialized the corpus
+    * assignment (it also feeds the ADC law and the serve scan) reuse
+    * it instead of re-running the n×cells scoring pass.
+    */
+  private[ann] def measuredCellRankFromCells(tops: DataFrame, nbrCell: DataFrame,
+                                             sampleQueries: DataFrame,
+                                             centroids: DataFrame): Int = {
     val cents = broadcast(centroids.select(col("cell"), col("vec").as("centvec"),
       sqrt(VectorOps.dot(col("vec"), col("vec"))).as("centnorm")))
     val qRanks = sampleQueries
@@ -380,13 +390,24 @@ object Pq {
   private[ann] def measuredProbeRankFrom(tops: DataFrame, corpus: DataFrame,
                                          sampleQueries: DataFrame,
                                          centroids: DataFrame, codebooks: DataFrame,
-                                         m: Int, ksub: Int, nprobe: Int): Int = {
+                                         m: Int, ksub: Int, nprobe: Int): Int =
+    measuredProbeRankFromAssigned(tops, Ann.ivfAssignments(corpus, centroids),
+      sampleQueries, centroids, codebooks, m, ksub, nprobe)
+
+  /** [[measuredProbeRankFrom]] over a PRECOMPUTED (cell, id, vec,
+    * nrm) assignment (the [[Ann.ivfAssignments]] shape) — the
+    * assignment-reuse twin of [[measuredCellRankFromCells]].
+    */
+  private[ann] def measuredProbeRankFromAssigned(tops: DataFrame, assigned: DataFrame,
+                                                 sampleQueries: DataFrame,
+                                                 centroids: DataFrame, codebooks: DataFrame,
+                                                 m: Int, ksub: Int, nprobe: Int): Int = {
     val b = collectBooks(codebooks, m, ksub)
-    val cIdx = Ann.ivfAssignments(corpus, centroids)
+    val cIdx = assigned
       .select(col("cell"), col("id").as("nbr_id"),
         PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("codes"),
         col("nrm").as("cnorm"))
-      .repartition(shufflePartitions(corpus))
+      .repartition(shufflePartitions(assigned))
     val qIdx = Ann.assignN(sampleQueries, centroids, nprobe, "query_id", "qvec", "qnorm")
       .select(col("query_id"), col("cell"),
         PqLut(col("qvec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("lut"))
@@ -429,24 +450,33 @@ object Pq {
                     sampleQueries: Int = 32, probeFrac: Double = 0.5,
                     budgetFrac: Double = 0.02, marginX: Int = 2): DataFrame = {
     val sample = queries.orderBy(col("id")).limit(sampleQueries)
-    val nCells = centroids.count()
-    // one brute pass over the sample feeds BOTH measured laws — the
-    // tops relation is sample×k rows, materialized once (bounded)
-    val tops = Ann.bruteForceTopK(corpus, sample, k)
-      .select(col("query_id"), col("nbr_id")).localCheckpoint(true)
-    val cellNeeded = measuredCellRankFrom(tops, corpus, sample, centroids)
+    // one brute pass over the sample feeds BOTH measured laws (the
+    // tops relation is sample×k rows, materialized once, bounded),
+    // and ONE materialized assignment pass feeds the cell law, the
+    // ADC law, and the accepted-arm serve scan — which previously
+    // each re-ran the n×cells scoring. The two scalar counts, the
+    // brute pass and the assignment pass are mutually independent,
+    // so they overlap on driver threads (the v6/x6 rationale).
+    val ((nCells, n), (tops, asg)) = graft.core.Par.par2(
+      graft.core.Par.par2(centroids.count(), corpus.count()),
+      graft.core.Par.par2(
+        Ann.bruteForceTopK(corpus, sample, k)
+          .select(col("query_id"), col("nbr_id")).localCheckpoint(true),
+        Ann.ivfAssignments(corpus, centroids).localCheckpoint(true)))
+    val cellNeeded = measuredCellRankFromCells(tops,
+      asg.select(col("id").as("nbr_id"), col("cell")), sample, centroids)
     // the UNMARGINED law is the structure signal (needing most cells
     // = the quantizer does not separate); the margin pads the
     // accepted dial for unsampled queries and caps at the cell count
     if (cellNeeded > probeFrac * nCells)
       return Ann.bruteForceTopK(corpus, queries, k)
     val nprobe = math.min(math.max(1L, marginX.toLong * cellNeeded), nCells).toInt
-    val adcNeeded = measuredProbeRankFrom(tops, corpus, sample, centroids,
+    val adcNeeded = measuredProbeRankFromAssigned(tops, asg, sample, centroids,
       codebooks, m, ksub, nprobe)
     val rerank = math.max(16, marginX * adcNeeded)
-    val n = corpus.count()
     if (rerank <= (budgetFrac * n).toLong)
-      ivfPqTopK(corpus, queries, centroids, codebooks, k, m, ksub, nprobe, rerank)
+      ivfPqTopKFromAssigned(asg, corpus, queries, centroids, codebooks,
+        k, m, ksub, nprobe, rerank)
     else
       Ann.bruteForceTopK(corpus, queries, k)
   }
@@ -462,16 +492,28 @@ object Pq {
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                 codebooks: DataFrame, k: Int, m: Int, ksub: Int,
-                nprobe: Int = 2, rerank: Int = 64): DataFrame = {
+                nprobe: Int = 2, rerank: Int = 64): DataFrame =
+    ivfPqTopKFromAssigned(Ann.ivfAssignments(corpus, centroids), corpus,
+      queries, centroids, codebooks, k, m, ksub, nprobe, rerank)
+
+  /** [[ivfPqTopK]] over a PRECOMPUTED assignment (the
+    * [[Ann.ivfAssignments]] shape) — the assignment-reuse entry the
+    * measured auto dispatch serves through, so the corpus is scored
+    * against the centroids exactly once per call chain.
+    */
+  private[ann] def ivfPqTopKFromAssigned(assigned: DataFrame, corpus: DataFrame,
+                                         queries: DataFrame, centroids: DataFrame,
+                                         codebooks: DataFrame, k: Int, m: Int,
+                                         ksub: Int, nprobe: Int, rerank: Int): DataFrame = {
     val b = collectBooks(codebooks, m, ksub)
     // repartition: pins PqAssign evaluation map-side (the pqTopK
     // deferral note — under the cell join it would re-encode once per
     // probing query) and shuffles only the compressed codes relation
-    val cIdx = Ann.ivfAssignments(corpus, centroids)
+    val cIdx = assigned
       .select(col("cell"), col("id").as("nbr_id"),
         PqAssign(col("vec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("codes"),
         col("nrm").as("cnorm"))
-      .repartition(shufflePartitions(corpus))
+      .repartition(shufflePartitions(assigned))
     val qIdx = Ann.assignN(queries, centroids, nprobe, "query_id", "qvec", "qnorm")
       .select(col("query_id"), col("cell"),
         PqLut(col("qvec"), b.arr, b.present, b.m, b.ksub, b.dsub).as("lut"))
@@ -671,22 +713,27 @@ object Pq {
     val corpus = spark.table(s"${tablePrefix}_vecs").select(col("id"), col("vec"))
     val centroids = spark.table(s"${tablePrefix}_centroids")
     val sample = lawsSample(spark, tablePrefix, sampleN)
-    val tops = Ann.bruteForceTopK(corpus, sample, measureK)
-      .select(col("query_id"), col("nbr_id")).localCheckpoint(true)
-    val nCells = centroids.count()
+    // the brute pass and the two scalar counts are independent —
+    // overlap them (the ivfPqTopKAuto rationale); the law chain
+    // cellRank → nprobe → adcRank is inherently sequential
+    val (tops, (nCells, n)) = graft.core.Par.par2(
+      Ann.bruteForceTopK(corpus, sample, measureK)
+        .select(col("query_id"), col("nbr_id")).localCheckpoint(true),
+      graft.core.Par.par2(centroids.count(), corpus.count()))
     val cellNeeded = measuredCellRankFrom(tops, corpus, sample, centroids)
     val nprobe = math.min(math.max(1L, marginX.toLong * cellNeeded), nCells).toInt
-    val adcNeeded = measuredIndexRankFrom(spark, tablePrefix, tops, sample,
-      m, ksub, nprobe)
-    val n = corpus.count()
-    // reclaim a possibly-orphaned location first (the StoredIndex
-    // .resetStorage rationale: a previous session may have left the
-    // directory without a metastore entry, and saveAsTable would then
-    // fail the CREATE with LOCATION_ALREADY_EXISTS); goes through the
+    // reclaim of the laws location (the StoredIndex.resetStorage
+    // rationale: a previous session may have left the directory
+    // without a metastore entry, and saveAsTable would then fail the
+    // CREATE with LOCATION_ALREADY_EXISTS; goes through the
     // warehouse's Hadoop FileSystem so an HDFS/S3 warehouse reclaims
-    // too, not just local files
-    spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_laws")
-    graft.index.StoredIndex.reclaimLocation(spark, s"${tablePrefix}_laws")
+    // too) touches only <prefix>_laws, which the ADC measurement
+    // never reads — overlap the two
+    val (adcNeeded, _) = graft.core.Par.par2(
+      measuredIndexRankFrom(spark, tablePrefix, tops, sample, m, ksub, nprobe), {
+        spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_laws")
+        graft.index.StoredIndex.reclaimLocation(spark, s"${tablePrefix}_laws")
+      })
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(measureK, sampleN, cellNeeded,
         adcNeeded, nprobe, nCells, n, codesBuildId(spark, tablePrefix))), 1),
