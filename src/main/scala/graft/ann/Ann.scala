@@ -1000,7 +1000,8 @@ object Ann {
   def cosineNearDupPairsLSHIncremental(existing: DataFrame, incoming: DataFrame,
                                        minCos: Double, dim: Int,
                                        planes: Int = 10, tables: Int = 8,
-                                       seed: Long = 42L): DataFrame = {
+                                       seed: Long = 42L,
+                                       checkpoint: Boolean = true): DataFrame = {
     val all = existing.select(col("id"), col("vec"))
       .unionByName(incoming.select(col("id"), col("vec")))
     val cands = sketchIndex(all, dim, planes, tables, seed)
@@ -1011,6 +1012,14 @@ object Ann {
       .filter(col("a") < col("b"))
       .select("a", "b")
       .distinct()
+      // materialize the (bounded, two-long-row) candidate set once:
+      // it feeds the candidate-id semi-join AND both verify joins,
+      // and without the checkpoint each reference re-derives the
+      // whole sketch-explode + bucket-join subtree (the d19 plan
+      // carried 19 copies of the embeddings scan). `checkpoint =
+      // false` un-truncates the lineage so specs can assert the
+      // plan's storage properties (the a2KnnGraph pattern).
+      .transform(c => if (checkpoint) c.localCheckpoint(false) else c)
     verifyCandidates(cands, all, minCos)
   }
 
@@ -1080,7 +1089,8 @@ object Ann {
                                      minCos: Double, dim: Int,
                                      planes: Int = 6, tables: Int = 16,
                                      probes: Int = 2,
-                                     seed: Long = 42L): DataFrame = {
+                                     seed: Long = 42L,
+                                     checkpoint: Boolean = true): DataFrame = {
     val newSketches = probeSketchIndex(incoming, dim, planes, tables, seed, probes)
     val allSketches = existingIndex.select(col("id"), col("table"), col("bucket"))
       .unionByName(newSketches)
@@ -1090,6 +1100,14 @@ object Ann {
       .filter(col("a") < col("b"))
       .select("a", "b")
       .distinct()
+      // materialize the (bounded, two-long-row) candidate set once:
+      // it feeds the candidate-id semi-join AND both verify joins,
+      // and without the checkpoint each reference re-derives the
+      // whole sketch-explode + bucket-join subtree (the d19 plan
+      // carried 19 copies of the embeddings scan). `checkpoint =
+      // false` un-truncates the lineage so specs can assert the
+      // plan's storage properties (the a2KnnGraph pattern).
+      .transform(c => if (checkpoint) c.localCheckpoint(false) else c)
     val candIds = cands.select(col("a").as("id"))
       .unionByName(cands.select(col("b").as("id")))
       .distinct()
@@ -1111,7 +1129,8 @@ object Ann {
                                    incoming: DataFrame,
                                    minCos: Double, dim: Int,
                                    planes: Int = 10, tables: Int = 8,
-                                   seed: Long = 42L): DataFrame = {
+                                   seed: Long = 42L,
+                                   checkpoint: Boolean = true): DataFrame = {
     val newSketches = sketchIndex(incoming, dim, planes, tables, seed)
     val allSketches = existingIndex.select(col("id"), col("table"), col("bucket"))
       .unionByName(newSketches)
@@ -1121,6 +1140,14 @@ object Ann {
       .filter(col("a") < col("b"))
       .select("a", "b")
       .distinct()
+      // materialize the (bounded, two-long-row) candidate set once:
+      // it feeds the candidate-id semi-join AND both verify joins,
+      // and without the checkpoint each reference re-derives the
+      // whole sketch-explode + bucket-join subtree (the d19 plan
+      // carried 19 copies of the embeddings scan). `checkpoint =
+      // false` un-truncates the lineage so specs can assert the
+      // plan's storage properties (the a2KnnGraph pattern).
+      .transform(c => if (checkpoint) c.localCheckpoint(false) else c)
     val candIds = cands.select(col("a").as("id"))
       .unionByName(cands.select(col("b").as("id")))
       .distinct()

@@ -71,12 +71,26 @@ object Clusters {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // (2) pointer jump: label ← label(label) — path halving makes
       // convergence O(log diameter) instead of O(diameter)
+      //
+      // convergence detection rides the checkpoint materialization as
+      // an observed metric instead of a second per-round count job.
+      // Exactness stance: a resubmitted task could in principle
+      // double-count into the observation, which only ever INFLATES
+      // `changed` — the loop runs an extra (idempotent, fixpoint)
+      // round; it can never read 0 while a label still moved, so the
+      // result is unaffected.
+      val obs = new org.apache.spark.sql.Observation()
       val next = graft.plans.Lineage.loopCheckpoint(afterNbr
         .join(afterNbr.select(col("id").as("label"), col("label").as("jump")),
           Seq("label"), "left_outer")
         .select(col("id"), col("old"),
-          least(col("label"), coalesce(col("jump"), col("label"))).as("label")), iter)
-      changed = next.filter(col("old") =!= col("label")).count()
+          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
+        .observe(obs, sum(when(col("old") =!= col("label"), 1L).otherwise(0L))
+          .as("changed")), iter)
+      changed = Option(obs.get("changed")).map {
+        case l: java.lang.Long => l.longValue()
+        case other => other.toString.toLong
+      }.getOrElse(0L)
       labels = next.select(col("id"), col("label"))
       iter += 1
     }

@@ -179,13 +179,17 @@ final class AnnSpec extends SparkTestBase {
               p.collect { case f: Filter
                 if f.condition.toString.contains(s"< $split") => f }.nonEmpty => p
         }.nonEmpty
+      // checkpoint = false: the production candidate checkpoint
+      // truncates the analyzed plan, hiding exactly the lineage these
+      // storage-property assertions inspect (the a2KnnGraph pattern)
       val indexedDf = Ann.cosineNearDupPairsLSHIndexed(
-        spark.table(table), existing, incoming, minCos = 0.9, dim = dim)
+        spark.table(table), existing, incoming, minCos = 0.9, dim = dim,
+        checkpoint = false)
       assert(!sketchedOverExisting(indexedDf), "existing side must not be re-sketched")
       assert(indexedDf.queryExecution.analyzed.toString.contains(table))
       // positive control: the recompute form DOES sketch the existing side
       assert(sketchedOverExisting(Ann.cosineNearDupPairsLSHIncremental(
-        existing, incoming, minCos = 0.9, dim = dim)))
+        existing, incoming, minCos = 0.9, dim = dim, checkpoint = false)))
 
       // append maintenance keeps the stored index equal to a recompute
       Ann.saveSketchIndex(Ann.sketchIndex(incoming, dim), table, nBuckets = 8, append = true)
@@ -457,9 +461,10 @@ final class AnnSpec extends SparkTestBase {
               p.collect { case f: Filter
                 if f.condition.toString.contains(s"< $split") => f }.nonEmpty => p
         }.nonEmpty
+      // checkpoint = false un-truncates the lineage (a2KnnGraph pattern)
       val indexedDf = Ann.cosineNearDupPairsLSHIndexedMP(
         spark.table(table), existing, incoming, minCos = 0.9, dim = dim,
-        planes = planes, tables = tables, probes = probes)
+        planes = planes, tables = tables, probes = probes, checkpoint = false)
       assert(!sketchedOverExisting(indexedDf), "existing side must not be re-sketched")
       assert(indexedDf.queryExecution.analyzed.toString.contains(table))
 
