@@ -162,14 +162,18 @@ final class DedupSpec extends SparkTestBase {
               p.collect { case f: Filter
                 if f.condition.toString.contains(s"< $split") => f }.nonEmpty => p
         }.nonEmpty
+      // checkpoint = false: the production checkpoints truncate the
+      // analyzed plan, hiding exactly the lineage these assertions
+      // inspect (the a2KnnGraph pattern)
       val indexedDf = MinHashLSH.nearDuplicatesIncrementalIndexed(
-        spark.table(table), existing, incoming, "doc_id", "text", 24, 8, 3, 0.8)
+        spark.table(table), existing, incoming, "doc_id", "text", 24, 8, 3, 0.8,
+        checkpoint = false)
       assert(!signedOverExisting(indexedDf), "existing side must not be re-signed")
       assert(indexedDf.queryExecution.analyzed.toString.contains(table),
         "existing bands must come from the stored index table")
       // positive control: the recompute form DOES sign the existing side
       assert(signedOverExisting(MinHashLSH.nearDuplicatesIncremental(
-        existing, incoming, "doc_id", "text", 24, 8, 3, 0.8)))
+        existing, incoming, "doc_id", "text", 24, 8, 3, 0.8, checkpoint = false)))
 
       // append maintenance: after folding the batch in, the index serves
       // the NEXT batch — equivalence holds against a full recompute
