@@ -28,8 +28,26 @@ object Ann {
     * @param corpus  (id, vec) rows
     * @param queries (id, vec) rows — must be broadcast-sized
     */
+  /** Spread a compute-dense scoring input across the session's
+    * shuffle-partition count. Spark sizes scan splits by BYTES, but
+    * the broadcast-product / sketch passes below cost
+    * O(|broadcast| · dim) or O(tables · planes · dim) work PER ROW —
+    * a byte-small input (one parquet split, or the 1-partition result
+    * of an orderBy+limit sample) serializes the whole pass onto one
+    * core (measured at sf0.1: v4's 2M-cosine exact pair scoring ran
+    * as one 1.2 s task on a 32-core session; d17's 601-table sketch
+    * emission likewise). A no-op whenever the input already has at
+    * least the configured parallelism — at 100 TB the scan arrives
+    * with thousands of splits and nothing is shuffled — so the extra
+    * exchange exists exactly where it buys core-count speedup over a
+    * bounded relation (guide §2.5 "input skew": one unsplittable
+    * input, repartition after the read).
+    */
+  private[graft] def spread(df: DataFrame): DataFrame =
+    graft.core.Partitioning.spread(df)
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(
+    val c = spread(corpus).select(
       col("id").as("nbr_id"), col("vec").as("cvec"),
       VectorOps.fnorm(col("vec")).as("cnorm"))
     val q = queries.select(
@@ -221,7 +239,9 @@ object Ann {
       .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
       .limit(s.toInt)
     val v = sample.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
-    val sims = v.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+    // spread the streamed side of the s²/2 sampled product (see
+    // [[spread]]: orderBy+limit leaves one partition)
+    val sims = spread(v).select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
       .join(broadcast(v.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))),
         col("a") < col("b"))
       .select(VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
@@ -577,7 +597,10 @@ object Ann {
     */
   def cosinePairsExact(df: DataFrame, minCos: Double): DataFrame = {
     val v = df.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
-    v.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+    // spread the STREAMED side: the broadcast nested-loop product
+    // evaluates |v|²/2 fused cosines, and a 1-split input runs them
+    // all on one core (see [[spread]])
+    spread(v).select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
       .join(broadcast(v.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))),
         col("a") < col("b"))
       .withColumn("sim",
@@ -656,7 +679,11 @@ object Ann {
     // dedups survivors, not candidates. SHUFFLE_HASH pins the
     // symmetric self-join's Exchange-reuse shape for the same
     // reason as SimHash.pairs (the d4 drift).
-    val sketched = df.select(col("id"), col("vec"),
+    // spread before sketching: the emission costs tables×planes×dim
+    // multiplies PER ROW — a byte-small 1-split scan would compute
+    // every table's sketches for the whole corpus on one core (see
+    // [[spread]]; a no-op at scale where the scan is already split)
+    val sketched = spread(df).select(col("id"), col("vec"),
       graft.functions.VectorOps.fnorm(col("vec")).as("nrm"),
       posexplode(graft.functions.HyperplaneSketches(col("vec"), dim, planes, nTables, seed))
         .as(Seq("table", "bucket")))
@@ -745,7 +772,10 @@ object Ann {
       .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
       .limit(s.toInt)
     val v = sample.select(col("id"), col("vec"), VectorOps.fnorm(col("vec")).as("nrm"))
-    val pairs = v.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+    // spread the streamed side: orderBy+limit leaves ONE partition,
+    // which would run the s²/2 sampled cosines and the survivors'
+    // trial-table probe sketches on one core (see [[spread]])
+    val pairs = spread(v).select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
       .join(broadcast(v.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))),
         col("a") < col("b"))
       .filter(VectorOps.cosinePre(col("va"), col("vb"), col("na"), col("nb")) >= minCos)
@@ -931,7 +961,9 @@ object Ann {
           s"width $width, max bucket ${r.getAs[Long]("max_bucket")}). Raise τ, add planes, " +
           "or raise the budget — same regimes as the single-probe guard.")
     }
-    val sketched = df.select(col("id"), col("vec"),
+    // spread before sketching (the single-probe join's rationale: the
+    // widened emission costs tables×width×planes×dim work per row)
+    val sketched = spread(df).select(col("id"), col("vec"),
       VectorOps.fnorm(col("vec")).as("nrm"),
       // effProbes, not probes: with probes=2 dropped to 0 the sketch
       // would still emit width-3 arrays while `pos DIV (0+1)` treats

@@ -720,7 +720,17 @@ object Pq {
       Ann.bruteForceTopK(corpus, sample, measureK)
         .select(col("query_id"), col("nbr_id")).localCheckpoint(true),
       graft.core.Par.par2(centroids.count(), corpus.count()))
-    val cellNeeded = measuredCellRankFrom(tops, corpus, sample, centroids)
+    // the build already persisted the exact (id → cell) assignment the
+    // index serves with — <prefix>_codes carries `cell` per id — so the
+    // cell law is measured against the STORED assignment instead of
+    // re-running the n×cells corpus scoring pass ([[Ann.assignCells]]):
+    // one corpus-sized job disappears, and the law is measured on
+    // precisely the relation serving reads (the assignment is
+    // deterministic, so the two are identical by construction;
+    // PqSpec pins it).
+    val cellNeeded = measuredCellRankFromCells(tops,
+      spark.table(s"${tablePrefix}_codes").select(col("id").as("nbr_id"), col("cell")),
+      sample, centroids)
     val nprobe = math.min(math.max(1L, marginX.toLong * cellNeeded), nCells).toInt
     // reclaim of the laws location (the StoredIndex.resetStorage
     // rationale: a previous session may have left the directory

@@ -79,18 +79,33 @@ object Clusters {
       // `changed` — the loop runs an extra (idempotent, fixpoint)
       // round; it can never read 0 while a label still moved, so the
       // result is unaffected.
-      val obs = new org.apache.spark.sql.Observation()
-      val next = graft.plans.Lineage.loopCheckpoint(afterNbr
+      //
+      // The metric is read from the materializing action's own
+      // QueryExecution (CollectMetrics accumulator state — populated
+      // the moment the checkpoint's job completes), NOT through an
+      // `Observation`, whose get() blocks on LISTENER-BUS delivery of
+      // the query-end event after each round's checkpoint — a
+      // per-round wait that scales with bus load, not with the data
+      // (r20 verdict item 1; instrumented in tools/ProfileCc: the
+      // wait measured ~0–1 ms/round on a quiet box — the adjudicated
+      // v5 driver regression was host noise — but the accumulator
+      // read is load-independent by construction where the bus path
+      // is not). A missing metric (a future execution path that
+      // bypasses CollectMetrics) falls back to an explicit count
+      // job over the checkpointed rows — never a silent early exit.
+      val mName = s"cc_changed_$iter"
+      val observed = afterNbr
         .join(afterNbr.select(col("id").as("label"), col("label").as("jump")),
           Seq("label"), "left_outer")
         .select(col("id"), col("old"),
           least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
-        .observe(obs, sum(when(col("old") =!= col("label"), 1L).otherwise(0L))
-          .as("changed")), iter)
-      changed = Option(obs.get("changed")).map {
-        case l: java.lang.Long => l.longValue()
-        case other => other.toString.toLong
-      }.getOrElse(0L)
+        .observe(mName, sum(when(col("old") =!= col("label"), 1L).otherwise(0L))
+          .as("changed"))
+      val next = graft.plans.Lineage.loopCheckpoint(observed, iter)
+      changed = observed.queryExecution.observedMetrics.get(mName) match {
+        case Some(r) => if (r.isNullAt(0)) 0L else r.getLong(0)
+        case None    => next.filter(col("old") =!= col("label")).count()
+      }
       labels = next.select(col("id"), col("label"))
       iter += 1
     }

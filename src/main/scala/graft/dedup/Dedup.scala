@@ -220,7 +220,12 @@ object NgramJaccard {
     // 64-bit collisions INSIDE one pair's union (~|A∪B|²/2⁶⁴ per
     // pair — negligible); the rarity order changes with the values,
     // which prefix filtering permits (any one global order works).
-    val shSets = df.select(col(idCol).as("id"),
+    // spread before shingling: tokenize + n-gram set + per-shingle
+    // hashing cost far more per byte than the scan that feeds them,
+    // and a byte-small 1-split input runs the whole pass on one core
+    // (graft.core.Partitioning.spread — a no-op at scale)
+    val shSets = graft.core.Partitioning.spread(df)
+      .select(col(idCol).as("id"),
         transform(shingles(col(textCol), n), s => xxhash64(s)).as("shs"))
       .localCheckpoint(eager = false)
     val prefix = prefixPostings(shSets, minJaccard).localCheckpoint(eager = false)
@@ -312,7 +317,9 @@ object MinHashLSH {
     // signatures over a different tokenization (e.g. unigrams of a
     // small vocabulary) collide for unrelated documents and blow the
     // candidate set up to all-pairs.
-    val sigged = df.select(
+    // spread before signing: the signature pass costs numHashes ×
+    // shingles work per row (see NgramJaccard.pairs' spread note)
+    val sigged = graft.core.Partitioning.spread(df).select(
       col(idCol).as("id"),
       graft.functions.MinHashSignature(
         NgramJaccard.shingles(col(textCol), n), numHashes).as("sig"))
@@ -517,7 +524,11 @@ object SimHash {
     * [[graft.functions.SimHash64]] pass per row.
     */
   def fingerprintsOfTokens(df: DataFrame, idCol: String, tokens: Column): DataFrame =
-    df.select(col(idCol).as("id"), graft.functions.SimHash64(tokens).as("simhash"))
+    // spread before fingerprinting: tokenize + per-token hash folds
+    // cost far more per byte than the scan (see NgramJaccard.pairs'
+    // spread note; a no-op on already-parallel or streaming inputs)
+    graft.core.Partitioning.spread(df)
+      .select(col(idCol).as("id"), graft.functions.SimHash64(tokens).as("simhash"))
 
   /** Pairs (a < b) within hamming distance `maxDist`.
     *

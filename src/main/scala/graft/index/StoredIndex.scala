@@ -306,7 +306,16 @@ case class TextIndex(prefix: String, nBuckets: Int = 32,
     * read-back trick is unavailable because appended rows mix with
     * the existing table's.
     */
-  private def write(docs: DataFrame, append: Boolean): Unit = {
+  private def write(docs0: DataFrame, append: Boolean): Unit = {
+    // BUILD only: spread before tokenizing — the corpus-sized
+    // tokenize + explode pass costs far more per byte than the scan
+    // feeding it, and a byte-small 1-split corpus runs it on one core
+    // (graft.core.Partitioning.spread — a no-op on already-parallel
+    // inputs, e.g. any at-scale corpus scan). APPEND batches stay
+    // untouched: a micro-batch is bounded by the trigger, so the
+    // extra exchange would cost more than the single-core tokenize
+    // it parallelizes.
+    val docs = if (append) docs0 else graft.core.Partitioning.spread(docs0)
     val spark = docs.sparkSession
     val mode = if (append) "append" else "overwrite"
     // (term, doc_id, tf, dl) with dl via a doc_id window — the

@@ -10,16 +10,18 @@ import org.apache.spark.sql.functions._
   * PageRank) and the same loop discipline: per round one keyed join +
   * distinct + anti-join, a `localCheckpoint` to keep lineage flat, no
   * driver-side data beyond the per-round emptiness check that every
-  * Pregel-style loop needs for termination.
+  * Pregel-style loop needs for termination (folded into the round's
+  * checkpoint materialization as an observed metric — no separate
+  * per-round job).
   *
   * Scale shape: each round shuffles only the FRONTIER joined to its
   * out-edges (not the whole graph); visited state is node-sized. On a
   * 100 TB edge list the dominant cost is the frontier×edges join,
   * keyed on src and AQE-skew-split; rounds are bounded by `maxHops`.
-  * The per-round driver round-trip (`isEmpty` on the new frontier) is
+  * The per-round driver round-trip (the new-frontier size) is
   * inherent to level-synchronous loops, so the design point is
   * diameter-bounded graphs: rounds ≤ min(diameter, maxHops), and each
-  * round-trip exchanges one boolean, never data.
+  * round-trip exchanges one scalar, never data.
   */
 object Bfs {
 
@@ -55,11 +57,31 @@ object Bfs {
       val reached = frontier
         .join(e.withColumnRenamed("src", "id"), Seq("id"))
         .select(col("dst").as("id"), lit(h).as("dist"))
-      dist = dist.unionByName(reached)
+      // empty new level ⇒ every reachable node is settled — stop
+      // early. The check rides the round's checkpoint materialization
+      // as an observed metric (the Clusters.connectedComponents
+      // convergence mechanism) instead of a separate per-round
+      // isEmpty job — one job per round, not two, and the eager
+      // checkpoint replaces the partial materialization the old
+      // isEmpty(take-1) left behind for the next round to finish.
+      // Exactness: a resubmitted task can only INFLATE the observed
+      // count of dist == h rows; when the level is truly empty there
+      // is nothing to double-count, so exhaustion can never be missed
+      // and a spurious extra round is impossible. The metric is read
+      // from the materializing action's own QueryExecution
+      // (accumulator state, no listener-bus wait); a missing metric
+      // falls back to the explicit emptiness job — never a silent
+      // wrong round count.
+      val mName = s"bfs_new_$h"
+      val folded = dist.unionByName(reached)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = false)
-      // empty new level ⇒ every reachable node is settled — stop early
-      if (dist.filter(col("dist") === h).isEmpty) exhausted = true
+        .observe(mName, sum(when(col("dist") === h, 1L).otherwise(0L)).as("n_new"))
+      dist = folded.localCheckpoint(true)
+      val nNew = folded.queryExecution.observedMetrics.get(mName) match {
+        case Some(r) => if (r.isNullAt(0)) 0L else r.getLong(0)
+        case None    => if (dist.filter(col("dist") === h).isEmpty) 0L else 1L
+      }
+      if (nNew == 0L) exhausted = true
       else h += 1
     }
     nodes.join(dist, Seq("id"), "left_outer")

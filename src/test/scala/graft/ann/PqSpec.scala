@@ -248,6 +248,15 @@ final class PqSpec extends SparkTestBase {
     // the build it was measured against
     val lawsSchema = spark.table("pqspec_idx_laws").schema.fieldNames
     assert(lawsSchema.contains("nprobe") && lawsSchema.contains("build_id"))
+    // the cell law is measured against the PERSISTED codes table's
+    // (id → cell) assignment (the build already holds exactly what
+    // serving probes — no corpus re-scoring pass); pin that it equals
+    // the recomputed [[Pq.measuredCellRank]] law over the same sample
+    assert(spark.table("pqspec_idx_laws").head().getAs[Int]("cell_rank") ==
+      Pq.measuredCellRank(
+        spark.table("pqspec_idx_vecs").select(col("id"), col("vec")),
+        Pq.lawsSample(spark, "pqspec_idx", 32), cents, k = 5),
+      "stored-assignment cell law must equal the recomputed law")
     // rebuild staleness: a REBUILD (here via raw saveIvfPqIndex, which
     // does not own the laws lifecycle — IvfPqIndex.build would have
     // dropped the laws table) re-stamps the build fingerprint, so the
