@@ -33,7 +33,16 @@ object Clusters {
     // loop below then reads one cheap checkpointed relation per round
     val base = pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .localCheckpoint(true)
+    // the symmetric view is MATERIALIZED pre-partitioned by dst
+    // (guide §2.4): every round's neighbor-min join reads sym keyed
+    // on dst, and this was the only edge-sized exchange per round
+    // (the groupBy(src) min partial-aggregates to node size before
+    // its shuffle) — one up-front shuffle of 2|E| rows replaces one
+    // per round. Reads base's finished blocks, so the (possibly
+    // expensive) pair plan still executes exactly once.
     val sym = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint(true)
 
     // localCheckpoint (not persist): iterative algorithms must
     // truncate lineage every iteration or the logical plan deepens

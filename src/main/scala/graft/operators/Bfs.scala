@@ -41,7 +41,14 @@ object Bfs {
     */
   def distances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    // pre-partitioned by src (the PageRank.run rationale): every
+    // round's frontier×edges join consumes the edge list shuffle-free
+    // instead of re-shuffling it — the only edge-sized exchange in
+    // the loop (the fold-in min aggregate partial-aggregates to node
+    // size before its shuffle)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()

@@ -33,8 +33,20 @@ object PageRank {
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     // the edge list is read by nodes, out-degrees, and every round's
     // contribution join — one lazy materialization instead of
-    // re-deriving the (possibly expensive) upstream plan 2+iters times
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    // re-deriving the (possibly expensive) upstream plan 2+iters times.
+    //
+    // PRE-PARTITIONED by src (guide §2.4 "two operations keyed the
+    // same way can share one exchange"): the checkpoint leaf keeps
+    // hashpartitioning(src), so the out-degree aggregate AND every
+    // round's contribution join consume the edges without a shuffle —
+    // previously each round re-shuffled the FULL edge list on src,
+    // the only edge-sized exchange in the loop (the dst-keyed
+    // contribution aggregate partial-aggregates map-side, so its
+    // shuffle is node-sized). One up-front edge shuffle replaces
+    // iters of them — the dominant byte-volume at 100 TB.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
@@ -77,7 +89,9 @@ object PageRank {
     * w ≡ 1 special case.
     */
   def runWeighted(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    // pre-partitioned by src — the [[run]] rationale
     val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
       .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))

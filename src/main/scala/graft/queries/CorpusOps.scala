@@ -581,8 +581,14 @@ object CorpusOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
       val vecs = all.select(col("id"), col("vec"))
-      val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
-      Pq.ivfPqTopK(vecs, vecs.filter(col("id") < 20), cents, books,
+      // train ∥ centroid materialization: the codebook training's
+      // bounded per-iteration collects and the label-centroid
+      // aggregate are independent — overlap them on driver threads
+      // (guide §2.6); cents is cell-count-sized, checkpoint trivial
+      val (books, centsM) = par2(
+        Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3),
+        cents.localCheckpoint(true))
+      Pq.ivfPqTopK(vecs, vecs.filter(col("id") < 20), centsM, books,
           k = 5, m = 16, ksub = 64, nprobe = 2, rerank = 96)
         .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -631,8 +637,11 @@ object CorpusOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
       val vecs = all.select(col("id"), col("vec"))
-      val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
-      Pq.ivfPqTopKAuto(vecs, vecs.filter(col("id") < 20), cents, books,
+      // train ∥ centroid materialization (the a6 overlap rationale)
+      val (books, centsM) = par2(
+        Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3),
+        cents.localCheckpoint(true))
+      Pq.ivfPqTopKAuto(vecs, vecs.filter(col("id") < 20), centsM, books,
           k = 5, m = 16, ksub = 64, probeFrac = 1.0, budgetFrac = 1.0)
         .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -660,8 +669,11 @@ object CorpusOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
       val vecs = all.select(col("id"), col("vec"))
-      val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
-      graft.index.IvfPqIndex("a9srv_idx", cents, books, m = 16, ksub = 64,
+      // train ∥ centroid materialization (the a6 overlap rationale)
+      val (books, centsM) = par2(
+        Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3),
+        cents.localCheckpoint(true))
+      graft.index.IvfPqIndex("a9srv_idx", centsM, books, m = 16, ksub = 64,
         nBuckets = 4).build(vecs)
       Pq.ivfPqTopKIndexed(s, "a9srv_idx", vecs.filter(col("id") < 20),
           k = 5, m = 16, ksub = 64, nprobe = 2, rerank = 96)
@@ -692,8 +704,11 @@ object CorpusOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("vec"))
       val vecs = all.select(col("id"), col("vec"))
-      val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
-      graft.index.IvfPqIndex("a10srv_idx", cents, books, m = 16, ksub = 64,
+      // train ∥ centroid materialization (the a6 overlap rationale)
+      val (books, centsM) = par2(
+        Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3),
+        cents.localCheckpoint(true))
+      graft.index.IvfPqIndex("a10srv_idx", centsM, books, m = 16, ksub = 64,
         nBuckets = 4).build(vecs)
       Pq.saveIvfPqLaws(s, "a10srv_idx", measureK = 5, m = 16, ksub = 64, sampleN = 32)
       Pq.ivfPqTopKIndexedAuto(s, "a10srv_idx", vecs.filter(col("id") < 20),
@@ -1037,8 +1052,12 @@ object CorpusOps {
       par2(
         graft.index.TextIndex("x6srv_txt", nBuckets = 4)
           .build(t(s, d, "documents").select(col("doc_id"), col("text"))), {
-          val books = Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3)
-          graft.index.IvfPqIndex("x6srv_vec", cents, books, m = 16, ksub = 64,
+          // train ∥ centroid materialization (the a6 overlap
+          // rationale), nested inside the vec arm
+          val (books, centsM) = par2(
+            Pq.trainCodebooks(vecs, m = 16, ksub = 64, iters = 3),
+            cents.localCheckpoint(true))
+          graft.index.IvfPqIndex("x6srv_vec", centsM, books, m = 16, ksub = 64,
             nBuckets = 4).build(vecs)
         })
       val txt = graft.text.Bm25.topKIndexed(s, "x6srv_txt",
